@@ -1,0 +1,69 @@
+"""Pipeline configuration.
+
+The reference scatters its knobs across argparse defaults
+(``/root/reference/main.py:266-371``: hash_size=12, batch 1024/4096, k=10)
+and env-var registries (``main.py:31-54``). We centralise them in one
+frozen dataclass so a config hash can fingerprint checkpoint manifests.
+
+Defaults follow the mandated dedup config: k=5 word shingles, 128
+permutations, LSH banding b=16 × r=8, Jaccard threshold 0.8.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    seed: int = 42
+
+    # --- shingling / signatures ---
+    shingle_k: int = 5            # word-shingle width
+    num_perms: int = 128          # MinHash permutations (sig length)
+    bands: int = 16               # LSH bands (b)
+    rows_per_band: int = 8        # sig slots per band (r); b*r == num_perms
+    threshold: float = 0.8        # Jaccard threshold for a confirmed dup pair
+
+    # verify stage: pairs whose *estimated* Jaccard lies inside
+    # [exact_lo, exact_hi] are re-checked with exact shingle Jaccard
+    # (descendant of the reference's exact-distance re-rank,
+    # /root/reference/nlsh/indexer.py:84-95). Below exact_lo: rejected;
+    # above exact_hi: accepted on the estimate alone.
+    exact_lo: float = 0.60
+    exact_hi: float = 0.95
+
+    # --- skew handling (hot LSH bands) ---
+    # groups larger than group_cap emit star edges (min-id hub) instead of
+    # all O(n^2) pairs; dropped-pair counts are logged, never silent.
+    group_cap: int = 512
+
+    # --- execution ---
+    batch_size: int = 4096        # rows per UDF batch (reference hashes in
+                                  # 4096-row batches: nlsh/indexer.py:40)
+    sign_batch_size: int = 1024   # text-heavy batches are smaller
+    num_cpus: int | None = None   # per-stage override; None = Ray default
+
+    # --- clustering ---
+    # driver-side union-find is used when confirmed pairs <= this count;
+    # beyond it, distributed min-label propagation rounds take over.
+    max_driver_pairs: int = 5_000_000
+
+    extra: dict = field(default_factory=dict, compare=False)
+
+    def __post_init__(self) -> None:
+        if self.bands * self.rows_per_band != self.num_perms:
+            raise ValueError(
+                f"bands*rows_per_band ({self.bands}*{self.rows_per_band}) "
+                f"must equal num_perms ({self.num_perms})"
+            )
+
+    def config_hash(self) -> str:
+        """Stable fingerprint used in checkpoint manifests."""
+        d = asdict(self)
+        d.pop("extra", None)
+        d.pop("num_cpus", None)   # parallelism must not change results
+        blob = json.dumps(d, sort_keys=True).encode()
+        return hashlib.sha256(blob).hexdigest()[:16]

@@ -1,0 +1,64 @@
+"""Batched 128-permutation MinHash.
+
+Descendant of the reference's hash-encoder kernel: there, a batch of
+vectors runs through a learned encoder and thresholding to produce a
+(batch, hash_size) binary code matrix (``/root/reference/nlsh/hashings.py:66-85``);
+here, a batch of shingle-hash sets runs through 128 seeded uint64
+permutations to produce a (batch, 128) signature matrix. Both are
+batch-vectorized 'vector -> code' maps; ours needs no training.
+
+Permutation j is ``splitmix64(h XOR seed_j)`` — splitmix64's finalizer is
+a bijection on uint64, so each seed induces a genuine permutation of the
+shingle-hash universe; the signature slot is the min over the document's
+shingles under that permutation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from nlshray.hashing import splitmix64
+
+
+def perm_seeds(num_perms: int, seed: int) -> np.ndarray:
+    """num_perms uint64 permutation seeds derived from one config seed.
+
+    Seed-derived and stateless — every worker regenerates the identical
+    table (SURVEY.md ST4); nothing is shipped.
+    """
+    base = np.arange(num_perms, dtype=np.uint64) ^ np.uint64(seed * 0x9E3779B9 + 1)
+    return splitmix64(base)
+
+
+def sign_concat(
+    flat: np.ndarray, lengths: np.ndarray, seeds: np.ndarray
+) -> np.ndarray:
+    """MinHash signatures for a batch in flat+lengths layout.
+
+    ``flat``: concatenated uint64 shingle hashes; ``lengths[i] >= 1``.
+    Returns (n_docs, len(seeds)) uint64. The per-permutation loop runs
+    len(seeds) numpy passes over the flat array (mix + reduceat) — fully
+    vectorized across documents, bounded memory (one pass allocates one
+    flat-sized temp, never a (n_shingles, n_perms) matrix).
+    """
+    n_docs = lengths.shape[0]
+    sigs = np.empty((n_docs, seeds.shape[0]), dtype=np.uint64)
+    if n_docs == 0:
+        return sigs
+    starts = np.zeros(n_docs, dtype=np.int64)
+    np.cumsum(lengths[:-1], out=starts[1:])
+    flat = flat.astype(np.uint64, copy=False)
+    for j in range(seeds.shape[0]):
+        mixed = splitmix64(flat ^ seeds[j])
+        sigs[:, j] = np.minimum.reduceat(mixed, starts)
+    return sigs
+
+
+def estimate_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> np.ndarray:
+    """Row-wise estimated Jaccard = fraction of matching signature slots.
+
+    Batch shape (n_pairs, num_perms) x2 -> (n_pairs,) float64. The
+    engine's stand-in for the reference's batched code-distance kernels
+    (``/root/reference/nlsh/learning/distances.py:245-312``).
+    """
+    return (sig_a == sig_b).mean(axis=1)

@@ -1,0 +1,135 @@
+"""The flagship near-dup detection + clustering pipeline.
+
+    pages ──extract──▶ docs ──exact──▶ reps ──sign──▶ sigs ──band──▶ bands
+                                 │                      │               │
+                                 │                      │        groupby(band_hash)
+                                 │                      │               ▼
+                                 │                      └──join──▶ candidate pairs
+                                 │                                      │verify
+                                 └────────exact-dup edges──────┐        ▼
+                                                               ├──▶ components ──▶ clusters
+                                                               confirmed pairs
+
+Reference lifecycle being re-expressed: hash corpus -> build index ->
+probe -> gather -> re-rank (``/root/reference/nlsh/trainers/base.py:80-98``,
+``eval.py:119-188``) — except the 'index' is a shuffle, queries are the
+corpus itself (self-join dedup), and everything streams with
+backpressure instead of living on one GPU.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+import pyarrow as pa
+
+import ray
+import ray.data
+from ray.data.aggregate import Count
+
+from nlshray.config import DedupConfig
+from nlshray.stages.band import band_stage
+from nlshray.stages.cluster import cluster_stage
+from nlshray.stages.exact import exact_map, exact_stage, reps_only
+from nlshray.stages.extract import extract_stage
+from nlshray.stages.pairs import PairStats, candidate_pairs_stage
+from nlshray.stages.sign import sign_stage
+from nlshray.stages.verify import verify_stage
+
+
+@dataclass
+class DedupResult:
+    docs: ray.data.Dataset          # doc_id,url,warc_ts,text,lang,n_chars,text_hash,rep_id,n_copies
+    sigs: ray.data.Dataset          # doc_id, sig (reps only)
+    pairs: ray.data.Dataset         # confirmed: left_id,right_id,jaccard,n_bands,method
+    clusters: ray.data.Dataset      # doc_id, cluster_id (every doc)
+    pair_stats: PairStats = field(default_factory=PairStats)
+    stats: dict[str, Any] = field(default_factory=dict)
+
+
+def default_partitions() -> int:
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(8, cpus * 2)
+
+
+def dedup_docs(
+    docs: ray.data.Dataset,
+    cfg: DedupConfig | None = None,
+    *,
+    num_partitions: int | None = None,
+    collect_stats: bool = False,
+) -> DedupResult:
+    """Near-dup pipeline over a docs table (doc_id:int64, text:string, ...).
+
+    Intermediates reused by multiple consumers (docs+rep, sigs) are
+    materialized in the object store — at checkpointed scale the
+    checkpointing pipeline persists them as Parquet instead
+    (``nlshray.pipelines.checkpoint``).
+    """
+    cfg = cfg or DedupConfig()
+    nparts = num_partitions or default_partitions()
+
+    docs_rep = exact_stage(docs, num_partitions=nparts).materialize()
+    reps = reps_only(docs_rep)
+    sigs = sign_stage(reps, cfg).materialize()
+    bands = band_stage(sigs, cfg)
+    cand, pair_stats = candidate_pairs_stage(bands, cfg, num_partitions=nparts)
+    confirmed = verify_stage(
+        cand, sigs, reps, cfg, num_partitions=nparts
+    ).materialize()
+    emap = exact_map(docs_rep)
+    clusters = cluster_stage(confirmed, emap, cfg)
+
+    result = DedupResult(
+        docs=docs_rep,
+        sigs=sigs,
+        pairs=confirmed,
+        clusters=clusters,
+        pair_stats=pair_stats,
+    )
+    if collect_stats:
+        n_docs = docs_rep.count()
+        n_reps = sigs.count()
+        clusters_mat = clusters.materialize()
+        n_clusters = (
+            clusters_mat.select_columns(["cluster_id"])
+            .groupby("cluster_id")
+            .aggregate(Count(alias_name="n"))
+            .count()
+        )
+        result.clusters = clusters_mat
+        result.stats = {
+            "n_docs": n_docs,
+            "n_reps": n_reps,
+            "n_exact_dups_removed": n_docs - n_reps,
+            "n_confirmed_pairs": confirmed.count(),
+            "n_clusters": n_clusters,
+            "hot_buckets": pair_stats.n_buckets_hot,
+            "max_bucket": pair_stats.max_bucket,
+            "capped_buckets": pair_stats.n_capped_buckets,
+            "pairs_forgone": pair_stats.pairs_forgone,
+        }
+    return result
+
+
+def dedup_pages(
+    pages: ray.data.Dataset,
+    cfg: DedupConfig | None = None,
+    *,
+    num_partitions: int | None = None,
+    collect_stats: bool = False,
+) -> DedupResult:
+    """Full pipeline from raw pages (url, warc_ts, html, lang[, text])."""
+    cfg = cfg or DedupConfig()
+    docs = extract_stage(pages.select_columns(["url", "warc_ts", "html", "lang"]))
+    return dedup_docs(
+        docs, cfg, num_partitions=num_partitions, collect_stats=collect_stats
+    )
+
+
+def to_arrow(ds: ray.data.Dataset) -> pa.Table:
+    """Small-scale helper: a Dataset as one Arrow table (tests/oracle)."""
+    tables = [ray.get(r) for r in ds.to_arrow_refs()]
+    tables = [t for t in tables if t.num_rows] or tables[:1]
+    return pa.concat_tables(tables, promote_options="default")

@@ -1,0 +1,72 @@
+"""End-to-end golden: full pipeline vs exact oracle (SURVEY.md §5.2-5.3).
+
+The acceptance gate from BASELINE.json: dup-pair recall >= 0.99 at the
+mandated config (k=5 shingles, 128 perms, b=16, r=8, threshold 0.8).
+"""
+
+import numpy as np
+
+import ray.data as rd
+
+from nlshray.metrics import dup_pair_precision, dup_pair_recall
+from nlshray.pipelines.dedup import to_arrow
+from nlshray.stages.cluster import label_propagation
+
+
+def test_recall_gate(tiny_result, tiny_fixture):
+    recall = dup_pair_recall(tiny_result["clusters"], tiny_fixture["true_pairs"])
+    assert recall >= 0.99, recall
+
+
+def test_precision_floor(tiny_result, tiny_fixture):
+    precision = dup_pair_precision(
+        tiny_result["clusters"], tiny_fixture["true_pairs"]
+    )
+    assert precision >= 0.95, precision
+
+
+def test_every_doc_labelled_once(tiny_result, tiny_fixture):
+    clusters = tiny_result["clusters"]
+    assert clusters.num_rows == tiny_fixture["pages"].num_rows
+    ids = clusters["doc_id"].to_numpy()
+    assert len(np.unique(ids)) == len(ids)
+    # labels are canonical min member ids
+    lab = clusters["cluster_id"].to_numpy()
+    assert (lab <= ids).all()
+
+
+def test_confirmed_pairs_meet_threshold(tiny_result, tiny_fixture):
+    pairs = tiny_result["pairs"]
+    cfg = tiny_fixture["cfg"]
+    j = pairs["jaccard"].to_numpy()
+    # exact-verified pairs respect the threshold exactly; estimate-accepted
+    # ones sit above exact_hi by construction
+    methods = pairs["method"].to_pylist()
+    for jac, m in zip(j.tolist(), methods):
+        if m == "exact":
+            assert jac >= cfg.threshold
+        else:
+            assert jac > cfg.exact_hi
+
+
+def test_label_propagation_matches_unionfind(ray_session, tiny_result):
+    """The distributed CC path must agree with driver union-find."""
+    res = tiny_result["result"]
+    nodes = res.clusters.select_columns(["doc_id"])
+    # distributed CC over the same edges: confirmed pairs + exact edges
+    import pyarrow as pa
+
+    emap = res.docs.select_columns(["doc_id", "rep_id"])
+    exact_edges = emap.map_batches(
+        lambda t: t.filter(
+            pa.compute.not_equal(t["doc_id"], t["rep_id"])
+        ).rename_columns(["left_id", "right_id"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    edges = res.pairs.select_columns(["left_id", "right_id"]).union(exact_edges)
+    lp = to_arrow(label_propagation(edges, nodes, num_partitions=4))
+    uf = tiny_result["clusters"]
+    got = dict(zip(lp["doc_id"].to_pylist(), lp["cluster_id"].to_pylist()))
+    want = dict(zip(uf["doc_id"].to_pylist(), uf["cluster_id"].to_pylist()))
+    assert got == want

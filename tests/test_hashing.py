@@ -1,0 +1,80 @@
+"""Unit goldens for the hash kernels (style of the reference's
+``nlsh/tests/test_indexer.py`` bit-pack/groupby goldens)."""
+
+import numpy as np
+
+from nlshray.hashing import (
+    MASK63,
+    band_hashes,
+    doc_id_from_url,
+    doc_ids_from_urls,
+    hash_bytes_u64,
+    poly_fold,
+    shingle_hashes,
+    splitmix64,
+)
+
+
+def test_splitmix64_deterministic_and_mixing():
+    x = np.arange(1000, dtype=np.uint64)
+    a = splitmix64(x)
+    b = splitmix64(x)
+    assert (a == b).all()
+    # bijective finalizer on distinct inputs -> no collisions
+    assert len(np.unique(a)) == 1000
+    # input must not pass through
+    assert not (a == x).any()
+
+
+def test_splitmix64_does_not_mutate_input():
+    x = np.arange(10, dtype=np.uint64)
+    splitmix64(x)
+    assert (x == np.arange(10, dtype=np.uint64)).all()
+
+
+def test_hash_bytes_u64_stable():
+    assert hash_bytes_u64(b"hello") == hash_bytes_u64(b"hello")
+    assert hash_bytes_u64(b"hello") != hash_bytes_u64(b"hello", seed=1)
+    assert hash_bytes_u64(b"hello") != hash_bytes_u64(b"hellp")
+
+
+def test_doc_ids_63bit_and_match_scalar():
+    urls = ["https://a.example/1", "https://b.example/2"]
+    ids = doc_ids_from_urls(urls)
+    assert ids.dtype == np.int64
+    assert all(0 <= i <= MASK63 for i in ids)
+    assert ids[0] == doc_id_from_url(urls[0])
+    assert ids[0] != ids[1]
+
+
+def test_poly_fold_order_sensitive():
+    w1 = np.array([[1, 2, 3]], dtype=np.uint64)
+    w2 = np.array([[3, 2, 1]], dtype=np.uint64)
+    assert poly_fold(w1)[0] != poly_fold(w2)[0]
+    assert poly_fold(w1)[0] == poly_fold(w1.copy())[0]
+
+
+def test_shingle_hashes_window_semantics():
+    t = splitmix64(np.arange(10, dtype=np.uint64))
+    sh = shingle_hashes(t, 3)
+    assert sh.shape == (8,)
+    # window j equals poly_fold of its own slice
+    for j in range(8):
+        assert sh[j] == poly_fold(t[j : j + 3][None, :])[0]
+    assert shingle_hashes(t[:2], 3).shape == (0,)
+
+
+def test_band_hashes_band_identity_mixed_in():
+    # two docs with identical slots in band 0 vs band 1 must not collide
+    sigs = np.zeros((1, 16), dtype=np.uint64)
+    bh = band_hashes(sigs, 2, 8)
+    assert bh.shape == (1, 2)
+    assert bh[0, 0] != bh[0, 1]  # same slot window, different band index
+
+    # equal band windows in the SAME band do collide (that's LSH)
+    a = np.arange(16, dtype=np.uint64)[None, :]
+    b = a.copy()
+    b[0, 8:] += 1  # differ only in band 1
+    ba, bb = band_hashes(a, 2, 8), band_hashes(b, 2, 8)
+    assert ba[0, 0] == bb[0, 0]
+    assert ba[0, 1] != bb[0, 1]

@@ -1,0 +1,134 @@
+"""Stage-level tests under a live Ray session (SURVEY.md §5)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from nlshray.config import DedupConfig
+from nlshray.pipelines.dedup import to_arrow
+from nlshray.stages.band import band_stage
+from nlshray.stages.exact import exact_map, exact_stage, reps_only
+from nlshray.stages.extract import extract_stage
+from nlshray.stages.pairs import candidate_pairs_stage
+from nlshray.stages.sign import MinHashSigner, numpy_to_sigs, sigs_to_numpy, sign_stage
+
+CFG = DedupConfig()
+
+
+def _docs(rows):
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+    )
+
+
+def test_extract_stage(ray_session, tiny_fixture):
+    pages = tiny_fixture["pages"]
+    docs = to_arrow(extract_stage(rd.from_arrow(pages)))
+    assert docs.num_rows == pages.num_rows
+    got = dict(zip(docs["url"].to_pylist(), docs["text"].to_pylist()))
+    want = dict(zip(pages["url"].to_pylist(), pages["text"].to_pylist()))
+    assert got == want  # byte-identical text per url
+    assert "html" not in docs.schema.names  # wide column dropped
+
+
+def test_exact_stage_rep_semantics(ray_session):
+    ds = _docs([(30, "same text"), (10, "same text"), (20, "other text")])
+    out = to_arrow(exact_stage(ds))
+    rows = {
+        r["doc_id"]: (r["rep_id"], r["n_copies"])
+        for r in out.to_pylist()
+    }
+    assert rows[30] == (10, 2)  # min doc_id is the rep
+    assert rows[10] == (10, 2)
+    assert rows[20] == (20, 1)
+    reps = to_arrow(reps_only(exact_stage(ds)))
+    assert sorted(reps["doc_id"].to_pylist()) == [10, 20]
+    em = to_arrow(exact_map(exact_stage(ds)))
+    assert em.schema.names == ["doc_id", "rep_id"]
+
+
+def test_signer_class_direct():
+    """Actor __init__ exceptions surface late — smoke the class directly
+    (ray_guide pitfall)."""
+    signer = MinHashSigner(CFG)
+    batch = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["a b c d e f g h", "a b c d e f g h"], pa.string()),
+        }
+    )
+    out = signer(batch)
+    assert out["sig"].type == pa.binary(CFG.num_perms * 8)
+    sigs = sigs_to_numpy(out["sig"], CFG.num_perms)
+    assert (sigs[0] == sigs[1]).all()  # identical text -> identical sig
+
+
+def test_sig_roundtrip():
+    m = np.arange(256, dtype=np.uint64).reshape(2, 128)
+    assert (sigs_to_numpy(numpy_to_sigs(m), 128) == m).all()
+
+
+def test_sign_and_band_stages(ray_session):
+    ds = _docs([(1, "w1 w2 w3 w4 w5 w6 w7 w8"), (2, "different words entirely here now ok fine yes")])
+    sigs = sign_stage(ds, CFG)
+    bands = to_arrow(band_stage(sigs, CFG))
+    assert bands.num_rows == 2 * CFG.bands
+    assert set(bands.schema.names) == {"band_idx", "band_hash", "doc_id"}
+    per_doc = bands.group_by("doc_id").aggregate([("band_idx", "count")])
+    assert per_doc["band_idx_count"].to_pylist() == [CFG.bands, CFG.bands]
+
+
+def test_candidate_pairs_grouping_golden(ray_session):
+    """Descendant of the reference's test_build_index golden
+    (nlsh/tests/test_indexer.py:6-26): hand band rows -> exact pair set."""
+    bands = rd.from_arrow(
+        pa.table(
+            {
+                "band_idx": pa.array([0, 0, 0, 1, 1, 0], pa.int16()),
+                "band_hash": pa.array([100, 100, 100, 200, 200, 300], pa.int64()),
+                "doc_id": pa.array([1, 2, 3, 1, 2, 9], pa.int64()),
+            }
+        )
+    )
+    pairs_ds, stats = candidate_pairs_stage(bands, CFG, num_partitions=4)
+    pairs = to_arrow(pairs_ds)
+    got = {
+        (l, r): n
+        for l, r, n in zip(
+            pairs["left_id"].to_pylist(),
+            pairs["right_id"].to_pylist(),
+            pairs["n_bands"].to_pylist(),
+        )
+    }
+    # bucket 100 -> (1,2),(1,3),(2,3); bucket 200 -> (1,2) again; 300 -> none
+    assert got == {(1, 2): 2, (1, 3): 1, (2, 3): 1}
+    assert stats.n_buckets_hot == 2
+    assert stats.max_bucket == 3
+
+
+def test_candidate_pairs_cap_star_edges(ray_session):
+    cfg = DedupConfig(group_cap=4)
+    n = 10
+    bands = rd.from_arrow(
+        pa.table(
+            {
+                "band_idx": pa.array([0] * n, pa.int16()),
+                "band_hash": pa.array([7] * n, pa.int64()),
+                "doc_id": pa.array(list(range(1, n + 1)), pa.int64()),
+            }
+        )
+    )
+    pairs_ds, stats = candidate_pairs_stage(bands, cfg, num_partitions=4)
+    pairs = to_arrow(pairs_ds)
+    # star around min id: n-1 edges, all from doc 1
+    assert pairs.num_rows == n - 1
+    assert set(pairs["left_id"].to_pylist()) == {1}
+    assert stats.n_capped_buckets == 1
+    assert stats.pairs_forgone == (n * (n - 1) // 2) - (n - 1)

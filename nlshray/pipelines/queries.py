@@ -1,0 +1,483 @@
+"""Driver-contract queries: one entry per implemented operator family.
+
+Each function takes ``sf_dir`` (a /root/testdata/sf* directory) and
+returns a Ray Dataset / Arrow table. Where an ANSI-SQL equivalent exists
+it lives in ``ORACLE_SQL`` (same column names — the driver's comparator
+hashes values after sorting columns by name).
+
+Float columns in SQL-checked outputs are rounded (ROUND in SQL, np.round
+here) so summation-order noise cannot flip the value hash.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Mean, Sum
+
+from nlshray.config import DedupConfig
+from nlshray.functions.textstats import whitespace_token_count
+from nlshray.pipelines.dedup import dedup_docs, to_arrow
+from nlshray.stages.ann import (
+    embedding_near_dup,
+    gather_matrix,
+    knn_bruteforce,
+    knn_lsh,
+)
+from nlshray.stages.exact import exact_stage
+from nlshray.stages.sign import sign_stage, sigs_to_numpy
+from nlshray.stages.simhash import simhash_dedup
+from nlshray.stages.textstats import textstats_stage
+
+NPARTS = 8
+CFG = DedupConfig()
+
+
+def _pq(sf_dir: str, name: str, columns=None) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+def _round(t: pa.Table, cols: dict[str, int]) -> pa.Table:
+    for c, nd in cols.items():
+        t = t.set_column(
+            t.schema.get_field_index(c),
+            c,
+            pc.round(t[c].cast(pa.float64()), ndigits=nd),
+        )
+    return t
+
+
+# ---------------------------------------------------------------------------
+# relational coverage (SURVEY.md A1-A6, T1, J1 physical patterns)
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(sf_dir: str):
+    """TPC-H Q1-shaped grouped aggregate over lineitem."""
+    ds = _pq(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+        ],
+    )
+
+    def add_disc(t: pa.Table) -> pa.Table:
+        disc = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        return t.append_column("disc_price", disc)
+
+    out = (
+        ds.map_batches(add_disc, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Mean("l_quantity", alias_name="avg_qty"),
+            Count(alias_name="count_order"),
+        )
+    )
+    t = to_arrow(out)
+    t = _round(
+        t,
+        {"sum_qty": 2, "sum_base_price": 2, "sum_disc_price": 4, "avg_qty": 6},
+    )
+    return t
+
+
+def top_customers(sf_dir: str):
+    """Hash join orders x customer -> grouped revenue -> top 10."""
+    orders = _pq(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    cust = _pq(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    joined = orders.join(
+        cust,
+        join_type="inner",
+        num_partitions=NPARTS,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+    agg = joined.groupby("c_name").aggregate(
+        Sum("o_totalprice", alias_name="revenue"),
+        Count(alias_name="n_orders"),
+    )
+    top = agg.sort("revenue", descending=True).limit(10)
+    return _round(to_arrow(top), {"revenue": 2})
+
+
+def orders_priority_count(sf_dir: str):
+    ds = _pq(sf_dir, "orders", columns=["o_orderpriority"])
+    return to_arrow(
+        ds.groupby("o_orderpriority").aggregate(Count(alias_name="n"))
+    )
+
+
+def lineitem_revenue(sf_dir: str):
+    """Per-row filter + project + computed column (M11/M12 class)."""
+    ds = _pq(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount",
+                 "l_quantity"],
+    )
+
+    def fn(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_quantity"], 30.0))
+        # 4dp: finer than the 2dp x 2dp product's intrinsic decimals, so
+        # no value sits on a rounding half-boundary (pyarrow rounds
+        # half-even, DuckDB half-away — they only agree off-boundary)
+        rev = pc.round(
+            pc.multiply(
+                t["l_extendedprice"],
+                pc.subtract(pa.scalar(1.0), t["l_discount"]),
+            ),
+            ndigits=4,
+        )
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_linenumber": t["l_linenumber"],
+                "revenue": rev,
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def zscore_quantity(sf_dir: str):
+    """Two-pass z-score (M1, nlsh/data.py:29-33): distributed partial
+    sums -> broadcast stats -> per-row normalize."""
+    ds = _pq(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = t["l_quantity"].to_numpy()
+        return pa.table(
+            {
+                "s": pa.array([float(q.sum())]),
+                "ss": pa.array([float((q * q).sum())]),
+                "n": pa.array([len(q)]),
+            }
+        )
+
+    parts = ds.select_columns(["l_quantity"]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    n = sum(p["n"] for p in parts)
+    mean = sum(p["s"] for p in parts) / n
+    var = max(sum(p["ss"] for p in parts) / n - mean * mean, 0.0)
+    std = var**0.5
+    stats_ref = ray.put((mean, std))
+
+    def norm(t: pa.Table) -> pa.Table:
+        mu, sd = ray.get(stats_ref)
+        z = (t["l_quantity"].to_numpy() - mu) / sd
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_linenumber": t["l_linenumber"],
+                "z_qty": pa.array(np.round(z, 6)),
+            }
+        )
+
+    return ds.map_batches(norm, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def events_hourly(sf_dir: str):
+    """Tumbling 1-hour window per user (windowed aggregate; ray_guide
+    'streaming-shaped workloads')."""
+    ds = _pq(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64()).to_numpy()  # epoch micros
+        hour = us // 3_600_000_000
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "window_hour": pa.array(hour, pa.int64()),
+                "value": t["value"],
+            }
+        )
+
+    out = (
+        ds.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["user_id", "window_hour"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+    )
+    return _round(to_arrow(out), {"sum_value": 4})
+
+
+# ---------------------------------------------------------------------------
+# dedup family over documents
+# ---------------------------------------------------------------------------
+
+def exact_dup_docs(sf_dir: str):
+    """Exact dedup groups: keep_id = min doc_id per identical text."""
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+    out = exact_stage(docs, num_partitions=NPARTS)
+    t = to_arrow(out.select_columns(["doc_id", "rep_id", "n_copies"]))
+    return t.rename_columns(["doc_id", "keep_id", "n_copies"])
+
+
+def token_counts(sf_dir: str):
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_ws_tokens": pa.array(
+                    [whitespace_token_count(x) for x in t["text"].to_pylist()],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def doc_stats(sf_dir: str):
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_chars": pc.utf8_length(t["text"]).cast(pa.int64()),
+                "n_ws_tokens": pa.array(
+                    [whitespace_token_count(x) for x in texts], pa.int64()
+                ),
+            }
+        )
+
+    return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def lang_summary(sf_dir: str):
+    docs = _pq(sf_dir, "documents", columns=["lang", "n_chars"])
+    out = docs.groupby("lang").aggregate(
+        Count(alias_name="n_docs"), Mean("n_chars", alias_name="avg_chars")
+    )
+    return _round(to_arrow(out), {"avg_chars": 4})
+
+
+def quality_scores(sf_dir: str):
+    """Quality/lang-ID/fingerprint features (rows-only; no SQL analog)."""
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+    return textstats_stage(docs)
+
+
+def minhash_signatures(sf_dir: str):
+    """128-perm MinHash signatures; first 4 slots exposed as int64 columns
+    (rows-only check — deterministic but not SQL-expressible)."""
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+    sigs = sign_stage(docs, CFG)
+
+    def expand(t: pa.Table) -> pa.Table:
+        m = sigs_to_numpy(t["sig"], CFG.num_perms)
+        cols = {"doc_id": t["doc_id"]}
+        for i in range(4):
+            cols[f"sig_{i}"] = pa.array(
+                (m[:, i] & np.uint64((1 << 63) - 1)).astype(np.int64)
+            )
+        return pa.table(cols)
+
+    return sigs.map_batches(expand, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def near_dup_pairs(sf_dir: str):
+    """Confirmed MinHash/LSH near-dup pairs over documents (rows-only)."""
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+    res = dedup_docs(docs, CFG, num_partitions=NPARTS)
+    return _round(
+        to_arrow(res.pairs.select_columns(["left_id", "right_id", "jaccard"])),
+        {"jaccard": 6},
+    )
+
+
+def near_dup_clusters(sf_dir: str):
+    """Full dedup clustering over documents (rows-only)."""
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+    res = dedup_docs(docs, CFG, num_partitions=NPARTS)
+    return to_arrow(res.clusters)
+
+
+def simhash_pairs(sf_dir: str):
+    """SimHash near-dup pairs, Hamming <= 3 (rows-only)."""
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+    return to_arrow(
+        simhash_dedup(docs, max_hamming=3, seed=CFG.seed, cfg=CFG,
+                      num_partitions=NPARTS).select_columns(
+            ["left_id", "right_id", "hamming"]
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANN / embeddings
+# ---------------------------------------------------------------------------
+
+def _query_vectors(sf_dir: str, n: int = 5):
+    emb = _pq(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    head = emb.map_batches(
+        lambda t: t.filter(pc.less(t["vec_id"], n)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).take_all()
+    head.sort(key=lambda r: r["vec_id"])
+    q = np.array([r["embedding"] for r in head], dtype=np.float64)
+    qids = np.array([r["vec_id"] for r in head], dtype=np.int64)
+    return emb, q, qids
+
+
+def knn_cosine(sf_dir: str):
+    """Exact cosine top-10 for query vectors vec_id<5 (A5/J1/T1 family)."""
+    emb, q, qids = _query_vectors(sf_dir)
+    out = knn_bruteforce(emb, q, qids, k=10)
+    return _round(to_arrow(out), {"sim": 6})
+
+
+def knn_cosine_lsh(sf_dir: str):
+    """Hyperplane-LSH approximate top-10 (rows-only; approximate by
+    design — recall vs brute force asserted in tests instead)."""
+    emb, q, qids = _query_vectors(sf_dir)
+    # the testdata embeddings are near-random (top-10 neighbors sit at
+    # cosine ~0.4), so bucket-collision recall is theory-bounded: with 8
+    # planes and Hamming<=3 probing, ~0.5 vs brute force — asserted as a
+    # floor in tests; real clustered embeddings score far higher
+    out = knn_lsh(emb, q, qids, k=10, n_planes=8, multiprobe=3, seed=CFG.seed)
+    return _round(to_arrow(out), {"sim": 6})
+
+
+def embedding_dup_pairs(sf_dir: str):
+    """All-pairs cosine >= 0.45 over embeddings (exact, SQL-checkable)."""
+    emb = _pq(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = embedding_near_dup(emb, threshold=0.45, strategy="bruteforce")
+    return _round(to_arrow(out), {"cosine": 6})
+
+
+# ---------------------------------------------------------------------------
+# registry + oracle SQL
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "top_customers": top_customers,
+    "orders_priority_count": orders_priority_count,
+    "lineitem_revenue": lineitem_revenue,
+    "zscore_quantity": zscore_quantity,
+    "events_hourly": events_hourly,
+    "exact_dup_docs": exact_dup_docs,
+    "token_counts": token_counts,
+    "doc_stats": doc_stats,
+    "lang_summary": lang_summary,
+    "quality_scores": quality_scores,
+    "minhash_signatures": minhash_signatures,
+    "near_dup_pairs": near_dup_pairs,
+    "near_dup_clusters": near_dup_clusters,
+    "simhash_pairs": simhash_pairs,
+    "knn_cosine": knn_cosine,
+    "knn_cosine_lsh": knn_cosine_lsh,
+    "embedding_dup_pairs": embedding_dup_pairs,
+}
+
+ORACLE_SQL = {
+    "q1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2)                         AS sum_qty,
+               ROUND(SUM(l_extendedprice), 2)                    AS sum_base_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+               ROUND(AVG(l_quantity), 6)                         AS avg_qty,
+               COUNT(*)                                          AS count_order
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "top_customers": """
+        SELECT c_name,
+               ROUND(SUM(o_totalprice), 2) AS revenue,
+               COUNT(*)                    AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_name
+        ORDER BY SUM(o_totalprice) DESC
+        LIMIT 10
+    """,
+    "orders_priority_count": """
+        SELECT o_orderpriority, COUNT(*) AS n FROM orders GROUP BY o_orderpriority
+    """,
+    "lineitem_revenue": """
+        SELECT l_orderkey, l_linenumber,
+               ROUND(l_extendedprice * (1 - l_discount), 4) AS revenue
+        FROM lineitem WHERE l_quantity > 30.0
+    """,
+    "zscore_quantity": """
+        SELECT l_orderkey, l_linenumber,
+               ROUND((l_quantity - AVG(l_quantity) OVER ()) /
+                     STDDEV_POP(l_quantity) OVER (), 6) AS z_qty
+        FROM lineitem
+    """,
+    "events_hourly": """
+        SELECT user_id,
+               CAST(FLOOR(EPOCH(ts) / 3600) AS BIGINT) AS window_hour,
+               COUNT(*)             AS n_events,
+               ROUND(SUM(value), 4) AS sum_value
+        FROM events GROUP BY user_id, window_hour
+    """,
+    "exact_dup_docs": """
+        SELECT doc_id,
+               MIN(doc_id) OVER (PARTITION BY text) AS keep_id,
+               COUNT(*)    OVER (PARTITION BY text) AS n_copies
+        FROM documents
+    """,
+    "token_counts": """
+        SELECT doc_id,
+               CASE WHEN TRIM(text) = '' THEN 0
+                    ELSE LENGTH(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+'))
+               END AS n_ws_tokens
+        FROM documents
+    """,
+    "doc_stats": """
+        SELECT doc_id, LENGTH(text) AS n_chars,
+               CASE WHEN TRIM(text) = '' THEN 0
+                    ELSE LENGTH(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+'))
+               END AS n_ws_tokens
+        FROM documents
+    """,
+    "lang_summary": """
+        SELECT lang, COUNT(*) AS n_docs, ROUND(AVG(n_chars), 4) AS avg_chars
+        FROM documents GROUP BY lang
+    """,
+    "knn_cosine": """
+        WITH q AS (
+            SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+            FROM embeddings WHERE vec_id < 5
+        )
+        SELECT query_id, vec_id AS neighbor_id,
+               ROUND(list_cosine_similarity(qe, CAST(embedding AS DOUBLE[])), 6) AS sim
+        FROM q, embeddings
+        WHERE vec_id != query_id
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY query_id
+            ORDER BY list_cosine_similarity(qe, CAST(embedding AS DOUBLE[])) DESC,
+                     vec_id
+        ) <= 10
+    """,
+    "embedding_dup_pairs": """
+        SELECT a.vec_id AS left_id, b.vec_id AS right_id,
+               ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) >= 0.45
+    """,
+    # quality_scores, minhash_signatures, near_dup_pairs, near_dup_clusters,
+    # simhash_pairs, knn_cosine_lsh: engine-specific (hash-seeded or
+    # approximate) -> rows-only driver check by design.
+}

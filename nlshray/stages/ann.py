@@ -1,0 +1,341 @@
+"""Approximate-nearest-neighbor + embedding near-dup over a vector column.
+
+Direct descendant of the reference's core task (k-NN over dense vectors,
+``/root/reference/nlsh/indexer.py:56-96``, ``precompute.py:57-67``),
+re-expressed over a Ray Dataset with an ``embedding: list<float>`` column:
+
+* ``knn_bruteforce`` — the exact baseline: per-batch cosine vs a
+  broadcast query matrix (numpy matmul), per-batch top-k, then a tiny
+  per-query re-rank — the reference's batched exact-kNN shape
+  (``precompute.py:57-67``) with Ray batches instead of GPU chunks.
+* ``knn_lsh`` — the scale path: random-hyperplane LSH (sign bits packed
+  into an int bucket key — the reference's hash->bucket->probe->re-rank
+  loop, ``nlsh/indexer.py:62-96``), with Hamming<=1 multi-probe
+  (descendant of multi-probe sampling, ``nlsh/hashings.py:74-85``).
+* ``embedding_near_dup`` — all-pairs cosine >= threshold; brute-force
+  per-batch vs broadcast corpus at test scale, hyperplane-bucketed
+  pair generation at scale.
+
+Normalization stages mirror M1/M2 (``nlsh/data.py:29-37``): z-score uses
+a two-pass distributed mean/std; unit-sphere is stateless.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from nlshray.hashing import splitmix64
+
+
+def vectors_from_batch(col: pa.ChunkedArray | pa.Array, dim: int) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return np.asarray(col.flatten(), dtype=np.float64).reshape(-1, dim)
+
+
+def _l2norm(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def infer_dim(ds: ray.data.Dataset, col: str = "embedding") -> int:
+    row = ds.take(1)[0]
+    return len(row[col])
+
+
+# ---------------------------------------------------------------------------
+# normalization (M1 z-score / M2 unit-sphere)
+# ---------------------------------------------------------------------------
+
+def embedding_stats(ds: ray.data.Dataset, dim: int, col: str = "embedding"):
+    """Two-pass stats: per-batch partial (sum, sumsq, n) combined on the
+    driver — the 'pre-aggregate inside map_batches' pattern."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = vectors_from_batch(t[col], dim)
+        return pa.table(
+            {
+                "s": pa.array([m.sum(axis=0).tolist()]),
+                "ss": pa.array([(m * m).sum(axis=0).tolist()]),
+                "n": pa.array([m.shape[0]]),
+            }
+        )
+
+    parts = ds.select_columns([col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    s = np.sum([np.array(p["s"]) for p in parts], axis=0)
+    ss = np.sum([np.array(p["ss"]) for p in parts], axis=0)
+    n = sum(p["n"] for p in parts)
+    mean = s / n
+    var = np.maximum(ss / n - mean * mean, 0.0)
+    return mean, np.sqrt(var), n
+
+
+def normalize_embeddings(
+    ds: ray.data.Dataset,
+    mode: str = "unit",
+    col: str = "embedding",
+    dim: int | None = None,
+) -> ray.data.Dataset:
+    dim = dim or infer_dim(ds, col)
+    if mode == "zscore":
+        mean, std, _ = embedding_stats(ds, dim, col)
+        std = np.where(std == 0, 1.0, std)
+        stats_ref = ray.put((mean, std))
+    elif mode != "unit":
+        raise ValueError(f"unknown mode {mode!r}")
+
+    def fn(t: pa.Table) -> pa.Table:
+        m = vectors_from_batch(t[col], dim)
+        if mode == "unit":
+            out = _l2norm(m)
+        else:
+            mu, sd = ray.get(stats_ref)
+            out = (m - mu) / sd
+        arr = pa.FixedSizeListArray.from_arrays(
+            pa.array(out.reshape(-1), pa.float32()), dim
+        )
+        return t.drop_columns([col]).append_column(col, arr.cast(pa.list_(pa.float32())))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# k-NN
+# ---------------------------------------------------------------------------
+
+def _topk_rows(qids, sims, vec_ids, k) -> dict[str, np.ndarray]:
+    """Per-batch candidates: for each query row, top-k within this batch."""
+    nq, n = sims.shape
+    kk = min(k, n)
+    idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+    out_q = np.repeat(qids, kk)
+    out_v = vec_ids[idx].reshape(-1)
+    out_s = np.take_along_axis(sims, idx, axis=1).reshape(-1)
+    return {"query_id": out_q, "neighbor_id": out_v, "sim": out_s}
+
+
+def _finalize_topk(g: dict[str, np.ndarray], *, k: int) -> dict[str, np.ndarray]:
+    """Per-query exact re-rank of gathered candidates — the descendant of
+    the reference's top-k re-rank (nlsh/indexer.py:84-95). Deterministic
+    tie-break: (-sim, neighbor_id)."""
+    order = np.lexsort((g["neighbor_id"], -g["sim"]))[:k]
+    return {
+        "query_id": g["query_id"][order],
+        "neighbor_id": g["neighbor_id"][order],
+        "sim": g["sim"][order],
+    }
+
+
+def knn_bruteforce(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 10,
+    *,
+    col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+    exclude_self: bool = True,
+) -> ray.data.Dataset:
+    """Exact cosine top-k: (query_id, neighbor_id, sim) rows, k per query."""
+    dim = dim or queries.shape[1]
+    qn = _l2norm(np.asarray(queries, dtype=np.float64))
+    q_ref = ray.put((np.asarray(query_ids, dtype=np.int64), qn))
+
+    def score(t: pa.Table) -> dict[str, np.ndarray]:
+        qids, qmat = ray.get(q_ref)
+        m = _l2norm(vectors_from_batch(t[col], dim))
+        vids = t[id_col].to_numpy()
+        sims = qmat @ m.T
+        if exclude_self:
+            sims = np.where(vids[None, :] == qids[:, None], -np.inf, sims)
+        return _topk_rows(qids, sims, vids, k)
+
+    cand = ds.select_columns([id_col, col]).map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True, batch_size=4096
+    )
+    return cand.groupby("query_id").map_groups(
+        _finalize_topk, fn_kwargs={"k": k}, batch_format="numpy"
+    )
+
+
+def hyperplane_buckets(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """Sign-bit bucket key per row — the vector->integer-key fold of the
+    reference's bit-pack (nlsh/utils.pyx:7-15) with random hyperplanes
+    instead of a learned encoder."""
+    bits = (m @ planes.T) > 0
+    weights = (1 << np.arange(planes.shape[0], dtype=np.int64))
+    return bits.astype(np.int64) @ weights
+
+
+def make_planes(n_planes: int, dim: int, seed: int) -> np.ndarray:
+    """Seed-derived hyperplanes (deterministic on every worker — ST4)."""
+    base = splitmix64(
+        np.arange(n_planes * dim, dtype=np.uint64) ^ np.uint64(seed * 77 + 3)
+    )
+    # uniform [-1, 1) from the top 53 bits
+    u = (base >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+    return (u * 2 - 1).reshape(n_planes, dim)
+
+
+def knn_lsh(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 10,
+    *,
+    n_planes: int = 12,
+    seed: int = 42,
+    col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+    exclude_self: bool = True,
+    multiprobe: int = 1,
+) -> ray.data.Dataset:
+    """LSH-bucketed top-k: score a query only against corpus rows whose
+    hyperplane bucket is within Hamming<=multiprobe of the query's."""
+    dim = dim or queries.shape[1]
+    planes = make_planes(n_planes, dim, seed)
+    qn = _l2norm(np.asarray(queries, dtype=np.float64))
+    qbuckets = hyperplane_buckets(qn, planes)
+    q_ref = ray.put((np.asarray(query_ids, dtype=np.int64), qn, qbuckets))
+    planes_ref = ray.put(planes)
+
+    def score(t: pa.Table) -> dict[str, np.ndarray]:
+        qids, qmat, qb = ray.get(q_ref)
+        pl = ray.get(planes_ref)
+        m = _l2norm(vectors_from_batch(t[col], dim))
+        vids = t[id_col].to_numpy()
+        vb = hyperplane_buckets(m, pl)
+        xor = np.bitwise_xor(qb[:, None], vb[None, :]).astype(np.uint64)
+        ham = (
+            np.unpackbits(xor.view(np.uint8).reshape(-1, 8), axis=1)
+            .sum(axis=1)
+            .reshape(xor.shape)
+        )
+        sims = qmat @ m.T
+        sims = np.where(ham <= multiprobe, sims, -np.inf)
+        if exclude_self:
+            sims = np.where(vids[None, :] == qids[:, None], -np.inf, sims)
+        out = _topk_rows(qids, sims, vids, k)
+        keep = out["sim"] > -np.inf
+        return {kk: vv[keep] for kk, vv in out.items()}
+
+    cand = ds.select_columns([id_col, col]).map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True, batch_size=4096
+    )
+    return cand.groupby("query_id").map_groups(
+        _finalize_topk, fn_kwargs={"k": k}, batch_format="numpy"
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup
+# ---------------------------------------------------------------------------
+
+def gather_matrix(
+    ds: ray.data.Dataset, *, col: str = "embedding", id_col: str = "vec_id",
+    dim: int | None = None
+) -> tuple[np.ndarray, np.ndarray]:
+    dim = dim or infer_dim(ds, col)
+    ids, mats = [], []
+    for b in ds.select_columns([id_col, col]).iter_batches(
+        batch_size=8192, batch_format="pyarrow"
+    ):
+        ids.append(b[id_col].to_numpy())
+        mats.append(vectors_from_batch(b[col], dim))
+    return np.concatenate(ids), np.concatenate(mats)
+
+
+def embedding_near_dup(
+    ds: ray.data.Dataset,
+    threshold: float = 0.95,
+    *,
+    strategy: str = "bruteforce",
+    n_planes: int = 10,
+    seed: int = 42,
+    col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+) -> ray.data.Dataset:
+    """Canonical (left<right) pairs with cosine >= threshold.
+
+    ``bruteforce``: each batch vs the broadcast corpus matrix (exact; the
+    corpus must fit one worker's heap — test/sf scale). ``lsh``: only
+    same-hyperplane-bucket pairs are scored (approximate; scales by
+    trading recall for planes — the engine path at 10^12).
+    """
+    dim = dim or infer_dim(ds, col)
+    if strategy == "bruteforce":
+        all_ids, all_m = gather_matrix(ds, col=col, id_col=id_col, dim=dim)
+        corpus_ref = ray.put((all_ids, _l2norm(all_m)))
+
+        def pairs_bf(t: pa.Table) -> dict[str, np.ndarray]:
+            cids, cm = ray.get(corpus_ref)
+            m = _l2norm(vectors_from_batch(t[col], dim))
+            vids = t[id_col].to_numpy()
+            sims = m @ cm.T
+            keep = (sims >= threshold) & (vids[:, None] < cids[None, :])
+            li, ri = np.nonzero(keep)
+            return {
+                "left_id": vids[li],
+                "right_id": cids[ri],
+                "cosine": sims[keep],
+            }
+
+        return ds.select_columns([id_col, col]).map_batches(
+            pairs_bf, batch_format="pyarrow", zero_copy_batch=True, batch_size=2048
+        )
+
+    if strategy != "lsh":
+        raise ValueError(f"unknown strategy {strategy!r}")
+
+    planes = make_planes(n_planes, dim, seed)
+    planes_ref = ray.put(planes)
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        m = _l2norm(vectors_from_batch(t[col], dim))
+        b = hyperplane_buckets(m, ray.get(planes_ref))
+        return pa.table(
+            {
+                id_col: t[id_col],
+                col: t[col],
+                "bucket": pa.array(b, pa.int64()),
+            }
+        )
+
+    def pairs_in_bucket(g: dict[str, np.ndarray], *_) -> dict[str, np.ndarray]:
+        vids = g[id_col]
+        n = vids.shape[0]
+        if n < 2:
+            return {
+                "left_id": np.empty(0, np.int64),
+                "right_id": np.empty(0, np.int64),
+                "cosine": np.empty(0, np.float64),
+            }
+        m = _l2norm(np.asarray(g[col], dtype=np.float64).reshape(n, -1))
+        sims = m @ m.T
+        keep = (sims >= threshold) & (vids[:, None] < vids[None, :])
+        li, ri = np.nonzero(keep)
+        return {
+            "left_id": vids[li],
+            "right_id": vids[ri],
+            "cosine": sims[keep],
+        }
+
+    bucketed = ds.select_columns([id_col, col]).map_batches(
+        bucketize, batch_format="pyarrow", zero_copy_batch=True
+    )
+    pairs = bucketed.groupby("bucket").map_groups(
+        pairs_in_bucket, batch_format="numpy"
+    )
+    # same pair can emerge from one bucket only (bucket is a function of the
+    # vector), so no cross-bucket dedup is needed
+    return pairs

@@ -1,0 +1,244 @@
+"""nlshray benchmark driver.
+
+Headline: the flagship near-dup pipeline (read -> extract -> exact ->
+sign -> band -> pairs -> verify -> cluster) over the deterministic
+50k-page bench fixture (FIXTURES.md 'bench'), plus a representative
+query mix over ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1).
+
+Prints ONE JSON line:
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+     "docs_per_sec": ...}
+
+``--scaling``: runs the headline pipeline twice in fresh processes
+(num_cpus=8 then 32) on the same input and reports both throughputs and
+the scaling efficiency (BASELINE.md protocol: sandbox stand-in for N vs
+4N nodes).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+BENCH_N_PAGES = 50_000
+# the scaling run uses a larger corpus so compute dominates the fixed
+# per-execution scheduling cost (~5 s locally) — otherwise CPU count is
+# irrelevant and efficiency is meaningless at any cluster size
+SCALING_N_PAGES = int(os.environ.get("NLSHRAY_SCALING_PAGES", "800000"))
+# this sandbox shares a host: identical runs vary up to ~3x with
+# neighbor load, so each level is measured SCALING_REPEATS times
+# interleaved and the best (least-interfered) run is reported
+SCALING_REPEATS = int(os.environ.get("NLSHRAY_SCALING_REPEATS", "3"))
+FIXTURE_DIR = "/tmp/nlshray_bench"
+
+
+def _ensure_fixture() -> str:
+    """Generate the bench pages fixture once; cached as parquet."""
+    path = os.path.join(FIXTURE_DIR, f"pages_{BENCH_N_PAGES}.parquet")
+    if not os.path.exists(path):
+        import pyarrow.parquet as pq
+
+        from nlshray.fixtures import generate_pages
+
+        os.makedirs(FIXTURE_DIR, exist_ok=True)
+        tbl = generate_pages(BENCH_N_PAGES, seed=42)
+        # small row groups => many read fragments => parallel extract
+        pq.write_table(tbl, path + ".tmp", row_group_size=2048)
+        os.rename(path + ".tmp", path)
+    return path
+
+
+def _ensure_scaling_fixture() -> str:
+    """Sharded parallel generation of the scaling corpus (cached)."""
+    out = os.path.join(FIXTURE_DIR, f"pages_scaling_{SCALING_N_PAGES}")
+    if not os.path.isdir(out) or not os.listdir(out):
+        import ray
+
+        from nlshray.fixtures import generate_pages_sharded
+
+        ray.init(
+            address="local",
+            include_dashboard=False,
+            logging_level="ERROR",
+            ignore_reinit_error=True,
+        )
+        tmp = out + ".tmp"
+        generate_pages_sharded(SCALING_N_PAGES, seed=42, out_path=tmp)
+        os.rename(tmp, out)
+        ray.shutdown()
+    return out
+
+
+def run_dedup_only(num_cpus: int, pages_path: str) -> dict:
+    """Headline dedup job alone over an arbitrary pages parquet path."""
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import ray.data as rd
+
+    from nlshray.config import DedupConfig
+    from nlshray.pipelines.dedup import dedup_pages
+
+    force_dist = os.environ.get("NLSHRAY_FORCE_DISTRIBUTED", "0") == "1"
+    n_rows = rd.read_parquet(pages_path).count()  # warm + size
+    t0 = time.perf_counter()
+    res = dedup_pages(
+        rd.read_parquet(pages_path, override_num_blocks=num_cpus * 2),
+        DedupConfig(),
+        num_partitions=max(8, min(16, num_cpus * 2)),
+        force_distributed=force_dist,
+    )
+    n_labelled = res.clusters.count()
+    sec = time.perf_counter() - t0
+    assert n_labelled == n_rows, (n_labelled, n_rows)
+    ray.shutdown()
+    return {
+        "metric": "dedup wall time",
+        "value": round(sec, 3),
+        "unit": "sec",
+        "num_cpus": num_cpus,
+        "n_pages": n_rows,
+        "docs_per_sec": round(n_rows / sec, 1),
+    }
+
+
+def run_bench(num_cpus: int, sf_dir: str) -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    import ray.data as rd
+
+    from nlshray.config import DedupConfig
+    from nlshray.pipelines import queries as Q
+    from nlshray.pipelines.dedup import dedup_pages
+
+    fixture_path = _ensure_fixture()
+    cfg = DedupConfig()
+    nparts = max(8, min(16, num_cpus * 2))
+
+    # warm the OS page cache so we measure compute+shuffle, not cold disk
+    rd.read_parquet(fixture_path).count()
+
+    timings: dict[str, float] = {}
+
+    t0 = time.perf_counter()
+    # ~2 blocks/cpu: enough parallelism without per-task scheduling drag
+    pages = rd.read_parquet(fixture_path, override_num_blocks=num_cpus * 2)
+    res = dedup_pages(pages, cfg, num_partitions=nparts)
+    n_labelled = res.clusters.count()  # forces the full DAG
+    dedup_sec = time.perf_counter() - t0
+    timings["dedup_pages_50k"] = round(dedup_sec, 3)
+    assert n_labelled == BENCH_N_PAGES, n_labelled
+
+    query_mix = [
+        "q1_pricing_summary",
+        "top_customers",
+        "zscore_quantity",
+        "events_hourly",
+        "exact_dup_docs",
+        "near_dup_clusters",
+        "knn_cosine",
+        "embedding_dup_pairs",
+    ]
+    for name in query_mix:
+        t0 = time.perf_counter()
+        out = Q.QUERIES[name](sf_dir)
+        if hasattr(out, "count"):
+            out.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "dedup 50k pages + query mix wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "docs_per_sec": round(BENCH_N_PAGES / dedup_sec, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    """Same headline dedup job, fresh processes, num_cpus=8 vs 32, over
+    the (larger) scaling corpus — the sandbox stand-in for N vs 4N nodes
+    (BASELINE.md protocol)."""
+    pages_path = _ensure_scaling_fixture()
+
+    def run(ncpu: int) -> dict:
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            NLSHRAY_PAGES_PATH=pages_path,
+            # scaling measures the shuffle-based scale plans, not the
+            # small-job driver fast paths
+            NLSHRAY_FORCE_DISTRIBUTED="1",
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--dedup-only"],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    runs_lo, runs_hi = [], []
+    for _ in range(SCALING_REPEATS):   # interleaved to decorrelate noise
+        runs_lo.append(run(lo))
+        runs_hi.append(run(hi))
+    best_lo = min(runs_lo, key=lambda r: r["value"])
+    best_hi = min(runs_hi, key=lambda r: r["value"])
+    tp_lo = best_lo["docs_per_sec"]
+    tp_hi = best_hi["docs_per_sec"]
+    eff = (tp_hi / tp_lo) / (hi / lo)
+    return {
+        "metric": "dedup scaling efficiency (num_cpus 8 -> 32)",
+        "n_pages": best_lo["n_pages"],
+        "docs_per_sec_8": tp_lo,
+        "docs_per_sec_32": tp_hi,
+        "dedup_sec_8": best_lo["value"],
+        "dedup_sec_32": best_hi["value"],
+        "all_sec_8": [r["value"] for r in runs_lo],
+        "all_sec_32": [r["value"] for r in runs_hi],
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
+if __name__ == "__main__":
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    elif "--dedup-only" in sys.argv:
+        print(json.dumps(run_dedup_only(ncpu, os.environ["NLSHRAY_PAGES_PATH"])))
+    else:
+        print(json.dumps(run_bench(ncpu, sf_dir)))

@@ -155,8 +155,11 @@ def text_to_html(text: str, title: str) -> bytes:
     return doc.encode("utf-8")
 
 
-def generate_pages(n: int, seed: int = 42) -> pa.Table:
-    """The synthetic pages table: (url, warc_ts, html, text, lang)."""
+def generate_pages(n: int, seed: int = 42, pos_offset: int = 0) -> pa.Table:
+    """The synthetic pages table: (url, warc_ts, html, text, lang).
+
+    ``pos_offset`` shifts urls/timestamps so independently-generated
+    shards (``generate_pages_sharded``) never collide."""
     vocab = make_vocab(5000, seed)
     rng = np.random.default_rng(seed)
     specs = _build_specs(n, len(vocab), rng)
@@ -179,15 +182,16 @@ def generate_pages(n: int, seed: int = 42) -> pa.Table:
 
     urls, tss, htmls, texts, langs = [], [], [], [], []
     base_ts = np.datetime64("2026-01-01T00:00:00", "us")
-    for pos in range(n):
-        spec_idx = int(order[pos])
+    for i in range(n):
+        pos = pos_offset + i
+        spec_idx = int(order[i])
         text = texts_by_spec[spec_idx]
         url = f"https://site{pos % 1000}.example/p/{pos}"
         urls.append(url)
         tss.append(base_ts + np.timedelta64(pos, "s"))
         htmls.append(text_to_html(text, f"t{pos}"))
         texts.append(text)
-        d = lang_draw[pos]
+        d = lang_draw[i]
         langs.append("en" if d < 0.9 else ("de" if d < 0.95 else "fr"))
 
     return pa.table(
@@ -300,6 +304,47 @@ def compute_true_clusters(pages: pa.Table, true_pairs: pa.Table) -> pa.Table:
             "cluster_id": pa.array(labels, pa.int64()),
         }
     )
+
+
+def generate_pages_sharded(
+    n: int, seed: int = 42, shard_size: int = 50_000, out_path: str | None = None
+):
+    """Bench-scale fixture generation as parallel Ray tasks.
+
+    Each shard is an independent ``generate_pages`` call with a
+    per-shard seed and position offset (distinct urls/timestamps), so
+    the result is deterministic for (n, seed, shard_size). Dup clusters
+    are planted within shards; each shard carries its own boilerplate
+    skew probe. Writes one parquet file per shard when ``out_path`` is a
+    directory; otherwise returns one concatenated table.
+    """
+    import ray
+
+    @ray.remote
+    def _shard(i: int, rows: int) -> pa.Table:
+        return generate_pages(rows, seed=seed + i * 1009, pos_offset=i * shard_size)
+
+    shards = []
+    off = 0
+    i = 0
+    while off < n:
+        rows = min(shard_size, n - off)
+        shards.append(_shard.remote(i, rows))
+        off += rows
+        i += 1
+    tables = ray.get(shards)
+    if out_path is None:
+        return pa.concat_tables(tables)
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_path, exist_ok=True)
+    for j, t in enumerate(tables):
+        pq.write_table(
+            t, os.path.join(out_path, f"shard_{j:04d}.parquet"), row_group_size=8192
+        )
+    return out_path
 
 
 def write_fixture(out_dir: str, n: int, seed: int = 42,

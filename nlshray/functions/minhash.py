@@ -30,27 +30,43 @@ def perm_seeds(num_perms: int, seed: int) -> np.ndarray:
     return splitmix64(base)
 
 
+# shingle-hash tile size: small enough that a tile plus splitmix
+# temporaries stays in L2 across all num_perms passes — the kernel is
+# otherwise DRAM-bandwidth-bound (128 full-array passes) and stops
+# scaling past a few cores
+_TILE_SHINGLES = 16_384
+
+
 def sign_concat(
     flat: np.ndarray, lengths: np.ndarray, seeds: np.ndarray
 ) -> np.ndarray:
     """MinHash signatures for a batch in flat+lengths layout.
 
     ``flat``: concatenated uint64 shingle hashes; ``lengths[i] >= 1``.
-    Returns (n_docs, len(seeds)) uint64. The per-permutation loop runs
-    len(seeds) numpy passes over the flat array (mix + reduceat) — fully
-    vectorized across documents, bounded memory (one pass allocates one
-    flat-sized temp, never a (n_shingles, n_perms) matrix).
+    Returns (n_docs, len(seeds)) uint64. Tiled over documents: each tile
+    of shingle hashes is mixed under all permutations while cache-hot,
+    never allocating a (n_shingles, n_perms) matrix.
     """
     n_docs = lengths.shape[0]
-    sigs = np.empty((n_docs, seeds.shape[0]), dtype=np.uint64)
+    n_perms = seeds.shape[0]
+    sigs = np.empty((n_docs, n_perms), dtype=np.uint64)
     if n_docs == 0:
         return sigs
-    starts = np.zeros(n_docs, dtype=np.int64)
-    np.cumsum(lengths[:-1], out=starts[1:])
     flat = flat.astype(np.uint64, copy=False)
-    for j in range(seeds.shape[0]):
-        mixed = splitmix64(flat ^ seeds[j])
-        sigs[:, j] = np.minimum.reduceat(mixed, starts)
+    ends = np.cumsum(lengths)
+    starts = ends - lengths
+
+    d0 = 0
+    while d0 < n_docs:
+        d1 = d0 + 1
+        while d1 < n_docs and ends[d1 - 1] - starts[d0] < _TILE_SHINGLES:
+            d1 += 1
+        tile = flat[starts[d0] : ends[d1 - 1]]
+        tstarts = (starts[d0:d1] - starts[d0]).astype(np.int64)
+        for j in range(n_perms):
+            mixed = splitmix64(tile ^ seeds[j])
+            sigs[d0:d1, j] = np.minimum.reduceat(mixed, tstarts)
+        d0 = d1
     return sigs
 
 

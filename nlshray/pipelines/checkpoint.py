@@ -1,0 +1,159 @@
+"""Checkpointed dedup pipeline: per-stage Parquet + manifest + resume.
+
+Five resumable stages, each an atomic Parquet directory under
+``out_root`` with a lineage manifest (``nlshray.state.manifest``):
+
+    docs      pages -> extract -> exact-dup annotate   (corpus + rep_id)
+    sigs      reps -> MinHash signatures
+    pairs     sigs -> bands -> candidate pairs (+ skew metrics)
+    confirmed pairs -> verified near-dup pairs
+    clusters  confirmed + exact edges -> (doc_id, cluster_id)
+
+A rerun skips every stage whose manifest matches (same config hash,
+same upstream digests); a run killed after stage k resumes from k+1 and
+produces byte-identical clusters (asserted in tests). This satisfies
+the north-rule requirement 'resumable from checkpoint with
+per-partition lineage + metrics'.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import asdict
+
+import ray.data as rd
+
+from nlshray.config import DedupConfig
+from nlshray.pipelines.dedup import default_partitions
+from nlshray.stages.band import band_stage
+from nlshray.stages.cluster import cluster_stage
+from nlshray.stages.exact import exact_map, exact_stage, reps_only
+from nlshray.stages.extract import extract_stage
+from nlshray.stages.pairs import candidate_pairs_stage
+from nlshray.stages.sign import sign_stage
+from nlshray.stages.verify import collect_pair_ids, verify_stage
+from nlshray.state.manifest import StageRunner, fingerprint_paths
+
+STAGES = ["docs", "sigs", "pairs", "confirmed", "clusters"]
+
+
+def run_checkpointed(
+    pages_path: str,
+    out_root: str,
+    cfg: DedupConfig | None = None,
+    *,
+    num_partitions: int | None = None,
+    stop_after: str | None = None,
+) -> dict:
+    """Run (or resume) the dedup pipeline with per-stage checkpoints.
+
+    ``stop_after``: simulate a mid-run failure by returning after the
+    named stage (tests use this to exercise resume).
+
+    Returns {stage: {"dir": ..., "skipped": bool, "manifest": dict}}.
+    """
+    cfg = cfg or DedupConfig()
+    nparts = num_partitions or default_partitions()
+    runner = StageRunner(out_root, cfg.config_hash())
+    report: dict[str, dict] = {}
+
+    def record(stage, d, m, skipped):
+        report[stage] = {"dir": d, "skipped": skipped, "manifest": asdict(m)}
+        return d, m
+
+    # ---- docs ----
+    input_fp = fingerprint_paths([pages_path])
+
+    def produce_docs():
+        pages = rd.read_parquet(pages_path)
+        docs_rep = exact_stage(
+            extract_stage(pages.select_columns(["url", "warc_ts", "html", "lang"])),
+            num_partitions=nparts,
+        )
+        return docs_rep, {}
+
+    docs_dir, docs_m = record(
+        "docs", *runner.run("docs", input_fp, produce_docs)
+    )
+    if stop_after == "docs":
+        return report
+
+    # ---- sigs ----
+    def produce_sigs():
+        docs_rep = rd.read_parquet(docs_dir)
+        return sign_stage(reps_only(docs_rep), cfg), {}
+
+    sigs_dir, sigs_m = record(
+        "sigs", *runner.run("sigs", docs_m.digest(), produce_sigs)
+    )
+    if stop_after == "sigs":
+        return report
+
+    # ---- pairs ----
+    def produce_pairs():
+        sigs = rd.read_parquet(sigs_dir)
+        bands = band_stage(sigs, cfg)
+        cand, stats = candidate_pairs_stage(
+            bands, cfg, num_partitions=nparts,
+            n_band_rows=sigs_m.rows * cfg.bands,
+        )
+        return cand, {
+            "hot_buckets": stats.n_buckets_hot,
+            "max_bucket": stats.max_bucket,
+            "capped_buckets": stats.n_capped_buckets,
+            "pairs_forgone": stats.pairs_forgone,
+        }
+
+    pairs_dir, pairs_m = record(
+        "pairs", *runner.run("pairs", sigs_m.digest(), produce_pairs)
+    )
+    if stop_after == "pairs":
+        return report
+
+    # ---- confirmed ----
+    conf_fp = f"{pairs_m.digest()}:{sigs_m.digest()}:{docs_m.digest()}"
+
+    def produce_confirmed():
+        if pairs_m.rows == 0:
+            return _empty_pairs(), {}
+        cand = rd.read_parquet(pairs_dir)
+        sigs = rd.read_parquet(sigs_dir)
+        docs_rep = rd.read_parquet(docs_dir)
+        confirmed = verify_stage(
+            cand, sigs, reps_only(docs_rep), cfg, num_partitions=nparts
+        )
+        return confirmed, {}
+
+    conf_dir, conf_m = record(
+        "confirmed", *runner.run("confirmed", conf_fp, produce_confirmed)
+    )
+    if stop_after == "confirmed":
+        return report
+
+    # ---- clusters ----
+    cl_fp = f"{conf_m.digest()}:{docs_m.digest()}"
+
+    def produce_clusters():
+        confirmed = rd.read_parquet(conf_dir) if conf_m.rows else _empty_pairs()
+        docs_rep = rd.read_parquet(docs_dir)
+        clusters = cluster_stage(confirmed, exact_map(docs_rep), cfg)
+        return clusters, {}
+
+    record("clusters", *runner.run("clusters", cl_fp, produce_clusters))
+    return report
+
+
+def _empty_pairs():
+    import pyarrow as pa
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "left_id": pa.array([], pa.int64()),
+                "right_id": pa.array([], pa.int64()),
+                "jaccard": pa.array([], pa.float64()),
+                "n_bands": pa.array([], pa.int64()),
+                "method": pa.array([], pa.string()),
+            }
+        )
+    )

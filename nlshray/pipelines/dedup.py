@@ -35,7 +35,15 @@ from nlshray.stages.exact import exact_map, exact_stage, reps_only
 from nlshray.stages.extract import extract_stage
 from nlshray.stages.pairs import PairStats, candidate_pairs_stage
 from nlshray.stages.sign import sign_stage
-from nlshray.stages.verify import verify_stage
+from nlshray.stages.verify import (
+    collect_pair_ids,
+    gather_sets_and_edges,
+    verify_stage,
+)
+
+# pair-doc sets up to this size use the fused one-scan gather (shingle
+# sets + exact edges together); matches verify's exact-all fast path
+_FUSED_GATHER_LIMIT = 300_000
 
 
 @dataclass
@@ -49,8 +57,12 @@ class DedupResult:
 
 
 def default_partitions() -> int:
+    """Shuffle partition count. Locally the fixed per-partition actor cost
+    dominates below ~1M rows, so this is capped low; on a real multi-node
+    cluster raise it to ~2x total cores (measured: 8-16 partitions beat
+    64 by >3x on single-node sf0.1)."""
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    return max(8, cpus * 2)
+    return max(8, min(16, cpus * 2))
 
 
 def dedup_docs(
@@ -59,6 +71,7 @@ def dedup_docs(
     *,
     num_partitions: int | None = None,
     collect_stats: bool = False,
+    force_distributed: bool = False,
 ) -> DedupResult:
     """Near-dup pipeline over a docs table (doc_id:int64, text:string, ...).
 
@@ -66,20 +79,54 @@ def dedup_docs(
     materialized in the object store — at checkpointed scale the
     checkpointing pipeline persists them as Parquet instead
     (``nlshray.pipelines.checkpoint``).
+
+    ``force_distributed=True`` disables the driver-merge fast paths so
+    every wide step runs its shuffle-based scale plan (what a multi-node
+    cluster executes; used by ``bench.py --scaling``).
     """
     cfg = cfg or DedupConfig()
     nparts = num_partitions or default_partitions()
 
-    docs_rep = exact_stage(docs, num_partitions=nparts).materialize()
+    # exact_stage pins the hashed corpus internally; the rep-attach map on
+    # top is cheap, so docs_rep stays lazy for its three consumers
+    docs_rep = exact_stage(
+        docs,
+        num_partitions=nparts,
+        driver_merge_limit=0 if force_distributed else 5_000_000,
+    )
     reps = reps_only(docs_rep)
     sigs = sign_stage(reps, cfg).materialize()
     bands = band_stage(sigs, cfg)
-    cand, pair_stats = candidate_pairs_stage(bands, cfg, num_partitions=nparts)
-    confirmed = verify_stage(
-        cand, sigs, reps, cfg, num_partitions=nparts
-    ).materialize()
+    n_reps = sigs.count()  # free: sigs is materialized
+    cand, pair_stats = candidate_pairs_stage(
+        bands,
+        cfg,
+        num_partitions=nparts,
+        n_band_rows=None if force_distributed else n_reps * cfg.bands,
+    )
+    # pairs are consumed twice by verify (id collection + the decision
+    # map); they are tiny relative to the corpus — pin them
+    cand = cand.materialize()
     emap = exact_map(docs_rep)
-    clusters = cluster_stage(confirmed, emap, cfg)
+
+    pair_ids = collect_pair_ids(cand)
+    if not force_distributed and pair_ids.shape[0] <= _FUSED_GATHER_LIMIT:
+        # one scan serves both pair verification (shingle sets) and
+        # clustering (exact-dup edges)
+        sets, edge_l, edge_r = gather_sets_and_edges(docs_rep, pair_ids, cfg)
+        confirmed = verify_stage(
+            cand, sigs, reps, cfg, num_partitions=nparts,
+            pair_ids=pair_ids, sets_dict=sets,
+        ).materialize()
+        clusters = cluster_stage(
+            confirmed, emap, cfg, exact_edges=(edge_l, edge_r)
+        )
+    else:
+        confirmed = verify_stage(
+            cand, sigs, reps, cfg, num_partitions=nparts, pair_ids=pair_ids,
+            allow_small_path=not force_distributed,
+        ).materialize()
+        clusters = cluster_stage(confirmed, emap, cfg)
 
     result = DedupResult(
         docs=docs_rep,
@@ -94,7 +141,7 @@ def dedup_docs(
         clusters_mat = clusters.materialize()
         n_clusters = (
             clusters_mat.select_columns(["cluster_id"])
-            .groupby("cluster_id")
+            .groupby("cluster_id", num_partitions=8)
             .aggregate(Count(alias_name="n"))
             .count()
         )
@@ -119,12 +166,17 @@ def dedup_pages(
     *,
     num_partitions: int | None = None,
     collect_stats: bool = False,
+    force_distributed: bool = False,
 ) -> DedupResult:
     """Full pipeline from raw pages (url, warc_ts, html, lang[, text])."""
     cfg = cfg or DedupConfig()
     docs = extract_stage(pages.select_columns(["url", "warc_ts", "html", "lang"]))
     return dedup_docs(
-        docs, cfg, num_partitions=num_partitions, collect_stats=collect_stats
+        docs,
+        cfg,
+        num_partitions=num_partitions,
+        collect_stats=collect_stats,
+        force_distributed=force_distributed,
     )
 
 

@@ -77,7 +77,7 @@ def q1_pricing_summary(sf_dir: str):
 
     out = (
         ds.map_batches(add_disc, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["l_returnflag", "l_linestatus"])
+        .groupby(["l_returnflag", "l_linestatus"], num_partitions=NPARTS)
         .aggregate(
             Sum("l_quantity", alias_name="sum_qty"),
             Sum("l_extendedprice", alias_name="sum_base_price"),
@@ -94,18 +94,47 @@ def q1_pricing_summary(sf_dir: str):
     return t
 
 
-def top_customers(sf_dir: str):
-    """Hash join orders x customer -> grouped revenue -> top 10."""
+def top_customers(sf_dir: str, *, strategy: str = "broadcast"):
+    """Join orders x customer -> grouped revenue -> top 10.
+
+    ``broadcast`` (default): the dimension table is ray.put once and
+    merged per batch — no shuffle (ray_guide 'small side: broadcast it').
+    ``shuffle``: ``Dataset.join`` hash-partitioned on the key — the path
+    for two large sides.
+    """
     orders = _pq(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
     cust = _pq(sf_dir, "customer", columns=["c_custkey", "c_name"])
-    joined = orders.join(
-        cust,
-        join_type="inner",
-        num_partitions=NPARTS,
-        on=("o_custkey",),
-        right_on=("c_custkey",),
-    )
-    agg = joined.groupby("c_name").aggregate(
+    if strategy == "shuffle":
+        joined = orders.join(
+            cust,
+            join_type="inner",
+            num_partitions=NPARTS,
+            on=("o_custkey",),
+            right_on=("c_custkey",),
+        )
+    else:
+        cust_tbl = to_arrow(cust.materialize())
+        keys = cust_tbl["c_custkey"].to_numpy()
+        order = np.argsort(keys)
+        cust_ref = ray.put(
+            (keys[order], np.asarray(cust_tbl["c_name"].to_pylist(), dtype=object)[order])
+        )
+
+        def merge(t: pa.Table) -> pa.Table:
+            k, names = ray.get(cust_ref)
+            ck = t["o_custkey"].to_numpy()
+            idx = np.searchsorted(k, ck)
+            idx[idx == len(k)] = 0
+            hit = k[idx] == ck
+            out = t.filter(pa.array(hit))
+            return out.append_column(
+                "c_name", pa.array(names[idx[hit]].tolist(), pa.string())
+            )
+
+        joined = orders.map_batches(
+            merge, batch_format="pyarrow", zero_copy_batch=True
+        )
+    agg = joined.groupby("c_name", num_partitions=NPARTS).aggregate(
         Sum("o_totalprice", alias_name="revenue"),
         Count(alias_name="n_orders"),
     )
@@ -116,7 +145,9 @@ def top_customers(sf_dir: str):
 def orders_priority_count(sf_dir: str):
     ds = _pq(sf_dir, "orders", columns=["o_orderpriority"])
     return to_arrow(
-        ds.groupby("o_orderpriority").aggregate(Count(alias_name="n"))
+        ds.groupby("o_orderpriority", num_partitions=NPARTS).aggregate(
+            Count(alias_name="n")
+        )
     )
 
 
@@ -208,7 +239,7 @@ def events_hourly(sf_dir: str):
 
     out = (
         ds.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["user_id", "window_hour"])
+        .groupby(["user_id", "window_hour"], num_partitions=NPARTS)
         .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
     )
     return _round(to_arrow(out), {"sum_value": 4})
@@ -263,7 +294,7 @@ def doc_stats(sf_dir: str):
 
 def lang_summary(sf_dir: str):
     docs = _pq(sf_dir, "documents", columns=["lang", "n_chars"])
-    out = docs.groupby("lang").aggregate(
+    out = docs.groupby("lang", num_partitions=NPARTS).aggregate(
         Count(alias_name="n_docs"), Mean("n_chars", alias_name="avg_chars")
     )
     return _round(to_arrow(out), {"avg_chars": 4})

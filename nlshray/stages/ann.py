@@ -161,7 +161,7 @@ def knn_bruteforce(
     cand = ds.select_columns([id_col, col]).map_batches(
         score, batch_format="pyarrow", zero_copy_batch=True, batch_size=4096
     )
-    return cand.groupby("query_id").map_groups(
+    return cand.groupby("query_id", num_partitions=4).map_groups(
         _finalize_topk, fn_kwargs={"k": k}, batch_format="numpy"
     )
 
@@ -231,7 +231,7 @@ def knn_lsh(
     cand = ds.select_columns([id_col, col]).map_batches(
         score, batch_format="pyarrow", zero_copy_batch=True, batch_size=4096
     )
-    return cand.groupby("query_id").map_groups(
+    return cand.groupby("query_id", num_partitions=4).map_groups(
         _finalize_topk, fn_kwargs={"k": k}, batch_format="numpy"
     )
 
@@ -320,7 +320,10 @@ def embedding_near_dup(
                 "right_id": np.empty(0, np.int64),
                 "cosine": np.empty(0, np.float64),
             }
-        m = _l2norm(np.asarray(g[col], dtype=np.float64).reshape(n, -1))
+        # list<float> arrives as an object array of per-row arrays
+        m = _l2norm(
+            np.stack([np.asarray(v, dtype=np.float64) for v in g[col]])
+        )
         sims = m @ m.T
         keep = (sims >= threshold) & (vids[:, None] < vids[None, :])
         li, ri = np.nonzero(keep)
@@ -333,7 +336,7 @@ def embedding_near_dup(
     bucketed = ds.select_columns([id_col, col]).map_batches(
         bucketize, batch_format="pyarrow", zero_copy_batch=True
     )
-    pairs = bucketed.groupby("bucket").map_groups(
+    pairs = bucketed.groupby("bucket", num_partitions=16).map_groups(
         pairs_in_bucket, batch_format="numpy"
     )
     # same pair can emerge from one bucket only (bucket is a function of the

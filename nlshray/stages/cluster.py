@@ -38,17 +38,27 @@ def cluster_stage(
     confirmed_pairs: ray.data.Dataset,
     exact_map_ds: ray.data.Dataset,
     cfg,
+    *,
+    exact_edges: tuple | None = None,
 ) -> ray.data.Dataset:
-    """-> clusters (doc_id, cluster_id) for EVERY doc, singletons included."""
+    """-> clusters (doc_id, cluster_id) for EVERY doc, singletons included.
+
+    ``exact_edges``: optional pre-collected (doc_ids, rep_ids) numpy
+    arrays — the pipeline fuses their gathering with the verify scan.
+    """
     uf = UnionFind()
     for lefts, rights in _stream_edges(confirmed_pairs, "left_id", "right_id"):
         for a, b in zip(lefts.tolist(), rights.tolist()):
             uf.union(a, b)
     # exact-dup edges: doc -> representative
-    for docs, reps in _stream_edges(exact_map_ds, "doc_id", "rep_id"):
-        mask = docs != reps
-        for a, b in zip(docs[mask].tolist(), reps[mask].tolist()):
+    if exact_edges is not None:
+        for a, b in zip(exact_edges[0].tolist(), exact_edges[1].tolist()):
             uf.union(a, b)
+    else:
+        for docs, reps in _stream_edges(exact_map_ds, "doc_id", "rep_id"):
+            mask = docs != reps
+            for a, b in zip(docs[mask].tolist(), reps[mask].tolist()):
+                uf.union(a, b)
 
     seen = list(uf.parent.keys())
     label_map = dict(zip(seen, uf.labels(seen)))
@@ -125,7 +135,7 @@ def label_propagation(
             )
         )
         new_labels = (
-            candidates.groupby("doc_id")
+            candidates.groupby("doc_id", num_partitions=num_partitions)
             .aggregate(Min("nbr_label", alias_name="label"))
             .materialize()
         )

@@ -76,20 +76,77 @@ def _collect_columns(ds: ray.data.Dataset, cols: list[str]) -> list[np.ndarray]:
     ]
 
 
+def _group_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch partial: (text_hash, min doc_id, count) per distinct hash
+    — the 'pre-aggregate inside map_batches' pattern; the final combine
+    happens on the driver when bounded, in a groupby shuffle otherwise."""
+    th = batch["text_hash"].to_numpy()
+    ids = batch["doc_id"].to_numpy()
+    order = np.lexsort((ids, th))
+    th_s, ids_s = th[order], ids[order]
+    starts = np.concatenate(
+        [[0], np.flatnonzero(np.diff(th_s)) + 1]
+    ) if th_s.shape[0] else np.empty(0, np.int64)
+    counts = np.diff(np.concatenate([starts, [th_s.shape[0]]]))
+    return pa.table(
+        {
+            "text_hash": pa.array(th_s[starts]),
+            "rep_id": pa.array(ids_s[starts]),   # min doc per hash (sorted)
+            "n_copies": pa.array(counts.astype(np.int64)),
+        }
+    )
+
+
 def exact_stage(
-    docs: ray.data.Dataset, *, num_partitions: int = 32
+    docs: ray.data.Dataset,
+    *,
+    num_partitions: int = 32,
+    driver_merge_limit: int = 5_000_000,
 ) -> ray.data.Dataset:
     """docs -> docs + (text_hash, rep_id, n_copies).
 
     ``rep_id`` = min doc_id among rows with identical text;
     ``n_copies`` = exact-dup group size.
+
+    Group discovery is a driver merge of per-batch partials while the
+    corpus is bounded (zero shuffles), else a groupby-aggregate shuffle.
     """
     docs_h = docs.map_batches(
         _add_text_hash, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
+
+    if driver_merge_limit > 0 and docs_h.count() <= driver_merge_limit:
+        th_c, rep_c, cop_c = [], [], []
+        for b in docs_h.select_columns(["text_hash", "doc_id"]).map_batches(
+            _group_partial, batch_format="pyarrow", zero_copy_batch=True
+        ).iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+            th_c.append(np.asarray(b["text_hash"]))
+            rep_c.append(np.asarray(b["rep_id"]))
+            cop_c.append(np.asarray(b["n_copies"]))
+        th = np.concatenate(th_c) if th_c else np.empty(0, np.int64)
+        rep = np.concatenate(rep_c) if rep_c else np.empty(0, np.int64)
+        cop = np.concatenate(cop_c) if cop_c else np.empty(0, np.int64)
+        order = np.lexsort((rep, th))
+        th, rep, cop = th[order], rep[order], cop[order]
+        starts = (
+            np.concatenate([[0], np.flatnonzero(np.diff(th)) + 1])
+            if th.shape[0]
+            else np.empty(0, np.int64)
+        )
+        tot = np.add.reduceat(cop, starts) if th.shape[0] else cop
+        th_u, rep_u = th[starts], rep[starts]
+        dup = tot >= 2
+        map_ref = ray.put((th_u[dup], rep_u[dup], tot[dup]))
+        return docs_h.map_batches(
+            _attach_rep,
+            fn_kwargs={"map_ref": map_ref},
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+
     groups = (
         docs_h.select_columns(["text_hash", "doc_id"])
-        .groupby("text_hash")
+        .groupby("text_hash", num_partitions=num_partitions)
         .aggregate(
             Min("doc_id", alias_name="rep_id"),
             Count(alias_name="n_copies"),

@@ -1,28 +1,33 @@
-"""Candidate-pair generation — THE central shuffle (SURVEY.md A1/J1).
+"""Candidate-pair generation — THE central wide step (SURVEY.md A1/J1).
 
 The reference builds a ``dict[code -> row ids]`` inverted index on one
 GPU (``/root/reference/nlsh/indexer.py:6-24``) and probes it per query
 (``indexer.py:62-88``). At 10^12 docs the index cannot be a data
-structure; here the group *is* the bucket: band rows shuffle on
-``band_hash`` and pairs are emitted within each group.
+structure; here band rows group on ``band_hash`` and pairs are emitted
+within each bucket.
 
-Skew handling (SURVEY.md §7.4.1 — the reference only *logs* bucket-size
-std, ``nlsh/trainers/base.py:89-90``; we must handle it):
+Two physical plans, auto-selected by a size hint:
 
-* a vectorized ``Count`` pre-pass finds buckets with >= 2 docs; singleton
-  buckets (the overwhelming majority) never enter the pair shuffle —
-  the hot-key set is broadcast (``ray.put``) and bands are filtered by a
-  ``searchsorted`` membership test per batch, or hash-joined against the
-  hot-key table when the hot set is too large to broadcast;
-* buckets larger than ``cfg.group_cap`` emit star edges around the min
-  doc_id instead of O(n^2) pairs — connectivity (and thus clustering) is
-  preserved; forgone pair emissions are counted and reported, never
-  silent (the exact-dup pre-pass has already collapsed identical pages,
-  so giant buckets are rare by construction).
+* **driver-merge fast path** (band rows bounded): per-batch partial
+  (band_hash, count) uniques stream to the driver — the 'pre-aggregate
+  inside map_batches' pattern with a driver-side final combine; hot rows
+  (buckets with >= 2 docs — a small minority) are membership-filtered in
+  one more scan and pair emission + cross-band dedup run as one numpy
+  pass. Zero shuffles.
+* **distributed path**: groupby-Count -> hot filter (broadcast or hash
+  join) -> groupby().map_groups pair emission -> groupby dedup. Three
+  shuffles, unbounded scale.
 
-Output: canonical (left_id < right_id) pairs, deduplicated across bands
-by a second vectorized groupby-Count whose count doubles as the
-``n_bands`` collision-strength signal.
+Skew handling in both (SURVEY.md §7.4.1 — the reference only *logs*
+bucket-size std, ``nlsh/trainers/base.py:89-90``): buckets larger than
+``cfg.group_cap`` emit star edges around the min doc_id instead of
+O(n^2) pairs — connectivity (hence clustering) is preserved; forgone
+pair emissions are counted in ``PairStats``, never silent. The exact-dup
+pre-pass has already collapsed identical pages, so giant buckets are
+rare by construction.
+
+Output: canonical (left_id < right_id) pairs with ``n_bands`` (how many
+bands collided — a collision-strength signal).
 """
 
 from __future__ import annotations
@@ -41,6 +46,11 @@ from nlshray.functions.nputil import isin_sorted
 # hot-key sets larger than this fall back to a hash join instead of a
 # driver broadcast (~8 bytes/key -> 64 MB at the limit)
 _BROADCAST_LIMIT = 8_000_000
+# band-row counts up to this use the driver-merge fast path
+# (16 B/row -> ~500 MB transient at the limit)
+_DRIVER_MERGE_LIMIT = 30_000_000
+# below this, ALL band rows come to the driver in ONE scan (~64 MB)
+_SINGLE_SCAN_LIMIT = 4_000_000
 
 
 @dataclass
@@ -49,6 +59,18 @@ class PairStats:
     max_bucket: int = 0
     n_capped_buckets: int = 0       # buckets over group_cap (star-edged)
     pairs_forgone: int = 0          # C(n,2)-(n-1) summed over capped buckets
+
+
+def _empty_pairs() -> ray.data.Dataset:
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "left_id": pa.array([], pa.int64()),
+                "right_id": pa.array([], pa.int64()),
+                "n_bands": pa.array([], pa.int64()),
+            }
+        )
+    )
 
 
 def _membership_filter(batch: pa.Table, *, keys_ref) -> pa.Table:
@@ -70,14 +92,160 @@ def _emit_pairs(group: dict[str, np.ndarray], *, cap: int) -> dict[str, np.ndarr
     return {"left_id": np.full(n - 1, ids[0]), "right_id": ids[1:]}
 
 
+def _fill_stats(stats: PairStats, sizes: np.ndarray, cap: int) -> None:
+    if sizes.shape[0] == 0:
+        return
+    stats.max_bucket = int(sizes.max())
+    over = sizes[sizes > cap].astype(np.int64)
+    stats.n_capped_buckets = int(over.shape[0])
+    stats.pairs_forgone = int((over * (over - 1) // 2 - (over - 1)).sum())
+
+
+def _count_partial(batch: pa.Table) -> pa.Table:
+    keys, counts = np.unique(batch["band_hash"].to_numpy(), return_counts=True)
+    return pa.table(
+        {"band_hash": pa.array(keys), "bucket_n": pa.array(counts.astype(np.int64))}
+    )
+
+
+def _pairs_fast_path(
+    bands: ray.data.Dataset,
+    cfg,
+    stats: PairStats,
+    *,
+    single_scan: bool,
+) -> tuple[ray.data.Dataset, PairStats] | None:
+    """Zero-shuffle plan; returns None if the hot set exceeds broadcast.
+
+    ``single_scan``: collect ALL (band_hash, doc_id) rows in one pass
+    (16 B/row — for modest band tables); otherwise two passes: partial
+    counts first, then only hot rows cross the wire.
+    """
+    if single_scan:
+        bh_chunks, id_chunks = [], []
+        for b in bands.select_columns(["band_hash", "doc_id"]).iter_batches(
+            batch_size=1 << 20, batch_format="pyarrow"
+        ):
+            bh_chunks.append(np.asarray(b["band_hash"]))
+            id_chunks.append(np.asarray(b["doc_id"]))
+        if not bh_chunks:
+            return _empty_pairs(), stats
+        bh = np.concatenate(bh_chunks)
+        ids = np.concatenate(id_chunks)
+        order = np.lexsort((ids, bh))
+        bh, ids = bh[order], ids[order]
+        bounds = np.flatnonzero(np.diff(bh)) + 1
+        all_starts = np.concatenate([[0], bounds, [bh.shape[0]]])
+        sizes = np.diff(all_starts)
+        stats.n_buckets_hot = int((sizes >= 2).sum())
+        _fill_stats(stats, sizes[sizes >= 2], cfg.group_cap)
+        # keep only hot runs for the emission loop below
+        keep_mask = np.repeat(sizes >= 2, sizes)
+        bh, ids = bh[keep_mask], ids[keep_mask]
+    else:
+        # pass 1: partial counts -> driver merge
+        key_chunks, cnt_chunks = [], []
+        for b in bands.map_batches(
+            _count_partial, batch_format="pyarrow", zero_copy_batch=True
+        ).iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+            key_chunks.append(np.asarray(b["band_hash"]))
+            cnt_chunks.append(np.asarray(b["bucket_n"]))
+        if not key_chunks:
+            return _empty_pairs(), stats
+        keys = np.concatenate(key_chunks)
+        cnts = np.concatenate(cnt_chunks)
+        order = np.argsort(keys, kind="stable")
+        keys, cnts = keys[order], cnts[order]
+        bounds = np.flatnonzero(np.diff(keys)) + 1
+        starts = np.concatenate([[0], bounds])
+        totals = np.add.reduceat(cnts, starts)
+        uniq_keys = keys[starts]
+
+        hot_mask = totals >= 2
+        hot_keys = uniq_keys[hot_mask]
+        hot_sizes = totals[hot_mask]
+        stats.n_buckets_hot = int(hot_keys.shape[0])
+        _fill_stats(stats, hot_sizes, cfg.group_cap)
+        if hot_keys.shape[0] == 0:
+            return _empty_pairs(), stats
+        if hot_keys.shape[0] > _BROADCAST_LIMIT:
+            return None
+
+        # pass 2: membership filter, collect hot rows, emit + dedup on driver
+        keys_ref = ray.put(hot_keys)  # already sorted
+        bh_chunks, id_chunks = [], []
+        for b in bands.map_batches(
+            _membership_filter,
+            fn_kwargs={"keys_ref": keys_ref},
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+            bh_chunks.append(np.asarray(b["band_hash"]))
+            id_chunks.append(np.asarray(b["doc_id"]))
+        bh = np.concatenate(bh_chunks)
+        ids = np.concatenate(id_chunks)
+        order = np.lexsort((ids, bh))
+        bh, ids = bh[order], ids[order]
+    bounds = np.flatnonzero(np.diff(bh)) + 1
+    starts = np.concatenate([[0], bounds, [bh.shape[0]]])
+
+    lefts, rights = [], []
+    cap = cfg.group_cap
+    for s, e in zip(starts[:-1], starts[1:]):
+        bucket = np.unique(ids[s:e])
+        n = bucket.shape[0]
+        if n < 2:
+            continue
+        if n <= cap:
+            iu, ju = np.triu_indices(n, 1)
+            lefts.append(bucket[iu])
+            rights.append(bucket[ju])
+        else:
+            lefts.append(np.full(n - 1, bucket[0]))
+            rights.append(bucket[1:])
+    if not lefts:
+        return _empty_pairs(), stats
+    rec = np.empty(sum(x.shape[0] for x in lefts), dtype=[("l", "<i8"), ("r", "<i8")])
+    rec["l"] = np.concatenate(lefts)
+    rec["r"] = np.concatenate(rights)
+    uniq, n_bands = np.unique(rec, return_counts=True)
+    deduped = ray.data.from_arrow(
+        pa.table(
+            {
+                "left_id": pa.array(uniq["l"]),
+                "right_id": pa.array(uniq["r"]),
+                "n_bands": pa.array(n_bands.astype(np.int64)),
+            }
+        )
+    )
+    return deduped, stats
+
+
 def candidate_pairs_stage(
     bands: ray.data.Dataset,
     cfg,
     *,
     num_partitions: int = 32,
+    n_band_rows: int | None = None,
 ) -> tuple[ray.data.Dataset, PairStats]:
-    """bands -> deduplicated canonical candidate pairs + skew stats."""
-    counts = bands.groupby("band_hash").aggregate(Count(alias_name="bucket_n"))
+    """bands -> deduplicated canonical candidate pairs + skew stats.
+
+    ``n_band_rows``: caller's size hint (n_reps * bands); selects the
+    driver-merge fast path when bounded.
+    """
+    stats = PairStats()
+
+    if n_band_rows is not None and n_band_rows <= _DRIVER_MERGE_LIMIT:
+        out = _pairs_fast_path(
+            bands, cfg, stats, single_scan=n_band_rows <= _SINGLE_SCAN_LIMIT
+        )
+        if out is not None:
+            return out
+
+    # ----- distributed path -----
+    counts = bands.groupby("band_hash", num_partitions=num_partitions).aggregate(
+        Count(alias_name="bucket_n")
+    )
     hot = counts.map_batches(
         lambda t: t.filter(pa.compute.greater_equal(t["bucket_n"], 2)),
         batch_format="pyarrow",
@@ -85,34 +253,18 @@ def candidate_pairs_stage(
     ).materialize()   # hot buckets only: small (dup docs, not the corpus)
 
     n_hot = hot.count()
-    stats = PairStats(n_buckets_hot=n_hot)
-
+    stats.n_buckets_hot = n_hot
     if n_hot == 0:
-        empty = ray.data.from_arrow(
-            pa.table(
-                {
-                    "left_id": pa.array([], pa.int64()),
-                    "right_id": pa.array([], pa.int64()),
-                    "n_bands": pa.array([], pa.int64()),
-                }
-            )
-        )
-        return empty, stats
+        return _empty_pairs(), stats
 
     if n_hot <= _BROADCAST_LIMIT:
-        hot_tbl = hot.to_arrow_refs()
-        keys = np.sort(
-            np.concatenate(
-                [np.asarray(ray.get(r)["band_hash"]) for r in hot_tbl]
-            )
-        )
-        sizes_all = np.concatenate(
-            [np.asarray(ray.get(r)["bucket_n"]) for r in hot_tbl]
-        )
-        stats.max_bucket = int(sizes_all.max())
-        over = sizes_all[sizes_all > cfg.group_cap].astype(np.int64)
-        stats.n_capped_buckets = int(over.shape[0])
-        stats.pairs_forgone = int((over * (over - 1) // 2 - (over - 1)).sum())
+        sizes_chunks, key_chunks = [], []
+        for r in hot.to_arrow_refs():
+            t = ray.get(r)
+            key_chunks.append(np.asarray(t["band_hash"]))
+            sizes_chunks.append(np.asarray(t["bucket_n"]))
+        keys = np.sort(np.concatenate(key_chunks))
+        _fill_stats(stats, np.concatenate(sizes_chunks), cfg.group_cap)
         keys_ref = ray.put(keys)
         hot_bands = bands.map_batches(
             _membership_filter,
@@ -129,13 +281,15 @@ def candidate_pairs_stage(
             on=("band_hash",),
         )
 
-    raw_pairs = hot_bands.groupby("band_hash").map_groups(
+    raw_pairs = hot_bands.groupby(
+        "band_hash", num_partitions=num_partitions
+    ).map_groups(
         _emit_pairs,
         fn_kwargs={"cap": cfg.group_cap},
         batch_format="numpy",
     )
     deduped = (
-        raw_pairs.groupby(["left_id", "right_id"])
+        raw_pairs.groupby(["left_id", "right_id"], num_partitions=num_partitions)
         .aggregate(Count(alias_name="n_bands"))
     )
     return deduped, stats

@@ -17,10 +17,11 @@ Output schema: ``doc_id: int64, sig: fixed_size_list<uint64, num_perms>``.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import numpy as np
 import pyarrow as pa
 
-import ray
 import ray.data
 
 from nlshray.config import DedupConfig
@@ -52,7 +53,13 @@ def numpy_to_sigs(sigs: np.ndarray) -> pa.Array:
 
 
 class MinHashSigner:
-    """Actor-pool UDF: text -> 128-slot MinHash signature."""
+    """text -> 128-slot MinHash signature (the pluggable Signer).
+
+    The permutation table is seed-derived and cheap (128 splitmix values),
+    so per-worker regeneration costs nothing — run as STATELESS tasks
+    (``sign_batch``) that reuse warm workers from earlier stages. The
+    actor-pool form stays available for signers with genuinely expensive
+    init (the optional neural signer, SURVEY.md ST1)."""
 
     def __init__(self, cfg: DedupConfig):
         self.k = cfg.shingle_k
@@ -65,9 +72,16 @@ class MinHashSigner:
         return pa.table({"doc_id": batch["doc_id"], "sig": numpy_to_sigs(sigs)})
 
 
-def _pool_size() -> tuple[int, int]:
-    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    return (1, max(2, cpus - 2))   # leave headroom for read/shuffle stages
+@lru_cache(maxsize=8)
+def _cached_seeds(num_perms: int, seed: int) -> np.ndarray:
+    return perm_seeds(num_perms, seed)
+
+
+def sign_batch(batch: pa.Table, *, k: int, num_perms: int, seed: int) -> pa.Table:
+    texts = batch["text"].to_pylist()
+    flat, lengths = batch_shingle_hashes(texts, k)
+    sigs = sign_concat(flat, lengths, _cached_seeds(num_perms, seed))
+    return pa.table({"doc_id": batch["doc_id"], "sig": numpy_to_sigs(sigs)})
 
 
 def sign_stage(
@@ -76,10 +90,13 @@ def sign_stage(
     """(doc_id, text, ...) -> (doc_id, sig). Projects early: only the two
     needed columns enter the stage."""
     return reps.select_columns(["doc_id", "text"]).map_batches(
-        MinHashSigner,
-        fn_constructor_kwargs={"cfg": cfg},
+        sign_batch,
+        fn_kwargs={
+            "k": cfg.shingle_k,
+            "num_perms": cfg.num_perms,
+            "seed": cfg.seed,
+        },
         batch_format="pyarrow",
         batch_size=cfg.sign_batch_size,
         zero_copy_batch=True,
-        concurrency=_pool_size(),
     )

@@ -40,6 +40,11 @@ from nlshray.stages.sign import sigs_to_numpy
 # pair-doc sets beyond this size use the join path (sig matrix at the
 # limit: 2M docs x 1 KB = 2 GB broadcast — the ceiling, not the norm)
 _BROADCAST_LIMIT = 2_000_000
+# below this many pair docs, shingle sets for ALL pair docs are gathered
+# up front and every pair exact-verified in one pass (fewer executions);
+# above it only the borderline docs' sets are gathered (~1.6 KB/doc of
+# shingle hashes -> ~500 MB at the limit)
+_EXACT_ALL_LIMIT = 300_000
 
 
 def _rename(ds: ray.data.Dataset, mapping: dict[str, str]) -> ray.data.Dataset:
@@ -133,10 +138,9 @@ def gather_sigs(
 
 def gather_shingle_sets(
     reps: ray.data.Dataset, ids: np.ndarray, cfg: DedupConfig
-):
+) -> dict[int, np.ndarray]:
     """Shingle sets for a small id set: broadcast-filter the reps, compute
-    per-doc unique shingle hashes, collect to the driver. Returns an
-    ObjectRef to ``dict[doc_id -> np.ndarray]``."""
+    per-doc unique shingle hashes, collect to the driver."""
     ids_ref = ray.put(np.sort(ids.astype(np.int64)))
 
     def filt(t: pa.Table) -> pa.Table:
@@ -148,11 +152,68 @@ def gather_shingle_sets(
         .map_batches(filt, batch_format="pyarrow", zero_copy_batch=True)
         .take_all()
     )
-    sets = {
+    return {
         int(r["doc_id"]): doc_shingle_hashes(r["text"], cfg.shingle_k, unique=True)
         for r in sub
     }
-    return ray.put(sets)
+
+
+def gather_sets_and_edges(
+    docs_rep: ray.data.Dataset, ids: np.ndarray, cfg: DedupConfig
+) -> tuple[dict[int, np.ndarray], np.ndarray, np.ndarray]:
+    """ONE scan of the rep-annotated docs collecting (a) shingle sets of
+    the representative docs in ``ids`` (for pair verification) and (b)
+    every exact-dup edge (doc_id, rep_id) (for clustering) — fusing the
+    two passes the verify and cluster stages would otherwise make."""
+    ids_ref = ray.put(np.sort(ids.astype(np.int64)))
+
+    k = cfg.shingle_k
+
+    def pick(t: pa.Table) -> pa.Table:
+        """Workers compute the shingle sets (the expensive part); the
+        driver only assembles the dict."""
+        keys = ray.get(ids_ref)
+        d = t["doc_id"].to_numpy()
+        r = t["rep_id"].to_numpy()
+        is_rep = d == r
+        need_text = is_rep & _membership(keys, d)
+        keep = need_text | ~is_rep
+        texts = t["text"].to_pylist()
+        shingles = [
+            doc_shingle_hashes(texts[i], k, unique=True).astype(np.uint64)
+            if need_text[i]
+            else np.empty(0, np.uint64)
+            for i in np.flatnonzero(keep)
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array(d[keep]),
+                "rep_id": pa.array(r[keep]),
+                "shingles": pa.array(
+                    [s.tolist() for s in shingles], pa.list_(pa.uint64())
+                ),
+            }
+        )
+
+    sets: dict[int, np.ndarray] = {}
+    edge_l, edge_r = [], []
+    for b in docs_rep.select_columns(["doc_id", "rep_id", "text"]).map_batches(
+        pick, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_size=65536, batch_format="pyarrow"):
+        d = np.asarray(b["doc_id"])
+        r = np.asarray(b["rep_id"])
+        sh = b["shingles"].combine_chunks()
+        lengths = np.diff(np.asarray(sh.offsets))
+        values = np.asarray(sh.values, dtype=np.uint64) if len(sh.values) else np.empty(0, np.uint64)
+        offs = np.asarray(sh.offsets)
+        for i in np.flatnonzero(lengths > 0):
+            sets[int(d[i])] = values[offs[i] : offs[i + 1]]
+        ne = d != r
+        edge_l.append(d[ne])
+        edge_r.append(r[ne])
+    el = np.concatenate(edge_l) if edge_l else np.empty(0, np.int64)
+    er = np.concatenate(edge_r) if edge_r else np.empty(0, np.int64)
+    return sets, el, er
 
 
 def verify_stage(
@@ -162,10 +223,63 @@ def verify_stage(
     cfg: DedupConfig,
     *,
     num_partitions: int = 32,
+    pair_ids: np.ndarray | None = None,
+    sets_dict: dict[int, np.ndarray] | None = None,
+    allow_small_path: bool = True,
 ) -> ray.data.Dataset:
     """candidate pairs -> confirmed pairs (left_id, right_id, jaccard,
-    n_bands, method)."""
-    pair_ids = collect_pair_ids(pairs)
+    n_bands, method).
+
+    ``pair_ids`` / ``sets_dict``: optional pre-collected inputs (the
+    pipeline fuses their gathering with other scans).
+    ``allow_small_path=False`` forces the distributed est+borderline
+    plan regardless of size (scaling benchmarks; real clusters).
+    """
+    if pair_ids is None:
+        pair_ids = collect_pair_ids(pairs)
+
+    if allow_small_path and pair_ids.shape[0] <= _EXACT_ALL_LIMIT:
+        # small-pairs fast path: shingle sets for ALL pair docs in one
+        # scan, then every candidate pair is exact-verified — strictly
+        # more accurate than the estimate, with no borderline round-trip
+        # and no sig gather. Pairs are driver-bounded here (they arrived
+        # via the pairs fast path), so the decision itself runs inline.
+        sets = (
+            sets_dict
+            if sets_dict is not None
+            else gather_shingle_sets(reps, pair_ids, cfg)
+        )
+        lefts_c, rights_c, nb_c = [], [], []
+        for b in pairs.select_columns(
+            ["left_id", "right_id", "n_bands"]
+        ).iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+            lefts_c.append(np.asarray(b["left_id"]))
+            rights_c.append(np.asarray(b["right_id"]))
+            nb_c.append(np.asarray(b["n_bands"]))
+        lefts = np.concatenate(lefts_c) if lefts_c else np.empty(0, np.int64)
+        rights = np.concatenate(rights_c) if rights_c else np.empty(0, np.int64)
+        nb = np.concatenate(nb_c) if nb_c else np.empty(0, np.int64)
+        jac = np.array(
+            [
+                exact_jaccard(sets[int(l)], sets[int(r)])
+                for l, r in zip(lefts, rights)
+            ],
+            dtype=np.float64,
+        )
+        keep = jac >= cfg.threshold
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "left_id": pa.array(lefts[keep]),
+                    "right_id": pa.array(rights[keep]),
+                    "jaccard": pa.array(jac[keep]),
+                    "n_bands": pa.array(nb[keep]),
+                    "method": pa.array(
+                        ["exact"] * int(keep.sum()), pa.string()
+                    ),
+                }
+            )
+        )
 
     if pair_ids.shape[0] <= _BROADCAST_LIMIT:
         sig_ref = gather_sigs(sigs, pair_ids, cfg)
@@ -230,7 +344,7 @@ def verify_stage(
         return confident
 
     bl_ids = collect_pair_ids(borderline)
-    sets_ref = gather_shingle_sets(reps, bl_ids, cfg)
+    sets_ref = ray.put(gather_shingle_sets(reps, bl_ids, cfg))
     exact_ok = (
         borderline.map_batches(
             _exact_batch,

@@ -1,0 +1,238 @@
+"""Operator-stage tests: ANN, SimHash, textstats, multimodal plumbing."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from nlshray.config import DedupConfig
+from nlshray.functions.simhash import hamming_distance, simhash_text
+from nlshray.functions.textstats import (
+    detect_lang,
+    doc_fingerprint,
+    quality_features,
+    whitespace_token_count,
+)
+from nlshray.metrics import recall_at_k
+from nlshray.pipelines.dedup import to_arrow
+from nlshray.stages.ann import (
+    embedding_near_dup,
+    knn_bruteforce,
+    knn_lsh,
+    normalize_embeddings,
+)
+from nlshray.stages.multimodal import MediaDecoder, decode_stage, sniff_format
+from nlshray.stages.simhash import simhash_dedup
+
+CFG = DedupConfig()
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------- textstats ----------------
+
+def test_whitespace_token_count():
+    assert whitespace_token_count("a b  c") == 3
+    assert whitespace_token_count("  ") == 0
+    assert whitespace_token_count("") == 0
+
+
+def test_quality_features_shape():
+    f = quality_features("The quick brown fox jumps over the lazy dog. " * 10)
+    assert f["n_tokens"] == 90
+    assert 0 < f["quality"] <= 1
+    assert 0 <= f["stop_ratio"] <= 1
+
+
+def test_detect_lang():
+    en = "the cat and the dog are in the house with all of them"
+    de = "der hund und die katze sind in dem haus mit der frau"
+    fr = "le chat et le chien sont dans la maison avec les enfants"
+    assert detect_lang(en) == "en"
+    assert detect_lang(de) == "de"
+    assert detect_lang(fr) == "fr"
+    assert detect_lang("") == "und"
+
+
+def test_fingerprint_stability():
+    t = "some document text for fingerprinting purposes here"
+    assert doc_fingerprint(t) == doc_fingerprint(t)
+    assert doc_fingerprint(t) != doc_fingerprint("entirely other words here")
+    assert 0 <= doc_fingerprint("x") < 2**63
+
+
+# ---------------- simhash ----------------
+
+def test_simhash_similarity_preserving():
+    base = "the quick brown fox jumps over the lazy dog " * 10
+    near = base + "tail words"
+    far = "completely different content about astronomy physics " * 10
+    h = np.array([simhash_text(base)], dtype=np.uint64)
+    hn = np.array([simhash_text(near)], dtype=np.uint64)
+    hf = np.array([simhash_text(far)], dtype=np.uint64)
+    assert hamming_distance(h, hn)[0] < hamming_distance(h, hf)[0]
+    assert simhash_text(base) == simhash_text(base)
+
+
+def test_simhash_dedup_stage(ray_session):
+    # vocabulary-rich docs (simhash margins need many distinct tokens;
+    # tiny vocabularies make bit votes degenerate)
+    rng = np.random.default_rng(3)
+    words = [f"tok{i}{c}" for i, c in enumerate("abcdefghij" * 12)]
+    base_words = list(rng.choice(words, size=150))
+    near_words = base_words.copy()
+    near_words[10] = "changedword"
+    other_words = list(rng.choice([w + "x" for w in words], size=150))
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(
+                    [
+                        " ".join(base_words),
+                        " ".join(near_words),
+                        " ".join(other_words),
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+    )
+    pairs = to_arrow(simhash_dedup(docs, max_hamming=3, num_partitions=4))
+    got = set(
+        zip(pairs["left_id"].to_pylist(), pairs["right_id"].to_pylist())
+    )
+    assert (1, 2) in got
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+# ---------------- ANN ----------------
+
+def _emb_ds():
+    return rd.read_parquet(f"{SF}/embeddings.parquet")
+
+
+def _query(ds, n=3):
+    import pyarrow.compute as pc
+
+    rows = ds.map_batches(
+        lambda t: t.filter(pc.less(t["vec_id"], n)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).take_all()
+    rows.sort(key=lambda r: r["vec_id"])
+    q = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    return q, np.array([r["vec_id"] for r in rows], dtype=np.int64)
+
+
+def test_knn_bruteforce_exact(ray_session):
+    ds = _emb_ds()
+    q, qids = _query(ds)
+    out = to_arrow(knn_bruteforce(ds, q, qids, k=5))
+    assert out.num_rows == 15
+    # matches a numpy oracle
+    ids, m = [], []
+    for r in ds.take_all():
+        ids.append(r["vec_id"])
+        m.append(r["embedding"])
+    ids = np.array(ids)
+    m = np.array(m, dtype=np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    sims = qn @ m.T
+    for qi, qid in enumerate(qids):
+        s = sims[qi].copy()
+        s[ids == qid] = -np.inf
+        want = set(ids[np.argsort(-s)[:5]].tolist())
+        got = set(
+            out.filter(
+                pa.compute.equal(out["query_id"], int(qid))
+            )["neighbor_id"].to_pylist()
+        )
+        assert got == want
+
+
+def test_knn_lsh_recall_floor(ray_session):
+    ds = _emb_ds()
+    q, qids = _query(ds)
+    bf = to_arrow(knn_bruteforce(ds, q, qids, k=10))
+    lsh = to_arrow(knn_lsh(ds, q, qids, k=10, n_planes=8, multiprobe=3))
+    recalls = []
+    for qid in qids:
+        want = bf.filter(pa.compute.equal(bf["query_id"], int(qid)))[
+            "neighbor_id"
+        ].to_numpy()
+        got = lsh.filter(pa.compute.equal(lsh["query_id"], int(qid)))[
+            "neighbor_id"
+        ].to_numpy()
+        recalls.append(recall_at_k(want, got))
+    # near-random embeddings: theory-bounded, not near-1 (queries.py note)
+    assert float(np.mean(recalls)) >= 0.2
+
+
+def test_embedding_near_dup_strategies_agree_on_high_threshold(ray_session):
+    ds = _emb_ds()
+    bf = to_arrow(embedding_near_dup(ds, threshold=0.4, strategy="bruteforce"))
+    bf_pairs = set(zip(bf["left_id"].to_pylist(), bf["right_id"].to_pylist()))
+    lsh = to_arrow(
+        embedding_near_dup(ds, threshold=0.4, strategy="lsh", n_planes=6)
+    )
+    lsh_pairs = set(
+        zip(lsh["left_id"].to_pylist(), lsh["right_id"].to_pylist())
+    )
+    # lsh finds a subset of the exact pairs
+    assert lsh_pairs <= bf_pairs
+    assert (bf["left_id"].to_numpy() < bf["right_id"].to_numpy()).all()
+
+
+def test_normalize_embeddings_unit(ray_session):
+    ds = _emb_ds()
+    out = normalize_embeddings(ds, mode="unit")
+    row = out.take(1)[0]
+    assert abs(np.linalg.norm(row["embedding"]) - 1.0) < 1e-5
+
+
+def test_normalize_embeddings_zscore(ray_session):
+    ds = _emb_ds()
+    out = normalize_embeddings(ds, mode="zscore")
+    m = np.array([r["embedding"] for r in out.take_all()], dtype=np.float64)
+    assert np.abs(m.mean(axis=0)).max() < 1e-4
+    assert np.abs(m.std(axis=0) - 1).max() < 1e-3
+
+
+# ---------------- multimodal ----------------
+
+def test_sniff_format():
+    assert sniff_format(b"\x89PNG\r\n\x1a\nxxxx") == "png"
+    assert sniff_format(b"\xff\xd8\xffxxx") == "jpeg"
+    assert sniff_format(b"<html><body>") == "html"
+    assert sniff_format(b"garbage") == "unknown"
+
+
+def test_decoder_stub_raises_without_fake():
+    dec = MediaDecoder(fake=False)
+    with pytest.raises(NotImplementedError):
+        dec._decode(b"payload")
+
+
+def test_decode_stage_plumbing(ray_session):
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "item_id": pa.array([1, 2], pa.int64()),
+                "payload": pa.array(
+                    [b"\x89PNG\r\n\x1a\n" + b"a" * 50, b"\xff\xd8\xff" + b"b" * 99],
+                    pa.binary(),
+                ),
+            }
+        )
+    )
+    out = to_arrow(decode_stage(ds, fake=True, feature_dim=8))
+    assert out.column_names == ["item_id", "n_bytes", "format", "features"]
+    assert out["format"].to_pylist() == ["png", "jpeg"]
+    assert out["n_bytes"].to_pylist() == [58, 102]
+    feats = out["features"].combine_chunks()
+    assert len(feats[0]) == 8
+    # deterministic across runs
+    out2 = to_arrow(decode_stage(ds, fake=True, feature_dim=8))
+    assert out.equals(out2)

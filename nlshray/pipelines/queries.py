@@ -388,6 +388,20 @@ def knn_cosine_lsh(sf_dir: str):
     return _round(to_arrow(out), {"sim": 6})
 
 
+def knn_neural(sf_dir: str):
+    """Neural-LSH k-NN (the reference's core pipeline: encoder -> code ->
+    bucket -> multi-probe -> exact re-rank), rows-only — the hash space
+    is model-defined, not SQL-expressible."""
+    from nlshray.stages.neural import neural_knn
+
+    emb, q, qids = _query_vectors(sf_dir)
+    # bits sizes the bucket count: 2^6 buckets keeps ~8-80 docs/bucket at
+    # sf test scales (the reference uses 12 bits for a 1.18M corpus —
+    # same ~300/bucket ballpark)
+    out = neural_knn(emb, q, qids, k=10, bits=6, n_probes=8, seed=CFG.seed, dim=64)
+    return _round(to_arrow(out), {"sim": 6})
+
+
 def embedding_dup_pairs(sf_dir: str):
     """All-pairs cosine >= 0.45 over embeddings (exact, SQL-checkable)."""
     emb = _pq(sf_dir, "embeddings", columns=["vec_id", "embedding"])
@@ -417,6 +431,7 @@ QUERIES = {
     "simhash_pairs": simhash_pairs,
     "knn_cosine": knn_cosine,
     "knn_cosine_lsh": knn_cosine_lsh,
+    "knn_neural": knn_neural,
     "embedding_dup_pairs": embedding_dup_pairs,
 }
 

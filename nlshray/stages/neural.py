@@ -1,0 +1,251 @@
+"""Optional neural-LSH bucketing stage — the reference's surviving core.
+
+Re-expresses the reference's learned hash pipeline as a Ray actor-pool
+stage over dense vectors, without torch (numpy forward only):
+
+* SIREN-style encoder: sinusoidal MLP (``/root/reference/encoders.py:58-79``,
+  hard-wired as the default at ``main.py:388-391``);
+* Bernoulli hash head: linear -> sigmoid -> per-bit probabilities
+  (``nlsh/hashings.py:13-27``);
+* hard codes: threshold at 0.5 (``nlsh/hashings.py:72``); multi-probe:
+  extra Bernoulli samples per vector (``nlsh/hashings.py:74-85``,
+  ``eval.py:65-83``);
+* bit-pack MSB-first into an integer bucket key (``nlsh/utils.pyx:7-32``).
+
+Weights load once per actor in ``__init__`` (pattern ST1/S6: the
+reference builds its encoder once and reuses it across every hash call;
+``torch.jit.load`` at ``eval.py:113-114`` becomes ``np.load`` here).
+Without a trained checkpoint, seed-derived random weights make the stage
+a learned-hash-SHAPED random partition (validated against vanilla
+hyperplane LSH in tests); a real training loop is out of scope by design
+(SURVEY.md: 'What we are NOT doing').
+
+Query flow (the reference's ``indexer.py:56-96`` probe-gather-rerank):
+bucket the corpus, bucket the queries with multi-probe sampling, score
+only bucket-colliding candidates, exact re-rank to top-k.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from nlshray.hashing import MASK63, splitmix64
+from nlshray.stages.ann import _finalize_topk, _l2norm, _topk_rows, vectors_from_batch
+
+
+def init_weights(
+    dim: int, hidden: tuple[int, ...] = (64, 64), bits: int = 12, seed: int = 42
+) -> dict[str, np.ndarray]:
+    """Seed-derived SIREN weights (reference grid config: hash_size=12,
+    encoder 64,64 — ``run_multiple.sh:3-16``). Stand-in for a trained
+    checkpoint; swap in ``np.savez`` weights of the same shapes."""
+    sizes = [dim, *hidden]
+    rng_base = np.uint64(seed * 31 + 7)
+    weights: dict[str, np.ndarray] = {}
+
+    def draw(n, key):
+        raw = splitmix64(np.arange(n, dtype=np.uint64) ^ rng_base ^ np.uint64(key))
+        return (raw >> np.uint64(11)).astype(np.float64) / float(1 << 53) * 2 - 1
+
+    for i in range(len(sizes) - 1):
+        fan_in = sizes[i]
+        w = draw(sizes[i] * sizes[i + 1], 1000 + i).reshape(sizes[i], sizes[i + 1])
+        weights[f"W{i}"] = w * np.sqrt(6.0 / fan_in)   # SIREN-ish init
+        weights[f"b{i}"] = np.zeros(sizes[i + 1])
+    w_out = draw(sizes[-1] * bits, 9999).reshape(sizes[-1], bits)
+    weights["W_out"] = w_out * np.sqrt(6.0 / sizes[-1])
+    weights["b_out"] = np.zeros(bits)
+    weights["n_layers"] = np.array([len(sizes) - 1])
+    return weights
+
+
+def forward_probs(x: np.ndarray, weights: dict[str, np.ndarray]) -> np.ndarray:
+    """(n, dim) -> (n, bits) Bernoulli probabilities.
+
+    sin activations (encoders.py:58-79), sigmoid head (hashings.py:23-27).
+    """
+    h = x
+    for i in range(int(weights["n_layers"][0])):
+        h = np.sin(h @ weights[f"W{i}"] + weights[f"b{i}"] * 30.0)
+    logits = h @ weights["W_out"] + weights["b_out"]
+    return 1.0 / (1.0 + np.exp(-logits))
+
+
+def pack_codes(bits: np.ndarray) -> np.ndarray:
+    """(n, hash_size) {0,1} -> int64 bucket keys, MSB-first — the numpy
+    twin of the reference's Cython fold (utils.pyx:13-14)."""
+    weights = 1 << np.arange(bits.shape[1] - 1, -1, -1, dtype=np.int64)
+    return bits.astype(np.int64) @ weights
+
+
+def sample_codes(
+    probs: np.ndarray, n_samples: int, seed: int
+) -> list[np.ndarray]:
+    """Per-vector probe-code sets: hard code + (n_samples-1) Bernoulli
+    draws, deduplicated (hashings.py:74-85 + utils.pyx:19-32)."""
+    hard = pack_codes(probs > 0.5)
+    if n_samples <= 1:
+        return [np.array([h]) for h in hard]
+    rng = np.random.default_rng(seed)
+    draws = rng.random((n_samples - 1, *probs.shape)) < probs[None, :, :]
+    sampled = np.stack(
+        [pack_codes(d) for d in draws], axis=1
+    )  # (n, n_samples-1)
+    out = []
+    for i in range(probs.shape[0]):
+        out.append(np.unique(np.concatenate([[hard[i]], sampled[i]])))
+    return out
+
+
+class NeuralBucketer:
+    """Actor-pool UDF: embedding column -> (id, bucket) rows.
+
+    Weights load ONCE per actor (``__init__``); batches stream through.
+    """
+
+    def __init__(
+        self,
+        dim: int,
+        bits: int = 12,
+        seed: int = 42,
+        weights_path: str | None = None,
+        col: str = "embedding",
+        id_col: str = "vec_id",
+    ):
+        self.weights = (
+            dict(np.load(weights_path))
+            if weights_path
+            else init_weights(dim, bits=bits, seed=seed)
+        )
+        self.dim = dim
+        self.col = col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _l2norm(vectors_from_batch(batch[self.col], self.dim))
+        probs = forward_probs(m, self.weights)
+        buckets = pack_codes(probs > 0.5) & MASK63
+        return pa.table(
+            {
+                self.id_col: batch[self.id_col],
+                "bucket": pa.array(buckets, pa.int64()),
+            }
+        )
+
+
+def neural_bucket_stage(
+    ds: ray.data.Dataset,
+    *,
+    dim: int,
+    bits: int = 12,
+    seed: int = 42,
+    weights_path: str | None = None,
+    col: str = "embedding",
+    id_col: str = "vec_id",
+    concurrency=(1, 8),
+    batch_size: int = 4096,   # the reference hashes in 4096-row batches
+) -> ray.data.Dataset:
+    return ds.select_columns([id_col, col]).map_batches(
+        NeuralBucketer,
+        fn_constructor_kwargs={
+            "dim": dim,
+            "bits": bits,
+            "seed": seed,
+            "weights_path": weights_path,
+            "col": col,
+            "id_col": id_col,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        zero_copy_batch=True,
+        concurrency=concurrency,
+    )
+
+
+def neural_knn(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 10,
+    *,
+    bits: int = 12,
+    seed: int = 42,
+    n_probes: int = 10,       # reference default probe count (base.py:94)
+    weights_path: str | None = None,
+    col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+    exclude_self: bool = True,
+) -> ray.data.Dataset:
+    """Multi-probe bucket lookup + exact re-rank — the reference's query
+    path (indexer.py:56-96) over a Ray Dataset."""
+    dim = dim or queries.shape[1]
+    hasher = NeuralBucketer(dim, bits=bits, seed=seed, weights_path=weights_path)
+    qn = _l2norm(np.asarray(queries, dtype=np.float64))
+    qprobs = forward_probs(qn, hasher.weights)
+    probe_sets = sample_codes(qprobs, n_probes, seed=seed + 1)
+    q_ref = ray.put(
+        (np.asarray(query_ids, dtype=np.int64), qn, probe_sets)
+    )
+    w_ref = ray.put(hasher.weights)
+
+    def score(t: pa.Table) -> dict[str, np.ndarray]:
+        qids, qmat, probes = ray.get(q_ref)
+        w = ray.get(w_ref)
+        m = _l2norm(vectors_from_batch(t[col], dim))
+        vids = t[id_col].to_numpy()
+        vb = pack_codes(forward_probs(m, w) > 0.5)
+        # candidate mask: corpus bucket in the query's probe set
+        mask = np.stack([np.isin(vb, p) for p in probes])
+        sims = np.where(mask, qmat @ m.T, -np.inf)
+        if exclude_self:
+            sims = np.where(vids[None, :] == qids[:, None], -np.inf, sims)
+        out = _topk_rows(qids, sims, vids, k)
+        keep = out["sim"] > -np.inf
+        return {kk: vv[keep] for kk, vv in out.items()}
+
+    cand = ds.select_columns([id_col, col]).map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True, batch_size=4096
+    )
+    return cand.groupby("query_id", num_partitions=4).map_groups(
+        _finalize_topk, fn_kwargs={"k": k}, batch_format="numpy"
+    )
+
+
+def multiprobe_sweep(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    truth: dict[int, np.ndarray],
+    probe_counts=(1, 2, 5, 10),
+    k: int = 10,
+    **kwargs,
+) -> list[dict]:
+    """The reference's offline probe-count sweep (eval.py:148-196):
+    recall + mean candidate budget per n_probes setting."""
+    from nlshray.metrics import recall_at_k
+
+    results = []
+    for n in probe_counts:
+        out = neural_knn(ds, queries, query_ids, k=k, n_probes=n, **kwargs)
+        rows: dict[int, list[int]] = {}
+        for r in out.take_all():
+            rows.setdefault(int(r["query_id"]), []).append(int(r["neighbor_id"]))
+        recalls = [
+            recall_at_k(truth[q], np.array(rows.get(q, []), dtype=np.int64))
+            for q in truth
+        ]
+        results.append(
+            {
+                "n_probes": n,
+                "recall": float(np.mean(recalls)),
+                "mean_candidates": float(
+                    np.mean([len(v) for v in rows.values()]) if rows else 0.0
+                ),
+            }
+        )
+    return results

@@ -1,0 +1,110 @@
+"""Neural-LSH stage tests (the reference's core loop as goldens:
+hash -> pack -> bucket -> multi-probe -> re-rank -> recall)."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+import ray.data as rd
+
+from nlshray.metrics import recall_at_k
+from nlshray.pipelines.dedup import to_arrow
+from nlshray.stages.ann import knn_bruteforce
+from nlshray.stages.neural import (
+    NeuralBucketer,
+    forward_probs,
+    init_weights,
+    multiprobe_sweep,
+    neural_bucket_stage,
+    neural_knn,
+    pack_codes,
+    sample_codes,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_pack_codes_msb_first():
+    # the reference golden: (out << 1) | bit, MSB first (utils.pyx:13-14)
+    bits = np.array([[1, 0, 1, 1], [0, 0, 0, 1]])
+    assert pack_codes(bits).tolist() == [0b1011, 0b0001]
+
+
+def test_forward_probs_shape_and_determinism():
+    w = init_weights(64, bits=12, seed=42)
+    x = np.random.default_rng(0).normal(size=(5, 64))
+    p1, p2 = forward_probs(x, w), forward_probs(x, w)
+    assert p1.shape == (5, 12)
+    assert ((p1 > 0) & (p1 < 1)).all()
+    assert (p1 == p2).all()
+    assert not np.allclose(
+        p1, forward_probs(x, init_weights(64, bits=12, seed=43))
+    )
+
+
+def test_sample_codes_contains_hard_code():
+    w = init_weights(8, bits=6, seed=1)
+    x = np.random.default_rng(1).normal(size=(3, 8))
+    probs = forward_probs(x, w)
+    hard = pack_codes(probs > 0.5)
+    sets = sample_codes(probs, 5, seed=7)
+    for h, s in zip(hard, sets):
+        assert h in s
+        assert len(np.unique(s)) == len(s)
+
+
+def test_bucketer_weights_roundtrip(tmp_path):
+    w = init_weights(64, bits=12, seed=42)
+    p = str(tmp_path / "weights.npz")
+    np.savez(p, **w)
+    a = NeuralBucketer(64, weights_path=p)
+    b = NeuralBucketer(64, seed=42)
+    x = np.random.default_rng(2).normal(size=(4, 64))
+    assert (forward_probs(x, a.weights) == forward_probs(x, b.weights)).all()
+
+
+def test_neural_bucket_stage(ray_session):
+    ds = rd.read_parquet(f"{SF}/embeddings.parquet")
+    out = to_arrow(neural_bucket_stage(ds, dim=64, bits=12))
+    assert out.num_rows == 500
+    assert set(out.column_names) == {"vec_id", "bucket"}
+    buckets = out["bucket"].to_numpy()
+    assert (buckets >= 0).all() and (buckets < 2**12).all()
+    # identical vectors get identical buckets; stage is deterministic
+    out2 = to_arrow(neural_bucket_stage(ds, dim=64, bits=12))
+    assert out.equals(out2)
+
+
+def _truth(ds, q, qids, k=10):
+    bf = to_arrow(knn_bruteforce(ds, q, qids, k=k))
+    truth = {}
+    for qid in qids:
+        truth[int(qid)] = bf.filter(
+            pc.equal(bf["query_id"], int(qid))
+        )["neighbor_id"].to_numpy()
+    return truth
+
+
+def test_neural_knn_and_sweep(ray_session):
+    ds = rd.read_parquet(f"{SF}/embeddings.parquet")
+    rows = ds.map_batches(
+        lambda t: t.filter(pc.less(t["vec_id"], 3)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).take_all()
+    rows.sort(key=lambda r: r["vec_id"])
+    q = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    qids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    truth = _truth(ds, q, qids)
+
+    sweep = multiprobe_sweep(
+        ds, q, qids, truth, probe_counts=(1, 8), dim=64, bits=10
+    )
+    assert len(sweep) == 2
+    # more probes never hurt recall (the reference's whole eval premise)
+    assert sweep[1]["recall"] >= sweep[0]["recall"]
+    # rows come back capped at k per query
+    out = to_arrow(neural_knn(ds, q, qids, k=10, n_probes=8, dim=64, bits=10))
+    per_q = out.group_by("query_id").aggregate([("neighbor_id", "count")])
+    assert max(per_q["neighbor_id_count"].to_pylist()) <= 10

@@ -341,6 +341,78 @@ def near_dup_clusters(sf_dir: str):
     return to_arrow(res.clusters)
 
 
+def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.9):
+    """Exact token-set (1-gram) Jaccard over all doc pairs, >= threshold.
+
+    The brute-force member of the dedup family (SQL-verifiable; DuckDB
+    list_intersect oracle). Token sets are hashed per worker, collected
+    once and broadcast; each batch scores its docs against the corpus —
+    the same broadcast pattern as embedding_near_dup. At engine scale
+    the pair space goes through MinHash/LSH instead (near_dup_pairs).
+    """
+    from nlshray.functions.shingles import tokenize
+    from nlshray.hashing import hash_str_array
+
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def tok_sets(t: pa.Table) -> pa.Table:
+        sets = [
+            np.unique(hash_str_array(tokenize(x))) for x in t["text"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "toks": pa.array([s.tolist() for s in sets], pa.list_(pa.uint64())),
+            }
+        )
+
+    all_ids, all_sets = [], []
+    for b in docs.map_batches(
+        tok_sets, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_size=8192, batch_format="pyarrow"):
+        ids = np.asarray(b["doc_id"])
+        col = b["toks"].combine_chunks()
+        offs = np.asarray(col.offsets)
+        vals = np.asarray(col.values, dtype=np.uint64)
+        for i in range(len(ids)):
+            all_ids.append(int(ids[i]))
+            all_sets.append(vals[offs[i] : offs[i + 1]])
+    order = np.argsort(all_ids)
+    corpus_ref = ray.put(
+        (
+            np.asarray(all_ids, dtype=np.int64)[order],
+            [all_sets[i] for i in order],
+        )
+    )
+
+    def pairs(t: pa.Table) -> pa.Table:
+        cids, csets = ray.get(corpus_ref)
+        lefts, rights, jacs = [], [], []
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            mine = np.unique(hash_str_array(tokenize(text)))
+            start = np.searchsorted(cids, did, side="right")
+            for j in range(start, len(cids)):
+                other = csets[j]
+                inter = np.intersect1d(mine, other, assume_unique=True).shape[0]
+                union = mine.shape[0] + other.shape[0] - inter
+                jac = inter / union if union else 1.0
+                if jac >= threshold:
+                    lefts.append(did)
+                    rights.append(int(cids[j]))
+                    jacs.append(round(jac, 6))
+        return pa.table(
+            {
+                "left_id": pa.array(lefts, pa.int64()),
+                "right_id": pa.array(rights, pa.int64()),
+                "jaccard": pa.array(jacs, pa.float64()),
+            }
+        )
+
+    return docs.map_batches(
+        pairs, batch_format="pyarrow", zero_copy_batch=True, batch_size=64
+    )
+
+
 def simhash_pairs(sf_dir: str):
     """SimHash near-dup pairs, Hamming <= 3 (rows-only)."""
     docs = _pq(sf_dir, "documents", columns=["doc_id", "text"])
@@ -428,6 +500,7 @@ QUERIES = {
     "minhash_signatures": minhash_signatures,
     "near_dup_pairs": near_dup_pairs,
     "near_dup_clusters": near_dup_clusters,
+    "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "simhash_pairs": simhash_pairs,
     "knn_cosine": knn_cosine,
     "knn_cosine_lsh": knn_cosine_lsh,
@@ -499,6 +572,23 @@ ORACLE_SQL = {
     "lang_summary": """
         SELECT lang, COUNT(*) AS n_docs, ROUND(AVG(n_chars), 4) AS avg_chars
         FROM documents GROUP BY lang
+    """,
+    "ngram_jaccard_pairs": """
+        WITH toks AS (
+          SELECT doc_id,
+                 list_distinct(list_filter(
+                   regexp_split_to_array(lower(text), '\\W+'), x -> x != ''
+                 )) AS ts
+          FROM documents
+        )
+        SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+               ROUND(CAST(length(list_intersect(a.ts, b.ts)) AS DOUBLE) /
+                     (length(a.ts) + length(b.ts)
+                      - length(list_intersect(a.ts, b.ts))), 6) AS jaccard
+        FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+        WHERE CAST(length(list_intersect(a.ts, b.ts)) AS DOUBLE) /
+              (length(a.ts) + length(b.ts)
+               - length(list_intersect(a.ts, b.ts))) >= 0.9
     """,
     "knn_cosine": """
         WITH q AS (

@@ -95,10 +95,13 @@ def run_dedup_only(num_cpus: int, pages_path: str) -> dict:
     force_dist = os.environ.get("NLSHRAY_FORCE_DISTRIBUTED", "0") == "1"
     n_rows = rd.read_parquet(pages_path).count()  # warm + size
     t0 = time.perf_counter()
+    # partitions scale with CPUs on compute-dominated runs; the low cap
+    # only pays below ~100k rows where fixed per-partition cost dominates
+    nparts = num_cpus * 2 if n_rows > 100_000 else max(8, min(16, num_cpus * 2))
     res = dedup_pages(
         rd.read_parquet(pages_path, override_num_blocks=num_cpus * 2),
         DedupConfig(),
-        num_partitions=max(8, min(16, num_cpus * 2)),
+        num_partitions=nparts,
         force_distributed=force_dist,
     )
     n_labelled = res.clusters.count()

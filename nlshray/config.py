@@ -36,9 +36,14 @@ class DedupConfig:
     exact_hi: float = 0.95
 
     # --- skew handling (hot LSH bands) ---
-    # groups larger than group_cap emit star edges (min-id hub) instead of
-    # all O(n^2) pairs; dropped-pair counts are logged, never silent.
+    # buckets larger than group_cap don't emit O(n^2) pairs; policy:
+    #  "star": min-id hub edges (O(n), connectivity-preserving)
+    #  "salt": deterministic salted sub-buckets of <= group_cap members,
+    #          full pairs within each + hub links between sub-buckets
+    #          (O(n*cap), preserves connectivity AND local pair density)
+    # forgone-pair counts are reported either way, never silent.
     group_cap: int = 512
+    skew_policy: str = "star"
 
     # --- execution ---
     batch_size: int = 4096        # rows per UDF batch (reference hashes in

@@ -79,7 +79,47 @@ def _membership_filter(batch: pa.Table, *, keys_ref) -> pa.Table:
     return batch.filter(pa.array(mask))
 
 
-def _emit_pairs(group: dict[str, np.ndarray], *, cap: int) -> dict[str, np.ndarray]:
+def _over_cap_pairs(
+    ids: np.ndarray, cap: int, policy: str
+) -> tuple[np.ndarray, np.ndarray]:
+    """Skew-capped emission for a bucket of n > cap members (sorted ids).
+
+    ``star``: min-id hub, O(n) edges. ``salt``: split members into
+    ceil(n/cap) deterministic salted sub-buckets (splitmix of doc_id —
+    seed-free, identical on every worker), full pairs within each
+    sub-bucket, plus hub links between sub-bucket minima so the bucket
+    stays one component (the 'salt hot keys' pattern, SURVEY.md §4).
+    """
+    n = ids.shape[0]
+    if policy == "star":
+        return np.full(n - 1, ids[0]), ids[1:]
+    from nlshray.hashing import splitmix64
+
+    k = -(-n // cap)  # ceil
+    slot = (splitmix64(ids.astype(np.uint64)) % np.uint64(k)).astype(np.int64)
+    lefts, rights = [], []
+    minima = []
+    for s in range(k):
+        sub = np.sort(ids[slot == s])
+        if sub.shape[0] == 0:
+            continue
+        minima.append(sub[0])
+        if sub.shape[0] >= 2:
+            iu, ju = np.triu_indices(sub.shape[0], 1)
+            lefts.append(sub[iu])
+            rights.append(sub[ju])
+    minima = np.sort(np.array(minima, dtype=ids.dtype))
+    if minima.shape[0] >= 2:
+        lefts.append(np.full(minima.shape[0] - 1, minima[0]))
+        rights.append(minima[1:])
+    if not lefts:
+        return np.empty(0, ids.dtype), np.empty(0, ids.dtype)
+    return np.concatenate(lefts), np.concatenate(rights)
+
+
+def _emit_pairs(
+    group: dict[str, np.ndarray], *, cap: int, policy: str = "star"
+) -> dict[str, np.ndarray]:
     ids = np.unique(group["doc_id"])
     n = ids.shape[0]
     empty = {"left_id": np.empty(0, np.int64), "right_id": np.empty(0, np.int64)}
@@ -88,17 +128,27 @@ def _emit_pairs(group: dict[str, np.ndarray], *, cap: int) -> dict[str, np.ndarr
     if n <= cap:
         iu, ju = np.triu_indices(n, 1)
         return {"left_id": ids[iu], "right_id": ids[ju]}
-    # star edges: min-id hub keeps the bucket connected at O(n) pairs
-    return {"left_id": np.full(n - 1, ids[0]), "right_id": ids[1:]}
+    l, r = _over_cap_pairs(ids, cap, policy)
+    return {"left_id": l, "right_id": r}
 
 
-def _fill_stats(stats: PairStats, sizes: np.ndarray, cap: int) -> None:
+def _fill_stats(
+    stats: PairStats, sizes: np.ndarray, cap: int, policy: str = "star"
+) -> None:
     if sizes.shape[0] == 0:
         return
     stats.max_bucket = int(sizes.max())
     over = sizes[sizes > cap].astype(np.int64)
     stats.n_capped_buckets = int(over.shape[0])
-    stats.pairs_forgone = int((over * (over - 1) // 2 - (over - 1)).sum())
+    full = over * (over - 1) // 2
+    if policy == "salt":
+        # approx emitted: k sub-buckets of ~n/k members + k-1 hub links
+        k = -(-over // cap)
+        sub = -(-over // k)
+        emitted = k * (sub * (sub - 1) // 2) + (k - 1)
+    else:
+        emitted = over - 1
+    stats.pairs_forgone = int(np.maximum(full - emitted, 0).sum())
 
 
 def _count_partial(batch: pa.Table) -> pa.Table:
@@ -138,7 +188,8 @@ def _pairs_fast_path(
         all_starts = np.concatenate([[0], bounds, [bh.shape[0]]])
         sizes = np.diff(all_starts)
         stats.n_buckets_hot = int((sizes >= 2).sum())
-        _fill_stats(stats, sizes[sizes >= 2], cfg.group_cap)
+        _fill_stats(stats, sizes[sizes >= 2], cfg.group_cap,
+                    getattr(cfg, "skew_policy", "star"))
         # keep only hot runs for the emission loop below
         keep_mask = np.repeat(sizes >= 2, sizes)
         bh, ids = bh[keep_mask], ids[keep_mask]
@@ -165,7 +216,7 @@ def _pairs_fast_path(
         hot_keys = uniq_keys[hot_mask]
         hot_sizes = totals[hot_mask]
         stats.n_buckets_hot = int(hot_keys.shape[0])
-        _fill_stats(stats, hot_sizes, cfg.group_cap)
+        _fill_stats(stats, hot_sizes, cfg.group_cap, getattr(cfg, "skew_policy", "star"))
         if hot_keys.shape[0] == 0:
             return _empty_pairs(), stats
         if hot_keys.shape[0] > _BROADCAST_LIMIT:
@@ -191,6 +242,7 @@ def _pairs_fast_path(
 
     lefts, rights = [], []
     cap = cfg.group_cap
+    policy = getattr(cfg, "skew_policy", "star")
     for s, e in zip(starts[:-1], starts[1:]):
         bucket = np.unique(ids[s:e])
         n = bucket.shape[0]
@@ -201,8 +253,9 @@ def _pairs_fast_path(
             lefts.append(bucket[iu])
             rights.append(bucket[ju])
         else:
-            lefts.append(np.full(n - 1, bucket[0]))
-            rights.append(bucket[1:])
+            l, r = _over_cap_pairs(bucket, cap, policy)
+            lefts.append(l)
+            rights.append(r)
     if not lefts:
         return _empty_pairs(), stats
     rec = np.empty(sum(x.shape[0] for x in lefts), dtype=[("l", "<i8"), ("r", "<i8")])
@@ -264,7 +317,8 @@ def candidate_pairs_stage(
             key_chunks.append(np.asarray(t["band_hash"]))
             sizes_chunks.append(np.asarray(t["bucket_n"]))
         keys = np.sort(np.concatenate(key_chunks))
-        _fill_stats(stats, np.concatenate(sizes_chunks), cfg.group_cap)
+        _fill_stats(stats, np.concatenate(sizes_chunks), cfg.group_cap,
+                    getattr(cfg, "skew_policy", "star"))
         keys_ref = ray.put(keys)
         hot_bands = bands.map_batches(
             _membership_filter,
@@ -285,7 +339,7 @@ def candidate_pairs_stage(
         "band_hash", num_partitions=num_partitions
     ).map_groups(
         _emit_pairs,
-        fn_kwargs={"cap": cfg.group_cap},
+        fn_kwargs={"cap": cfg.group_cap, "policy": getattr(cfg, "skew_policy", "star")},
         batch_format="numpy",
     )
     deduped = (

@@ -132,3 +132,35 @@ def test_candidate_pairs_cap_star_edges(ray_session):
     assert set(pairs["left_id"].to_pylist()) == {1}
     assert stats.n_capped_buckets == 1
     assert stats.pairs_forgone == (n * (n - 1) // 2) - (n - 1)
+
+
+def test_candidate_pairs_salt_policy(ray_session):
+    """Salt policy: sub-bucket pair emission with connectivity preserved."""
+    cfg = DedupConfig(group_cap=4, skew_policy="salt")
+    n = 12
+    bands = rd.from_arrow(
+        pa.table(
+            {
+                "band_idx": pa.array([0] * n, pa.int16()),
+                "band_hash": pa.array([7] * n, pa.int64()),
+                "doc_id": pa.array(list(range(1, n + 1)), pa.int64()),
+            }
+        )
+    )
+    pairs_ds, stats = candidate_pairs_stage(bands, cfg, num_partitions=4)
+    pairs = to_arrow(pairs_ds)
+    # more pairs than star (n-1), far fewer than full C(n,2)
+    assert n - 1 <= pairs.num_rows < n * (n - 1) // 2
+    assert stats.n_capped_buckets == 1
+    # connectivity: one component over the emitted edges
+    from nlshray.state.unionfind import UnionFind
+
+    uf = UnionFind()
+    for l, r in zip(pairs["left_id"].to_pylist(), pairs["right_id"].to_pylist()):
+        uf.union(l, r)
+    assert len(set(uf.labels(list(range(1, n + 1))))) == 1
+    # deterministic
+    pairs2 = to_arrow(candidate_pairs_stage(bands, cfg, num_partitions=4)[0])
+    assert pairs.sort_by([("left_id", "ascending"), ("right_id", "ascending")]).equals(
+        pairs2.sort_by([("left_id", "ascending"), ("right_id", "ascending")])
+    )

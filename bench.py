@@ -213,7 +213,9 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = 8, 32
+    lo, hi = (
+        int(x) for x in os.environ.get("NLSHRAY_SCALING_CPUS", "8,32").split(",")
+    )
     runs_lo, runs_hi = [], []
     for _ in range(SCALING_REPEATS):   # interleaved to decorrelate noise
         runs_lo.append(run(lo))
@@ -224,14 +226,14 @@ def run_scaling() -> dict:
     tp_hi = best_hi["docs_per_sec"]
     eff = (tp_hi / tp_lo) / (hi / lo)
     return {
-        "metric": "dedup scaling efficiency (num_cpus 8 -> 32)",
+        "metric": f"dedup scaling efficiency (num_cpus {lo} -> {hi})",
         "n_pages": best_lo["n_pages"],
-        "docs_per_sec_8": tp_lo,
-        "docs_per_sec_32": tp_hi,
-        "dedup_sec_8": best_lo["value"],
-        "dedup_sec_32": best_hi["value"],
-        "all_sec_8": [r["value"] for r in runs_lo],
-        "all_sec_32": [r["value"] for r in runs_hi],
+        f"docs_per_sec_{lo}": tp_lo,
+        f"docs_per_sec_{hi}": tp_hi,
+        f"dedup_sec_{lo}": best_lo["value"],
+        f"dedup_sec_{hi}": best_hi["value"],
+        f"all_sec_{lo}": [r["value"] for r in runs_lo],
+        f"all_sec_{hi}": [r["value"] for r in runs_hi],
         "scaling_efficiency": round(eff, 3),
     }
 

@@ -110,9 +110,13 @@ def dedup_docs(
     emap = exact_map(docs_rep)
 
     pair_ids = collect_pair_ids(cand)
-    if not force_distributed and pair_ids.shape[0] <= _FUSED_GATHER_LIMIT:
-        # one scan serves both pair verification (shingle sets) and
-        # clustering (exact-dup edges)
+    if pair_ids.shape[0] <= _FUSED_GATHER_LIMIT:
+        # One scan serves both pair verification (shingle sets) and
+        # clustering (exact-dup edges). Deliberately NOT disabled by
+        # force_distributed: verify/cluster work scales with the PAIR
+        # count (LSH keeps it a sliver of the corpus), the gather scan
+        # itself is distributed, and a real multi-node run would take
+        # this same path — only the O(pairs) decision is driver-side.
         sets, edge_l, edge_r = gather_sets_and_edges(docs_rep, pair_ids, cfg)
         confirmed = verify_stage(
             cand, sigs, reps, cfg, num_partitions=nparts,

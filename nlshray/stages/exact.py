@@ -11,13 +11,17 @@ This is also the primary skew defense: boilerplate pages that would
 collapse into one giant LSH bucket (the fixture's 5% skew probe) are
 collapsed to a single representative *before* any banding.
 
-Physical plan: one vectorized groupby-aggregate over the projected
-(text_hash, doc_id) columns finds duplicated groups; attaching ``rep_id``
-back to the full rows uses either
-* a driver broadcast of the (small) duplicated-group map — docs not in
-  the map are their own representative; no second shuffle of the text, or
-* a hash join on ``text_hash`` when the duplicated-group map exceeds the
-  broadcast limit (the 10^12-doc fallback).
+Physical plan (two, size-selected): group discovery over the projected
+(text_hash, doc_id) columns is either
+* a driver merge of vectorized per-batch partials (zero shuffles,
+  bounded corpora), or
+* a global SORT + per-block duplicate-run detection with pre-aggregated
+  interior runs and driver-stitched block-boundary runs (the scale
+  plan; Ray's groupby-aggregate is pathological on near-unique keys —
+  see stages/pairs.py).
+Either way the duplicated-group map (dup groups only — small by nature)
+is broadcast and ``rep_id`` attached per batch; the full text never
+enters a shuffle.
 """
 
 from __future__ import annotations
@@ -30,14 +34,10 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data
-from ray.data.aggregate import Count, Min
 
 from nlshray.functions.nputil import lookup_sorted
 from nlshray.hashing import MASK63
 
-# duplicated-group maps beyond this row count hash-join instead of
-# broadcasting (~24 B/row -> ~200 MB at the limit)
-_BROADCAST_LIMIT = 8_000_000
 
 
 def _add_text_hash(batch: pa.Table) -> pa.Table:
@@ -62,18 +62,6 @@ def _attach_rep(batch: pa.Table, *, map_ref) -> pa.Table:
     return batch.append_column("rep_id", pa.array(rep, pa.int64())).append_column(
         "n_copies", pa.array(n_copies, pa.int64())
     )
-
-
-def _collect_columns(ds: ray.data.Dataset, cols: list[str]) -> list[np.ndarray]:
-    chunks: list[list[np.ndarray]] = [[] for _ in cols]
-    for b in ds.select_columns(cols).iter_batches(
-        batch_size=65536, batch_format="pyarrow"
-    ):
-        for i, c in enumerate(cols):
-            chunks[i].append(np.asarray(b[c]))
-    return [
-        np.concatenate(ch) if ch else np.empty(0, dtype=np.int64) for ch in chunks
-    ]
 
 
 def _group_partial(batch: pa.Table) -> pa.Table:
@@ -144,35 +132,86 @@ def exact_stage(
             zero_copy_batch=True,
         )
 
-    groups = (
-        docs_h.select_columns(["text_hash", "doc_id"])
-        .groupby("text_hash", num_partitions=num_partitions)
-        .aggregate(
-            Min("doc_id", alias_name="rep_id"),
-            Count(alias_name="n_copies"),
+    # distributed group discovery: SORT the (text_hash, doc_id)
+    # projection and detect duplicate runs per block (runs touching a
+    # block edge are stitched on the driver). A groupby-aggregate here is
+    # pathological in Ray when nearly all keys are distinct (same
+    # finding as stages/pairs.py: ~70s for ~10M near-unique groups vs
+    # ~2s for the sort).
+    sorted_h = docs_h.select_columns(["text_hash", "doc_id"]).sort("text_hash")
+
+    def dup_runs(block: pa.Table) -> pa.Table:
+        """Per block: interior duplicate runs pre-aggregated to one
+        (hash, min_id, count) row; first/last runs (which may continue in
+        neighboring blocks) ship raw rows (count=0 marks raw). After a
+        global sort a hash is either interior to exactly one block or
+        confined to boundary rows — never both."""
+        th = block["text_hash"].to_numpy()
+        ids = block["doc_id"].to_numpy()
+        n = th.shape[0]
+        empty = pa.table(
+            {
+                "text_hash": pa.array([], pa.int64()),
+                "rep_id": pa.array([], pa.int64()),
+                "n_copies": pa.array([], pa.int64()),
+            }
         )
+        if n == 0:
+            return empty
+        starts = np.concatenate([[0], np.flatnonzero(np.diff(th)) + 1, [n]])
+        out_h, out_r, out_c = [], [], []
+        # boundary raw rows
+        bmask = np.zeros(n, dtype=bool)
+        bmask[: starts[1]] = True
+        bmask[starts[-2] :] = True
+        if bmask.any():
+            out_h.append(th[bmask])
+            out_r.append(ids[bmask])
+            out_c.append(np.zeros(int(bmask.sum()), np.int64))
+        # interior duplicate runs, aggregated
+        for s, e in zip(starts[1:-2], starts[2:-1]):
+            if e - s >= 2:
+                out_h.append(th[s : s + 1])
+                out_r.append(np.array([ids[s:e].min()], np.int64))
+                out_c.append(np.array([e - s], np.int64))
+        if not out_h:
+            return empty
+        return pa.table(
+            {
+                "text_hash": pa.array(np.concatenate(out_h)),
+                "rep_id": pa.array(np.concatenate(out_r)),
+                "n_copies": pa.array(np.concatenate(out_c)),
+            }
+        )
+
+    th_c, rep_c, cnt_c = [], [], []
+    for b in sorted_h.map_batches(
+        dup_runs, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    ).iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+        th_c.append(np.asarray(b["text_hash"]))
+        rep_c.append(np.asarray(b["rep_id"]))
+        cnt_c.append(np.asarray(b["n_copies"]))
+    th = np.concatenate(th_c) if th_c else np.empty(0, np.int64)
+    rep = np.concatenate(rep_c) if rep_c else np.empty(0, np.int64)
+    cnt = np.concatenate(cnt_c) if cnt_c else np.empty(0, np.int64)
+    # raw boundary rows count as one copy each
+    eff = np.where(cnt == 0, 1, cnt)
+    order = np.lexsort((rep, th))
+    th, rep, eff = th[order], rep[order], eff[order]
+    starts = (
+        np.concatenate([[0], np.flatnonzero(np.diff(th)) + 1])
+        if th.shape[0]
+        else np.empty(0, np.int64)
     )
-    dup_groups = groups.map_batches(
-        lambda t: t.filter(pc.greater_equal(t["n_copies"], 2)),
+    tot = np.add.reduceat(eff, starts) if th.shape[0] else eff
+    th_u, rep_u = th[starts], rep[starts]   # min rep per hash (sorted)
+    dup = tot >= 2
+    map_ref = ray.put((th_u[dup], rep_u[dup], tot[dup].astype(np.int64)))
+    return docs_h.map_batches(
+        _attach_rep,
+        fn_kwargs={"map_ref": map_ref},
         batch_format="pyarrow",
         zero_copy_batch=True,
-    ).materialize()
-
-    if dup_groups.count() <= _BROADCAST_LIMIT:
-        th, rep, cop = _collect_columns(
-            dup_groups, ["text_hash", "rep_id", "n_copies"]
-        )
-        order = np.argsort(th)
-        map_ref = ray.put((th[order], rep[order], cop[order]))
-        return docs_h.map_batches(
-            _attach_rep,
-            fn_kwargs={"map_ref": map_ref},
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
-    # scale fallback: join every row against its group
-    return docs_h.join(
-        groups, join_type="inner", num_partitions=num_partitions, on=("text_hash",)
     )
 
 

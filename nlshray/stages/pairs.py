@@ -14,9 +14,12 @@ Two physical plans, auto-selected by a size hint:
   (buckets with >= 2 docs — a small minority) are membership-filtered in
   one more scan and pair emission + cross-band dedup run as one numpy
   pass. Zero shuffles.
-* **distributed path**: groupby-Count -> hot filter (broadcast or hash
-  join) -> groupby().map_groups pair emission -> groupby dedup. Three
-  shuffles, unbounded scale.
+* **distributed path**: global SORT on band_hash -> vectorized per-block
+  equal-key-run detection emitting pairs in place (runs touching block
+  edges are stitched on the driver — a few rows per block) -> one small
+  groupby for cross-band dedup. A groupby-aggregate over band rows is
+  pathological in Ray when nearly all keys are distinct (~70 s for 11M
+  rows/10.9M groups vs 1.9 s for the sort), so the sort IS the shuffle.
 
 Skew handling in both (SURVEY.md §7.4.1 — the reference only *logs*
 bucket-size std, ``nlsh/trainers/base.py:89-90``): buckets larger than
@@ -115,21 +118,6 @@ def _over_cap_pairs(
     if not lefts:
         return np.empty(0, ids.dtype), np.empty(0, ids.dtype)
     return np.concatenate(lefts), np.concatenate(rights)
-
-
-def _emit_pairs(
-    group: dict[str, np.ndarray], *, cap: int, policy: str = "star"
-) -> dict[str, np.ndarray]:
-    ids = np.unique(group["doc_id"])
-    n = ids.shape[0]
-    empty = {"left_id": np.empty(0, np.int64), "right_id": np.empty(0, np.int64)}
-    if n < 2:
-        return empty
-    if n <= cap:
-        iu, ju = np.triu_indices(n, 1)
-        return {"left_id": ids[iu], "right_id": ids[ju]}
-    l, r = _over_cap_pairs(ids, cap, policy)
-    return {"left_id": l, "right_id": r}
 
 
 def _fill_stats(
@@ -295,55 +283,143 @@ def candidate_pairs_stage(
         if out is not None:
             return out
 
-    # ----- distributed path -----
-    counts = bands.groupby("band_hash", num_partitions=num_partitions).aggregate(
-        Count(alias_name="bucket_n")
+    # ----- distributed path: sort + vectorized run detection -----
+    # A groupby-aggregate over band rows is pathological in Ray when
+    # nearly every key is distinct (measured: 60-88 s for 11M rows /
+    # 10.9M groups at any partition count or shuffle strategy, vs 1.9 s
+    # for the equivalent SORT). So: one global sort on band_hash, then a
+    # per-block scan finds equal-key runs vectorized. Runs touching a
+    # block edge (which may continue in the neighbor block) ship their
+    # raw rows to the driver — a few rows per block — and are stitched
+    # and emitted there. No per-group python, no hot-key broadcast, no
+    # scale ceiling beyond the sort itself.
+    policy = getattr(cfg, "skew_policy", "star")
+    cap = cfg.group_cap
+    sorted_bands = bands.select_columns(["band_hash", "doc_id"]).sort("band_hash")
+
+    PAIR, BOUNDARY, HOTSIZE = 0, 1, 2
+
+    def emit(block: pa.Table) -> pa.Table:
+        bh = block["band_hash"].to_numpy()
+        ids = block["doc_id"].to_numpy()
+        n = bh.shape[0]
+        kinds, a_out, b_out = [], [], []
+        if n:
+            bounds = np.flatnonzero(np.diff(bh)) + 1
+            starts = np.concatenate([[0], bounds, [n]])
+            first_run_end = starts[1]
+            last_run_start = starts[-2]
+            # boundary rows: first and last runs (may continue elsewhere)
+            bmask = np.zeros(n, dtype=bool)
+            bmask[:first_run_end] = True
+            bmask[last_run_start:] = True
+            nb = int(bmask.sum())
+            if nb:
+                kinds.append(np.full(nb, BOUNDARY, np.int8))
+                a_out.append(bh[bmask])
+                b_out.append(ids[bmask])
+            # interior runs: emit pairs vectorized
+            for s, e in zip(starts[1:-2], starts[2:-1]):
+                if e - s < 2:
+                    continue
+                bucket = np.unique(ids[s:e])
+                m = bucket.shape[0]
+                if m < 2:
+                    continue
+                if m <= cap:
+                    iu, ju = np.triu_indices(m, 1)
+                    l, r = bucket[iu], bucket[ju]
+                else:
+                    l, r = _over_cap_pairs(bucket, cap, policy)
+                kinds.append(np.full(l.shape[0], PAIR, np.int8))
+                a_out.append(l)
+                b_out.append(r)
+                kinds.append(np.array([HOTSIZE], np.int8))
+                a_out.append(np.array([m], np.int64))
+                b_out.append(np.array([0], np.int64))
+        if not kinds:
+            return pa.table(
+                {
+                    "kind": pa.array([], pa.int8()),
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "kind": pa.array(np.concatenate(kinds)),
+                "a": pa.array(np.concatenate(a_out)),
+                "b": pa.array(np.concatenate(b_out)),
+            }
+        )
+
+    tagged = sorted_bands.map_batches(
+        emit, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    ).materialize()
+
+    # driver: stitch boundary runs, fold hot sizes into stats
+    bnd_bh, bnd_ids, sizes = [], [], []
+    for t in (ray.get(r) for r in tagged.to_arrow_refs()):
+        kind = np.asarray(t["kind"])
+        a = np.asarray(t["a"])
+        b = np.asarray(t["b"])
+        bm = kind == BOUNDARY
+        bnd_bh.append(a[bm])
+        bnd_ids.append(b[bm])
+        sizes.append(a[kind == HOTSIZE])
+    extra_pairs: list[tuple[np.ndarray, np.ndarray]] = []
+    if bnd_bh:
+        bh = np.concatenate(bnd_bh)
+        ids = np.concatenate(bnd_ids)
+        order = np.lexsort((ids, bh))
+        bh, ids = bh[order], ids[order]
+        starts = np.concatenate(
+            [[0], np.flatnonzero(np.diff(bh)) + 1, [bh.shape[0]]]
+        ) if bh.shape[0] else np.array([0, 0])
+        for s, e in zip(starts[:-1], starts[1:]):
+            bucket = np.unique(ids[s:e])
+            m = bucket.shape[0]
+            if m < 2:
+                continue
+            sizes.append(np.array([m], np.int64))
+            if m <= cap:
+                iu, ju = np.triu_indices(m, 1)
+                extra_pairs.append((bucket[iu], bucket[ju]))
+            else:
+                extra_pairs.append(_over_cap_pairs(bucket, cap, policy))
+    all_sizes = (
+        np.concatenate(sizes) if sizes else np.empty(0, np.int64)
     )
-    hot = counts.map_batches(
-        lambda t: t.filter(pa.compute.greater_equal(t["bucket_n"], 2)),
+    stats.n_buckets_hot = int(all_sizes.shape[0])
+    _fill_stats(stats, all_sizes, cap, policy)
+
+    pairs_ds = tagged.map_batches(
+        lambda t: pa.table(
+            {
+                "left_id": t.filter(pa.compute.equal(t["kind"], PAIR))["a"],
+                "right_id": t.filter(pa.compute.equal(t["kind"], PAIR))["b"],
+            }
+        ),
         batch_format="pyarrow",
         zero_copy_batch=True,
-    ).materialize()   # hot buckets only: small (dup docs, not the corpus)
-
-    n_hot = hot.count()
-    stats.n_buckets_hot = n_hot
-    if n_hot == 0:
-        return _empty_pairs(), stats
-
-    if n_hot <= _BROADCAST_LIMIT:
-        sizes_chunks, key_chunks = [], []
-        for r in hot.to_arrow_refs():
-            t = ray.get(r)
-            key_chunks.append(np.asarray(t["band_hash"]))
-            sizes_chunks.append(np.asarray(t["bucket_n"]))
-        keys = np.sort(np.concatenate(key_chunks))
-        _fill_stats(stats, np.concatenate(sizes_chunks), cfg.group_cap,
-                    getattr(cfg, "skew_policy", "star"))
-        keys_ref = ray.put(keys)
-        hot_bands = bands.map_batches(
-            _membership_filter,
-            fn_kwargs={"keys_ref": keys_ref},
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
-    else:
-        # scale path: hash join against the hot-key table
-        hot_bands = bands.join(
-            hot.select_columns(["band_hash"]),
-            join_type="inner",
-            num_partitions=num_partitions,
-            on=("band_hash",),
-        )
-
-    raw_pairs = hot_bands.groupby(
-        "band_hash", num_partitions=num_partitions
-    ).map_groups(
-        _emit_pairs,
-        fn_kwargs={"cap": cfg.group_cap, "policy": getattr(cfg, "skew_policy", "star")},
-        batch_format="numpy",
     )
+    if extra_pairs:
+        pairs_ds = pairs_ds.union(
+            ray.data.from_arrow(
+                pa.table(
+                    {
+                        "left_id": pa.array(
+                            np.concatenate([p[0] for p in extra_pairs])
+                        ),
+                        "right_id": pa.array(
+                            np.concatenate([p[1] for p in extra_pairs])
+                        ),
+                    }
+                )
+            )
+        )
     deduped = (
-        raw_pairs.groupby(["left_id", "right_id"], num_partitions=num_partitions)
+        pairs_ds.groupby(["left_id", "right_id"], num_partitions=num_partitions)
         .aggregate(Count(alias_name="n_bands"))
     )
     return deduped, stats

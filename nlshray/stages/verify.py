@@ -139,23 +139,40 @@ def gather_sigs(
 def gather_shingle_sets(
     reps: ray.data.Dataset, ids: np.ndarray, cfg: DedupConfig
 ) -> dict[int, np.ndarray]:
-    """Shingle sets for a small id set: broadcast-filter the reps, compute
-    per-doc unique shingle hashes, collect to the driver."""
+    """Shingle sets for an id set: broadcast-filter the reps, compute
+    per-doc unique shingle hashes IN THE WORKERS (shingling is the
+    expensive part — doing it on the driver serializes the pipeline),
+    collect the ready arrays to the driver."""
     ids_ref = ray.put(np.sort(ids.astype(np.int64)))
+    k = cfg.shingle_k
 
-    def filt(t: pa.Table) -> pa.Table:
+    def shingle(t: pa.Table) -> pa.Table:
         keys = ray.get(ids_ref)
-        return t.filter(pa.array(_membership(keys, t["doc_id"].to_numpy())))
+        sub = t.filter(pa.array(_membership(keys, t["doc_id"].to_numpy())))
+        sets = [
+            doc_shingle_hashes(x, k, unique=True)
+            for x in sub["text"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": sub["doc_id"],
+                "shingles": pa.array(
+                    [s.tolist() for s in sets], pa.list_(pa.uint64())
+                ),
+            }
+        )
 
-    sub = (
-        reps.select_columns(["doc_id", "text"])
-        .map_batches(filt, batch_format="pyarrow", zero_copy_batch=True)
-        .take_all()
-    )
-    return {
-        int(r["doc_id"]): doc_shingle_hashes(r["text"], cfg.shingle_k, unique=True)
-        for r in sub
-    }
+    out: dict[int, np.ndarray] = {}
+    for b in reps.select_columns(["doc_id", "text"]).map_batches(
+        shingle, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_size=65536, batch_format="pyarrow"):
+        d = np.asarray(b["doc_id"])
+        col = b["shingles"].combine_chunks()
+        offs = np.asarray(col.offsets)
+        vals = np.asarray(col.values, dtype=np.uint64)
+        for i in range(len(d)):
+            out[int(d[i])] = vals[offs[i] : offs[i + 1]]
+    return out
 
 
 def gather_sets_and_edges(

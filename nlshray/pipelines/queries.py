@@ -413,6 +413,18 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.9):
     )
 
 
+def substring_dups(sf_dir: str):
+    """Verbatim-substring duplication (winnowed rolling-hash fingerprints,
+    the suffix-array-family dedup; rows-only — fingerprint selection is
+    hash-seeded, not SQL-expressible)."""
+    from nlshray.stages.substring import substring_dup_pairs
+
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+    return to_arrow(
+        substring_dup_pairs(docs, cfg=CFG, num_partitions=NPARTS)
+    )
+
+
 def simhash_pairs(sf_dir: str):
     """SimHash near-dup pairs, Hamming <= 3 (rows-only)."""
     docs = _pq(sf_dir, "documents", columns=["doc_id", "text"])
@@ -501,6 +513,7 @@ QUERIES = {
     "near_dup_pairs": near_dup_pairs,
     "near_dup_clusters": near_dup_clusters,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "substring_dups": substring_dups,
     "simhash_pairs": simhash_pairs,
     "knn_cosine": knn_cosine,
     "knn_cosine_lsh": knn_cosine_lsh,

@@ -245,6 +245,40 @@ def events_hourly(sf_dir: str):
     return _round(to_arrow(out), {"sum_value": 4})
 
 
+def events_sessionize(sf_dir: str, gap_minutes: int = 30):
+    """Gap-based sessionization per user (session window semantics,
+    ray_guide 'streaming-shaped workloads': sort within group, window
+    with pandas). A new session starts when the gap to the previous
+    event exceeds ``gap_minutes``."""
+    import pandas as pd
+
+    ds = _pq(sf_dir, "events", columns=["user_id", "ts", "value"])
+    gap_us = gap_minutes * 60_000_000
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        us = g["ts"].astype("int64")
+        new = (us.diff().fillna(gap_us + 1) > gap_us).astype("int64")
+        sid = new.cumsum()
+        out = (
+            g.assign(session=sid, ts_us=us)
+            .groupby("session")
+            .agg(
+                user_id=("user_id", "first"),
+                session_start=("ts_us", "min"),
+                n_events=("ts_us", "size"),
+                sum_value=("value", "sum"),
+            )
+            .reset_index(drop=True)
+        )
+        out["sum_value"] = out["sum_value"].round(4)
+        return out
+
+    return ds.groupby("user_id", num_partitions=NPARTS).map_groups(
+        sessions, batch_format="pandas"
+    )
+
+
 # ---------------------------------------------------------------------------
 # dedup family over documents
 # ---------------------------------------------------------------------------
@@ -504,6 +538,7 @@ QUERIES = {
     "lineitem_revenue": lineitem_revenue,
     "zscore_quantity": zscore_quantity,
     "events_hourly": events_hourly,
+    "events_sessionize": events_sessionize,
     "exact_dup_docs": exact_dup_docs,
     "token_counts": token_counts,
     "doc_stats": doc_stats,
@@ -561,6 +596,27 @@ ORACLE_SQL = {
                COUNT(*)             AS n_events,
                ROUND(SUM(value), 4) AS sum_value
         FROM events GROUP BY user_id, window_hour
+    """,
+    "events_sessionize": """
+        WITH flagged AS (
+          SELECT user_id, CAST(EPOCH_US(ts) AS BIGINT) AS ts_us, value,
+                 CASE WHEN EPOCH_US(ts) - LAG(EPOCH_US(ts)) OVER w
+                           > 30 * 60 * 1000000
+                      OR LAG(ts) OVER w IS NULL
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), numbered AS (
+          SELECT user_id, ts_us, value,
+                 SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts_us
+                   ROWS UNBOUNDED PRECEDING
+                 ) AS session
+          FROM flagged
+        )
+        SELECT user_id, MIN(ts_us) AS session_start,
+               COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+        FROM numbered GROUP BY user_id, session
     """,
     "exact_dup_docs": """
         SELECT doc_id,

@@ -110,13 +110,13 @@ def dedup_docs(
     emap = exact_map(docs_rep)
 
     pair_ids = collect_pair_ids(cand)
-    if pair_ids.shape[0] <= _FUSED_GATHER_LIMIT:
+    if not force_distributed and pair_ids.shape[0] <= _FUSED_GATHER_LIMIT:
         # One scan serves both pair verification (shingle sets) and
-        # clustering (exact-dup edges). Deliberately NOT disabled by
-        # force_distributed: verify/cluster work scales with the PAIR
-        # count (LSH keeps it a sliver of the corpus), the gather scan
-        # itself is distributed, and a real multi-node run would take
-        # this same path — only the O(pairs) decision is driver-side.
+        # clustering (exact-dup edges) — the auto path whenever the pair
+        # set is bounded. force_distributed bypasses it because at 10^12
+        # docs the pair set exceeds the gather limit and the engine runs
+        # the est-broadcast + borderline-exact distributed verify — the
+        # scaling bench measures THAT representative plan.
         sets, edge_l, edge_r = gather_sets_and_edges(docs_rep, pair_ids, cfg)
         confirmed = verify_stage(
             cand, sigs, reps, cfg, num_partitions=nparts,

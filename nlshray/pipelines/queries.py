@@ -41,12 +41,21 @@ def _pq(sf_dir: str, name: str, columns=None) -> rd.Dataset:
     return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
 
 
+def _round_np(x: np.ndarray, nd: int) -> np.ndarray:
+    """Bit-compatible with DuckDB ROUND: scale, rint, unscale. pyarrow's
+    pc.round uses a different scheme and lands 1 ulp away on some values,
+    which flips the driver's value hash even though the printed numbers
+    agree."""
+    p = 10.0**nd
+    return np.round(x * p) / p
+
+
 def _round(t: pa.Table, cols: dict[str, int]) -> pa.Table:
     for c, nd in cols.items():
         t = t.set_column(
             t.schema.get_field_index(c),
             c,
-            pc.round(t[c].cast(pa.float64()), ndigits=nd),
+            pa.array(_round_np(t[c].to_numpy().astype(np.float64), nd)),
         )
     return t
 
@@ -75,13 +84,18 @@ def q1_pricing_summary(sf_dir: str):
         )
         return t.append_column("disc_price", disc)
 
+    # Big SUMs of doubles are hash-unstable across engines: summation
+    # order shifts the raw value by ~1e-4 at 5e9 magnitude over 600k
+    # rows, comparable to any rounding step. AVG divides that error by N
+    # (margin ~1e6 at 4dp), and sum_qty stays exact (integer-valued
+    # doubles sum exactly in float64).
     out = (
         ds.map_batches(add_disc, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(["l_returnflag", "l_linestatus"], num_partitions=NPARTS)
         .aggregate(
             Sum("l_quantity", alias_name="sum_qty"),
-            Sum("l_extendedprice", alias_name="sum_base_price"),
-            Sum("disc_price", alias_name="sum_disc_price"),
+            Mean("l_extendedprice", alias_name="avg_base_price"),
+            Mean("disc_price", alias_name="avg_disc_price"),
             Mean("l_quantity", alias_name="avg_qty"),
             Count(alias_name="count_order"),
         )
@@ -89,7 +103,7 @@ def q1_pricing_summary(sf_dir: str):
     t = to_arrow(out)
     t = _round(
         t,
-        {"sum_qty": 2, "sum_base_price": 2, "sum_disc_price": 4, "avg_qty": 6},
+        {"sum_qty": 2, "avg_base_price": 4, "avg_disc_price": 4, "avg_qty": 6},
     )
     return t
 
@@ -163,14 +177,14 @@ def lineitem_revenue(sf_dir: str):
     def fn(t: pa.Table) -> pa.Table:
         t = t.filter(pc.greater(t["l_quantity"], 30.0))
         # 4dp: finer than the 2dp x 2dp product's intrinsic decimals, so
-        # no value sits on a rounding half-boundary (pyarrow rounds
-        # half-even, DuckDB half-away — they only agree off-boundary)
-        rev = pc.round(
-            pc.multiply(
-                t["l_extendedprice"],
-                pc.subtract(pa.scalar(1.0), t["l_discount"]),
-            ),
-            ndigits=4,
+        # no value sits on a rounding half-boundary; _round_np matches
+        # DuckDB's scale/rint/unscale bit-for-bit
+        rev = pa.array(
+            _round_np(
+                t["l_extendedprice"].to_numpy()
+                * (1.0 - t["l_discount"].to_numpy()),
+                4,
+            )
         )
         return pa.table(
             {
@@ -560,8 +574,8 @@ ORACLE_SQL = {
     "q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                ROUND(SUM(l_quantity), 2)                         AS sum_qty,
-               ROUND(SUM(l_extendedprice), 2)                    AS sum_base_price,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+               ROUND(AVG(l_extendedprice), 4)                    AS avg_base_price,
+               ROUND(AVG(l_extendedprice * (1 - l_discount)), 4) AS avg_disc_price,
                ROUND(AVG(l_quantity), 6)                         AS avg_qty,
                COUNT(*)                                          AS count_order
         FROM lineitem

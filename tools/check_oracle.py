@@ -51,7 +51,10 @@ for name in names:
                 for c in mine.columns:
                     a, b = mine[c].values, oracle[c].values
                     if np.issubdtype(mine[c].dtype, np.floating):
-                        if not np.allclose(a.astype(float), b.astype(float), atol=1e-9, equal_nan=True): eq = False; break
+                        af, bf = a.astype(float), b.astype(float)
+                        # bit-exact: the driver hashes values, 1 ulp flips it
+                        same = (af == bf) | (np.isnan(af) & np.isnan(bf))
+                        if not same.all(): eq = False; break
                     else:
                         if not (pd.Series(a).astype(str) == pd.Series(b).astype(str)).all(): eq = False; break
                 status = "MATCH" if eq else "VALUE-MISMATCH"

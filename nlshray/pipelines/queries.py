@@ -38,7 +38,9 @@ CFG = DedupConfig()
 
 
 def _pq(sf_dir: str, name: str, columns=None) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+    from nlshray.sources.pages import read_parquet_clean
+
+    return read_parquet_clean(f"{sf_dir}/{name}.parquet", columns=columns)
 
 
 def _round_np(x: np.ndarray, nd: int) -> np.ndarray:

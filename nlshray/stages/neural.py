@@ -70,7 +70,9 @@ def forward_probs(x: np.ndarray, weights: dict[str, np.ndarray]) -> np.ndarray:
     """
     h = x
     for i in range(int(weights["n_layers"][0])):
-        h = np.sin(h @ weights[f"W{i}"] + weights[f"b{i}"] * 30.0)
+        # SIREN scales the WHOLE preactivation by omega0 (encoders.py:
+        # sin(omega0 * (Wx + b))), not just the bias
+        h = np.sin(30.0 * (h @ weights[f"W{i}"] + weights[f"b{i}"]))
     logits = h @ weights["W_out"] + weights["b_out"]
     return 1.0 / (1.0 + np.exp(-logits))
 

@@ -155,10 +155,14 @@ def substring_dup_pairs(
             hr = rolling_window_hashes(tx[r], window)
             common, li, ri = np.intersect1d(hl, hr, return_indices=True)
             confirmed = 0
-            if common.shape[0]:
-                a = tx[l].encode("utf-8")[li[0] : li[0] + window]
-                b_ = tx[r].encode("utf-8")[ri[0] : ri[0] + window]
-                confirmed = window if a == b_ else 0
+            # byte-compare up to the first 3 shared offsets: a single
+            # colliding window hash must not reject a pair whose other
+            # shared windows are genuine matches
+            lb, rb = tx[l].encode("utf-8"), tx[r].encode("utf-8")
+            for ci in range(min(3, common.shape[0])):
+                if lb[li[ci] : li[ci] + window] == rb[ri[ci] : ri[ci] + window]:
+                    confirmed = window
+                    break
             n_shared.append(int(common.shape[0]))
             match_len.append(confirmed)
         out = pa.table(

@@ -126,9 +126,15 @@ class StageRunner:
         tmp = d + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)
         ds.write_parquet(tmp)
-        rows = ds.count()
         files = sorted(
             f for f in os.listdir(tmp) if f.endswith(".parquet")
+        )
+        # row count from the written files' parquet footers — re-counting
+        # the lazy dataset would re-execute the whole stage DAG
+        import pyarrow.parquet as pq
+
+        rows = sum(
+            pq.read_metadata(os.path.join(tmp, f)).num_rows for f in files
         )
         m = StageManifest(
             stage=stage,

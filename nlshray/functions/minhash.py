@@ -63,9 +63,10 @@ def sign_concat(
             d1 += 1
         tile = flat[starts[d0] : ends[d1 - 1]]
         tstarts = (starts[d0:d1] - starts[d0]).astype(np.int64)
-        for j in range(n_perms):
-            mixed = splitmix64(tile ^ seeds[j])
-            sigs[d0:d1, j] = np.minimum.reduceat(mixed, tstarts)
+        with np.errstate(over="ignore"):
+            for j in range(n_perms):
+                mixed = splitmix64(tile ^ seeds[j])
+                sigs[d0:d1, j] = np.minimum.reduceat(mixed, tstarts)
         d0 = d1
     return sigs
 

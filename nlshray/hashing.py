@@ -41,42 +41,111 @@ def splitmix64(x: np.ndarray) -> np.ndarray:
     engine's stand-in for the reference's learned hash encoder,
     ``/root/reference/nlsh/hashings.py:66-85``).
     """
-    z = x.astype(_U64, copy=True)
-    z += _GOLDEN
-    z ^= z >> _U64(30)
-    z *= _C1
-    z ^= z >> _U64(27)
-    z *= _C2
-    z ^= z >> _U64(31)
-    return z
+    with np.errstate(over="ignore"):
+        z = x.astype(_U64, copy=True)
+        z += _GOLDEN
+        z ^= z >> _U64(30)
+        z *= _C1
+        z ^= z >> _U64(27)
+        z *= _C2
+        z ^= z >> _U64(31)
+        return z
 
 
 def hash_bytes_u64(data: bytes, seed: int = 0) -> int:
-    """Stable 64-bit hash of a byte string (blake2b, 8-byte digest)."""
+    """Stable 64-bit hash of a byte string (blake2b, 8-byte digest).
+
+    Kept for one-off uses (config fingerprints); the corpus-scale paths
+    use the vectorized polynomial kernels below — a cryptographic hash
+    is overkill for shingling and its per-call python cost was the
+    measured serial floor of the whole pipeline (~585 docs/s/core).
+    """
     h = hashlib.blake2b(data, digest_size=8, salt=seed.to_bytes(8, "little"))
     return int.from_bytes(h.digest(), "little")
 
 
-def hash_str_array(strings, seed: int = 0) -> np.ndarray:
-    """Hash an iterable of python strings to uint64 (deterministic).
+def _seed_mix(seed: int) -> np.uint64:
+    return splitmix64(np.array([np.uint64(seed)], dtype=np.uint64))[0]
 
-    Per-string blake2b with memoization across the batch — the per-call
-    cost is amortized because web-text token vocabularies repeat heavily
-    within a batch. Unseen-string cost ~0.5 us; repeats are dict hits.
+
+def poly_fold_ragged(values: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """Segmented ``acc = acc * P + v`` fold, vectorized over segments.
+
+    ``values``: contiguous concatenation of all segments (any int dtype,
+    promoted to uint64); ``lengths``: per-segment element counts (>= 0).
+    Returns one raw uint64 per segment (NO splitmix finalize — callers
+    add their own). Equivalent to ``sum(v_i * P^(L-1-i)) mod 2^64``,
+    computed with a power table + one wrapping cumsum — no per-segment
+    python. Empty segments fold to 0.
     """
-    salt = seed.to_bytes(8, "little")
-    cache: dict[str, int] = {}
-    out = np.empty(len(strings), dtype=np.uint64)
-    for i, s in enumerate(strings):
-        v = cache.get(s)
-        if v is None:
-            v = int.from_bytes(
-                hashlib.blake2b(s.encode("utf-8"), digest_size=8, salt=salt).digest(),
-                "little",
+    lengths = lengths.astype(np.int64, copy=False)
+    n = lengths.shape[0]
+    m = int(lengths.sum())
+    out = np.zeros(n, dtype=_U64)
+    if m == 0:
+        return out
+    v = values.astype(_U64, copy=False)
+    ends = np.cumsum(lengths)
+    starts = ends - lengths
+    maxlen = int(lengths.max())
+    # NOTE: every kernel here wraps mod 2^64 on purpose; without
+    # errstate numpy's overflow-warning machinery costs ~1 us/WARNING
+    # CHECK (measured 2.5 s vs 12 ms for one 3M-element cumsum)
+    with np.errstate(over="ignore"):
+        pows = np.empty(maxlen, dtype=_U64)
+        pows[0] = _U64(1)
+        if maxlen > 1:
+            np.multiply.accumulate(
+                np.full(maxlen - 1, _POLY, dtype=_U64), out=pows[1:]
             )
-            cache[s] = v
-        out[i] = v
-    return out
+        # exponent of element j in segment s: ends[s] - 1 - j
+        exp = np.repeat(ends, lengths) - 1 - np.arange(m, dtype=np.int64)
+        contrib = v * pows[exp]
+        cs = np.concatenate([[_U64(0)], np.cumsum(contrib, dtype=_U64)])
+        return (cs[ends] - cs[starts]).astype(_U64)  # wrapping subtraction
+
+
+def _string_array_bytes(arr) -> tuple[np.ndarray, np.ndarray]:
+    """(byte values concatenated per string, per-string byte lengths)
+    for a flat Arrow String/Binary array — zero-copy views of its
+    buffers wherever the values are contiguous (always true for freshly
+    built arrays, e.g. the output of split kernels)."""
+    offs_buf = arr.buffers()[1]
+    offs = np.frombuffer(offs_buf, dtype=np.int32)[
+        arr.offset : arr.offset + len(arr) + 1
+    ].astype(np.int64)
+    data_buf = arr.buffers()[2]
+    data = (
+        np.frombuffer(data_buf, dtype=np.uint8)
+        if data_buf is not None
+        else np.empty(0, np.uint8)
+    )
+    return data[offs[0] : offs[-1]], np.diff(offs)
+
+
+def hash_utf8_array(arr, seed: int = 0) -> np.ndarray:
+    """Vectorized 64-bit hash of an Arrow string/binary array.
+
+    Polynomial fold over each value's utf-8 bytes (P = FNV-64 prime, so
+    in-byte-range coefficient compensation a la the classic 31-multiplier
+    collisions is impossible) + splitmix64 finalize XOR seed. Replaces
+    the per-row python blake2b that was the hottest serial cost in the
+    exact-dup and shingling stages.
+    """
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    elif not isinstance(arr, pa.Array):
+        arr = pa.array(list(arr), pa.string())
+    data, lengths = _string_array_bytes(arr)
+    raw = poly_fold_ragged(data, lengths)
+    return splitmix64(raw ^ _seed_mix(seed))
+
+
+def hash_str_array(strings, seed: int = 0) -> np.ndarray:
+    """Hash strings to uint64 (deterministic, vectorized)."""
+    return hash_utf8_array(strings, seed=seed)
 
 
 def doc_id_from_url(url: str) -> int:
@@ -85,19 +154,13 @@ def doc_id_from_url(url: str) -> int:
     Masked to 63 bits so ids survive int64 round-trips through pandas,
     DuckDB and Parquet without sign surprises.
     """
-    return hash_bytes_u64(url.encode("utf-8"), seed=0xD0C) & MASK63
+    return int(doc_ids_from_urls([url])[0])
 
 
 def doc_ids_from_urls(urls) -> np.ndarray:
-    salt = (0xD0C).to_bytes(8, "little")
-    out = np.empty(len(urls), dtype=np.int64)
-    for i, u in enumerate(urls):
-        v = int.from_bytes(
-            hashlib.blake2b(u.encode("utf-8"), digest_size=8, salt=salt).digest(),
-            "little",
-        )
-        out[i] = v & MASK63
-    return out
+    return (hash_utf8_array(urls, seed=0xD0C) & np.uint64(MASK63)).astype(
+        np.int64
+    )
 
 
 def poly_fold(window: np.ndarray) -> np.ndarray:
@@ -110,8 +173,9 @@ def poly_fold(window: np.ndarray) -> np.ndarray:
     """
     w = window.astype(_U64, copy=False)
     acc = np.zeros(w.shape[:-1], dtype=_U64)
-    for i in range(w.shape[-1]):
-        acc = acc * _POLY + w[..., i]
+    with np.errstate(over="ignore"):
+        for i in range(w.shape[-1]):
+            acc = acc * _POLY + w[..., i]
     return splitmix64(acc)
 
 
@@ -127,8 +191,9 @@ def shingle_hashes(token_hashes: np.ndarray, k: int) -> np.ndarray:
         return np.empty(0, dtype=np.uint64)
     t = token_hashes.astype(_U64, copy=False)
     acc = np.zeros(n - k + 1, dtype=_U64)
-    for i in range(k):
-        acc = acc * _POLY + t[i : n - k + 1 + i]
+    with np.errstate(over="ignore"):
+        for i in range(k):
+            acc = acc * _POLY + t[i : n - k + 1 + i]
     return splitmix64(acc)
 
 

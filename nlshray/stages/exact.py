@@ -26,8 +26,6 @@ enters a shuffle.
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -41,15 +39,13 @@ from nlshray.hashing import MASK63
 
 
 def _add_text_hash(batch: pa.Table) -> pa.Table:
-    salt = (0x7E47).to_bytes(8, "little")
-    hashes = [
-        int.from_bytes(
-            hashlib.blake2b(t.encode("utf-8"), digest_size=8, salt=salt).digest(),
-            "little",
-        )
-        & MASK63
-        for t in batch["text"].to_pylist()
-    ]
+    """Vectorized 63-bit content hash of the text column (polynomial
+    byte fold — ``nlshray.hashing.hash_utf8_array``; no per-row python)."""
+    from nlshray.hashing import hash_utf8_array
+
+    hashes = (
+        hash_utf8_array(batch["text"], seed=0x7E47) & np.uint64(MASK63)
+    ).astype(np.int64)
     return batch.append_column("text_hash", pa.array(hashes, pa.int64()))
 
 

@@ -66,8 +66,7 @@ class MinHashSigner:
         self.seeds = perm_seeds(cfg.num_perms, cfg.seed)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
-        flat, lengths = batch_shingle_hashes(texts, self.k)
+        flat, lengths = batch_shingle_hashes(batch["text"], self.k)
         sigs = sign_concat(flat, lengths, self.seeds)
         return pa.table({"doc_id": batch["doc_id"], "sig": numpy_to_sigs(sigs)})
 
@@ -78,8 +77,7 @@ def _cached_seeds(num_perms: int, seed: int) -> np.ndarray:
 
 
 def sign_batch(batch: pa.Table, *, k: int, num_perms: int, seed: int) -> pa.Table:
-    texts = batch["text"].to_pylist()
-    flat, lengths = batch_shingle_hashes(texts, k)
+    flat, lengths = batch_shingle_hashes(batch["text"], k)
     sigs = sign_concat(flat, lengths, _cached_seeds(num_perms, seed))
     return pa.table({"doc_id": batch["doc_id"], "sig": numpy_to_sigs(sigs)})
 

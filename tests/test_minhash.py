@@ -23,16 +23,16 @@ GOLDEN_SEEDS_4 = [
     10054623000600317070,
 ]
 GOLDEN_SIG0_4 = [
-    2045653431337038929,
-    1188465599250866971,
-    10542865220732416042,
-    2003742489269123293,
+    8503032217986568351,
+    1597971712111366369,
+    2021305791191000272,
+    5661755812915754042,
 ]
 GOLDEN_SIG1_4 = [
-    2045653431337038929,
-    1188465599250866971,
-    1646420829327217208,
-    1634667033486984106,
+    8446376202927431772,
+    1597971712111366369,
+    2021305791191000272,
+    5661755812915754042,
 ]
 
 
@@ -50,7 +50,7 @@ def test_signature_golden():
     assert sigs.shape == (3, 128)
     assert sigs[0, :4].tolist() == GOLDEN_SIG0_4
     assert sigs[1, :4].tolist() == GOLDEN_SIG1_4
-    assert estimate_jaccard(sigs[0:1], sigs[1:2])[0] == 0.6953125
+    assert estimate_jaccard(sigs[0:1], sigs[1:2])[0] == 0.640625
     assert estimate_jaccard(sigs[0:1], sigs[2:3])[0] == 0.0
 
 

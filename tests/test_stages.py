@@ -164,3 +164,54 @@ def test_candidate_pairs_salt_policy(ray_session):
     assert pairs.sort_by([("left_id", "ascending"), ("right_id", "ascending")]).equals(
         pairs2.sort_by([("left_id", "ascending"), ("right_id", "ascending")])
     )
+
+
+def test_candidate_pairs_boundary_cap_multiblock(ray_session):
+    """One hot band_hash spread over several input blocks: driver
+    shipping is capped (VERDICT r1 #4) yet connectivity holds and the
+    stitched bucket size stays EXACT via per-block unique counts."""
+    cfg = DedupConfig(group_cap=4)
+    n = 30
+    tables = [
+        pa.table(
+            {
+                "band_idx": pa.array([0] * 10, pa.int16()),
+                "band_hash": pa.array([7] * 10, pa.int64()),
+                "doc_id": pa.array(list(range(lo, lo + 10)), pa.int64()),
+            }
+        )
+        for lo in (1, 11, 21)
+    ]
+    bands = rd.from_arrow(tables)
+    pairs_ds, stats = candidate_pairs_stage(bands, cfg, num_partitions=4)
+    pairs = to_arrow(pairs_ds)
+    # exact size accounting despite capped shipping
+    assert stats.max_bucket == n
+    assert stats.n_capped_buckets == 1
+    # capped emission: far fewer than C(30,2)=435 pairs
+    assert pairs.num_rows < 3 * n
+    # single component over the emitted edges
+    from nlshray.state.unionfind import UnionFind
+
+    uf = UnionFind()
+    for l, r in zip(pairs["left_id"].to_pylist(), pairs["right_id"].to_pylist()):
+        uf.union(l, r)
+    assert len(set(uf.labels(list(range(1, n + 1))))) == 1
+
+
+def test_exact_stage_hot_hash_multiblock(ray_session):
+    """A single text duplicated across blocks: the distributed exact
+    plan must aggregate boundary runs (one row per block edge) and still
+    produce exact group sizes."""
+    rows = [(i, "same text" if i % 3 == 0 else f"unique {i}") for i in range(60)]
+    ds = _docs(rows)
+    out = to_arrow(exact_stage(ds, driver_merge_limit=0))
+    import collections
+
+    dup = [r for r in out.to_pylist() if r["text"] == "same text"]
+    assert len(dup) == 20
+    reps = {r["rep_id"] for r in dup}
+    assert reps == {0}
+    assert all(r["n_copies"] == 20 for r in dup)
+    uniq = [r for r in out.to_pylist() if r["text"] != "same text"]
+    assert all(r["rep_id"] == r["doc_id"] and r["n_copies"] == 1 for r in uniq)

@@ -122,3 +122,154 @@ def doc_fingerprint(text: str, gram: int = 8) -> int:
     for i in range(gram):
         acc = acc * np.uint64(0x100000001B3) + arr[i : n + i]
     return int(splitmix64(acc).min() & np.uint64((1 << 63) - 1))
+
+
+# ---------------------------------------------------------------------------
+# Vectorized batch kernel (Arrow C++ RE2 counts + segmented numpy).
+# Bit-identical to the scalar functions above (tested): every ratio is an
+# integer-count division and the quality score multiplies the same
+# constants in the same order.
+# ---------------------------------------------------------------------------
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_LANG_ORDER = ("en", "de", "fr")   # dict iteration order of _LANG_STOPWORDS
+
+
+def _seg_sums(values: np.ndarray, doc_ends: np.ndarray, per_doc: np.ndarray) -> np.ndarray:
+    cs = np.concatenate([[0], np.cumsum(values)])
+    return cs[doc_ends] - cs[doc_ends - per_doc]
+
+
+def batch_textstats(texts) -> dict[str, np.ndarray]:
+    """All per-doc text statistics for a batch, vectorized.
+
+    Returns numpy arrays keyed like ``quality_features`` plus
+    ``n_ws_tokens``, ``n_pieces``, ``lang_guess``, ``fingerprint``.
+    """
+    from nlshray.functions.shingles import _SPLIT_PATTERN, _as_string_array
+    from nlshray.hashing import _string_array_bytes
+
+    arr = _as_string_array(texts)
+    n_docs = len(arr)
+    n_chars = pc.utf8_length(arr).to_numpy(zero_copy_only=False).astype(np.int64)
+
+    # counts via RE2 (ASCII-equal to the python re definitions)
+    n_punct = pc.count_substring_regex(arr, r"[^0-9a-zA-Z_\s]").to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    n_digit = pc.count_substring_regex(arr, "[0-9]").to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    n_ws = pc.count_substring_regex(arr, r"\S+").to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    n_pieces = pc.count_substring_regex(
+        arr, r"[0-9a-zA-Z_]+|[^0-9a-zA-Z_\s]"
+    ).to_numpy(zero_copy_only=False).astype(np.int64)
+
+    # lowercased \w+ tokens: one split; lengths + stopword hits per doc
+    toks = pc.split_pattern_regex(pc.utf8_lower(arr), _SPLIT_PATTERN)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.flatten()
+    tok_lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+    per_doc = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    doc_ends = np.cumsum(per_doc)
+    n_tokens = _seg_sums((tok_lens > 0).astype(np.int64), doc_ends, per_doc)
+    tok_chars = _seg_sums(tok_lens, doc_ends, per_doc)
+
+    stop_hits = {}
+    for lang in _LANG_ORDER:
+        hits = pc.is_in(
+            flat, value_set=pa.array(sorted(_LANG_STOPWORDS[lang]), pa.string())
+        ).to_numpy(zero_copy_only=False)
+        stop_hits[lang] = _seg_sums(hits.astype(np.int64), doc_ends, per_doc)
+
+    nt = np.maximum(n_tokens, 1)   # guarded divisions; zero-token docs -> 0
+    has_t = n_tokens > 0
+    nc = np.maximum(n_chars, 1)
+    has_c = n_chars > 0
+    mean_tok = np.where(has_t, tok_chars / nt, 0.0)
+    stop_ratio = np.where(has_t, stop_hits["en"] / nt, 0.0)
+    punct_ratio = np.where(has_c, n_punct / nc, 0.0)
+    digit_ratio = np.where(has_c, n_digit / nc, 0.0)
+
+    score = np.ones(n_docs, dtype=np.float64)
+    score *= np.where((n_tokens < 20) | (n_tokens > 100_000), 0.3, 1.0)
+    score *= np.where((mean_tok < 3.0) | (mean_tok > 12.0), 0.5, 1.0)
+    score *= np.where(punct_ratio > 0.2, 0.5, 1.0)
+    score *= np.where(digit_ratio > 0.3, 0.5, 1.0)
+    score *= np.where(stop_ratio < 0.05, 0.7, 1.0)
+
+    # language: first profile (in _LANG_ORDER) achieving the strict max,
+    # threshold 0.02, zero-hit docs -> und (matches detect_lang's
+    # ``frac > best`` loop over dict order)
+    fracs = np.stack(
+        [np.where(has_t, stop_hits[l] / nt, 0.0) for l in _LANG_ORDER]
+    )
+    best = fracs.max(axis=0)
+    winner_idx = np.argmax(fracs == best, axis=0)
+    langs = np.array(_LANG_ORDER)
+    lang_guess = np.where(
+        (best >= 0.02) & (best > 0), langs[winner_idx], "und"
+    )
+
+    # fingerprints: segmented 8-gram rolling min over the raw bytes
+    fingerprint = batch_fingerprints(arr)
+
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "n_ws_tokens": n_ws,
+        "n_pieces": n_pieces,
+        "mean_token_len": mean_tok,
+        "punct_ratio": punct_ratio,
+        "stop_ratio": stop_ratio,
+        "digit_ratio": digit_ratio,
+        "quality": score,
+        "lang_guess": lang_guess,
+        "fingerprint": fingerprint,
+    }
+
+
+def batch_fingerprints(texts, gram: int = 8) -> np.ndarray:
+    """Vectorized ``doc_fingerprint`` for a batch (same values)."""
+    from nlshray.functions.shingles import _as_string_array
+    from nlshray.hashing import _POLY, _string_array_bytes
+
+    arr = _as_string_array(texts)
+    data, lengths = _string_array_bytes(arr)
+    n_docs = lengths.shape[0]
+    out = np.empty(n_docs, dtype=np.int64)
+    mask63 = np.uint64((1 << 63) - 1)
+    long_mask = lengths >= gram
+    short_idx = np.flatnonzero(~long_mask)
+    ends = np.cumsum(lengths)
+    starts = ends - lengths
+    m = int(data.shape[0])
+    if long_mask.any():
+        W = m - gram + 1
+        acc = np.zeros(W, dtype=np.uint64)
+        d64 = data.astype(np.uint64)
+        with np.errstate(over="ignore"):
+            for i in range(gram):
+                acc = acc * _POLY + d64[i : W + i]
+        wh = splitmix64(acc)
+        # keep only windows fully inside one long doc (delta mask), then
+        # one minimum.reduceat over the packed valid windows
+        ls = starts[long_mask]
+        n_win = lengths[long_mask] - gram + 1
+        delta = np.zeros(W + 1, dtype=np.int64)
+        np.add.at(delta, ls, 1)
+        np.add.at(delta, ls + n_win, -1)
+        valid = np.cumsum(delta[:-1]) > 0
+        vwh = wh[valid]
+        vstarts = np.cumsum(n_win) - n_win
+        mins = np.minimum.reduceat(vwh, vstarts)
+        out[long_mask] = (mins & mask63).astype(np.int64)
+    for i in short_idx:
+        seg = data[starts[i] : ends[i]].tobytes()
+        out[i] = doc_fingerprint(seg.decode("utf-8", "surrogateescape"), gram)
+    return out

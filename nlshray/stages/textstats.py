@@ -13,54 +13,35 @@ import pyarrow as pa
 
 import ray.data
 
-from nlshray.functions.textstats import (
-    detect_lang,
-    doc_fingerprint,
-    piece_token_count,
-    quality_features,
-    whitespace_token_count,
-)
+from nlshray.functions.textstats import batch_textstats
 
 
 class TextAnalyzer:
-    """Per-doc quality features + language guess + fingerprint."""
+    """Per-doc quality features + language guess + fingerprint.
+
+    One vectorized kernel per batch (Arrow RE2 counts + segmented
+    numpy); bit-identical to the scalar ``quality_features`` /
+    ``detect_lang`` / ``doc_fingerprint`` reference functions (tested)."""
 
     def __init__(self, id_col: str = "doc_id"):
         self.id_col = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
-        feats = [quality_features(t) for t in texts]
+        f = batch_textstats(batch["text"])
         return pa.table(
             {
                 self.id_col: batch[self.id_col],
-                "n_chars": pa.array([f["n_chars"] for f in feats], pa.int64()),
-                "n_tokens": pa.array([f["n_tokens"] for f in feats], pa.int64()),
-                "n_ws_tokens": pa.array(
-                    [whitespace_token_count(t) for t in texts], pa.int64()
-                ),
-                "n_pieces": pa.array(
-                    [piece_token_count(t) for t in texts], pa.int64()
-                ),
-                "mean_token_len": pa.array(
-                    [f["mean_token_len"] for f in feats], pa.float64()
-                ),
-                "punct_ratio": pa.array(
-                    [f["punct_ratio"] for f in feats], pa.float64()
-                ),
-                "stop_ratio": pa.array(
-                    [f["stop_ratio"] for f in feats], pa.float64()
-                ),
-                "digit_ratio": pa.array(
-                    [f["digit_ratio"] for f in feats], pa.float64()
-                ),
-                "quality": pa.array([f["quality"] for f in feats], pa.float64()),
-                "lang_guess": pa.array(
-                    [detect_lang(t) for t in texts], pa.string()
-                ),
-                "fingerprint": pa.array(
-                    [doc_fingerprint(t) for t in texts], pa.int64()
-                ),
+                "n_chars": pa.array(f["n_chars"], pa.int64()),
+                "n_tokens": pa.array(f["n_tokens"], pa.int64()),
+                "n_ws_tokens": pa.array(f["n_ws_tokens"], pa.int64()),
+                "n_pieces": pa.array(f["n_pieces"], pa.int64()),
+                "mean_token_len": pa.array(f["mean_token_len"], pa.float64()),
+                "punct_ratio": pa.array(f["punct_ratio"], pa.float64()),
+                "stop_ratio": pa.array(f["stop_ratio"], pa.float64()),
+                "digit_ratio": pa.array(f["digit_ratio"], pa.float64()),
+                "quality": pa.array(f["quality"], pa.float64()),
+                "lang_guess": pa.array(f["lang_guess"].tolist(), pa.string()),
+                "fingerprint": pa.array(f["fingerprint"], pa.int64()),
             }
         )
 

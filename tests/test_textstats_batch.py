@@ -1,0 +1,69 @@
+"""Batch textstats kernel == scalar reference functions, bit for bit.
+
+Corpus contract (SURVEY.md §1.2 / shingles._SPLIT_PATTERN): ASCII web
+text — the RE2 ASCII character classes used by the batch kernel equal
+python's unicode re classes on this data. n_chars and fingerprints are
+unicode-exact regardless.
+"""
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from nlshray.functions.textstats import (
+    batch_textstats,
+    detect_lang,
+    doc_fingerprint,
+    piece_token_count,
+    quality_features,
+    whitespace_token_count,
+)
+
+EDGE = [
+    "",
+    " \n\t ",
+    "a",
+    "1234 5678 !!!",
+    "the of and to in is that it for was " * 3,
+    "der die und das ist nicht ein eine mit von " * 2,
+    "le la les et de des en un une est pour que",
+    "x" * 300,
+    "short, text. with; punct!?" ,
+]
+
+
+def _assert_rows_equal(f, texts):
+    for i, x in enumerate(texts):
+        q = quality_features(x)
+        assert int(f["n_chars"][i]) == int(q["n_chars"]), (i, "n_chars")
+        assert int(f["n_tokens"][i]) == int(q["n_tokens"]), (i, "n_tokens")
+        assert float(f["mean_token_len"][i]) == q["mean_token_len"], i
+        assert float(f["punct_ratio"][i]) == q["punct_ratio"], i
+        assert float(f["stop_ratio"][i]) == q["stop_ratio"], i
+        assert float(f["digit_ratio"][i]) == q["digit_ratio"], i
+        assert float(f["quality"][i]) == q["quality"], i
+        assert int(f["n_ws_tokens"][i]) == whitespace_token_count(x), i
+        assert int(f["n_pieces"][i]) == piece_token_count(x), i
+        assert f["lang_guess"][i] == detect_lang(x), (i, "lang")
+        assert int(f["fingerprint"][i]) == doc_fingerprint(x), (i, "fp")
+
+
+def test_batch_matches_scalar_edge_cases():
+    _assert_rows_equal(batch_textstats(EDGE), EDGE)
+
+
+def test_batch_matches_scalar_on_corpus():
+    t = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["text"]
+    )
+    texts = t["text"].to_pylist()
+    _assert_rows_equal(batch_textstats(t["text"]), texts)
+
+
+def test_unicode_exact_fields():
+    """n_chars (codepoints) and fingerprints (raw bytes) hold beyond
+    ASCII even though tokenization is ASCII-classed by contract."""
+    texts = ["ünïcödé tëst", "日本語のテキスト"]
+    f = batch_textstats(texts)
+    for i, x in enumerate(texts):
+        assert int(f["n_chars"][i]) == len(x)
+        assert int(f["fingerprint"][i]) == doc_fingerprint(x)

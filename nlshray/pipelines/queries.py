@@ -523,16 +523,28 @@ def knn_cosine_lsh(sf_dir: str):
 
 
 def knn_neural(sf_dir: str):
-    """Neural-LSH k-NN (the reference's core pipeline: encoder -> code ->
-    bucket -> multi-probe -> exact re-rank), rows-only — the hash space
-    is model-defined, not SQL-expressible."""
-    from nlshray.stages.neural import neural_knn
+    """Neural-LSH k-NN (the reference's core pipeline: TRAIN hash head on
+    the corpus -> code -> bucket -> multi-probe -> exact re-rank),
+    rows-only — the hash space is model-defined, not SQL-expressible.
+
+    The head is fit on the corpus itself (deterministic ITQ,
+    ``fit_hash_weights``) — measured to roughly double recall over random
+    hyperplanes at the same probe budget (the reference's checkpoint
+    gate: recall up, candidates not up; trainers/base.py:100-103)."""
+    from nlshray.stages.neural import fit_hash_weights, neural_knn
 
     emb, q, qids = _query_vectors(sf_dir)
+    corpus = np.array(
+        to_arrow(emb)["embedding"].to_pylist(), dtype=np.float64
+    )
     # bits sizes the bucket count: 2^6 buckets keeps ~8-80 docs/bucket at
     # sf test scales (the reference uses 12 bits for a 1.18M corpus —
     # same ~300/bucket ballpark)
-    out = neural_knn(emb, q, qids, k=10, bits=6, n_probes=8, seed=CFG.seed, dim=64)
+    weights = fit_hash_weights(corpus, bits=6)
+    out = neural_knn(
+        emb, q, qids, k=10, bits=6, n_probes=8, seed=CFG.seed, dim=64,
+        weights=weights,
+    )
     return _round(to_arrow(out), {"sim": 6})
 
 

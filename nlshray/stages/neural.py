@@ -63,6 +63,50 @@ def init_weights(
     return weights
 
 
+def fit_hash_weights(
+    X: np.ndarray, bits: int = 12, *, n_iters: int = 50, scale: float = 8.0
+) -> dict[str, np.ndarray]:
+    """TRAIN the hash head on corpus vectors — the reference's 'learned
+    space partition' role (``/root/reference/nlsh/trainers/base.py:36-115``:
+    fit encoder+hash on the corpus, gate on recall up / candidates down)
+    without torch: ITQ (PCA to ``bits`` dims + iterative orthogonal
+    rotation minimizing the binary quantization loss; Gong & Lazebnik,
+    CVPR 2011 — public method). Fully deterministic (canonical
+    eigenvector signs, fixed iteration count), closed-form per step.
+
+    Returns the same npz-style weight dict ``NeuralBucketer`` loads;
+    ``n_layers=0`` makes ``forward_probs`` the trained linear head
+    ``sigmoid(scale * (x - mu) @ V @ R)`` whose hard codes are the ITQ
+    codes. ``scale`` sets multi-probe confidence: borderline vectors
+    keep probs near 0.5, so extra Bernoulli probes explore exactly the
+    uncertain bits.
+    """
+    X = _l2norm(np.asarray(X, dtype=np.float64))
+    mu = X.mean(axis=0)
+    Xc = X - mu
+    C = Xc.T @ Xc
+    _evals, evecs = np.linalg.eigh(C)
+    V = evecs[:, ::-1][:, :bits]
+    # canonical sign: largest-magnitude component of each direction positive
+    s = np.sign(V[np.abs(V).argmax(axis=0), np.arange(bits)])
+    s[s == 0] = 1.0
+    V = V * s
+    Z = Xc @ V
+    R = np.eye(bits)
+    for _ in range(n_iters):
+        B = np.sign(Z @ R)
+        B[B == 0] = 1.0
+        # orthogonal Procrustes: R = argmin ||Z R - B||_F
+        U, _sv, Vt = np.linalg.svd(Z.T @ B)
+        R = U @ Vt
+    W = V @ R * scale
+    return {
+        "W_out": W,
+        "b_out": -(mu @ V @ R) * scale,
+        "n_layers": np.array([0]),
+    }
+
+
 def forward_probs(x: np.ndarray, weights: dict[str, np.ndarray]) -> np.ndarray:
     """(n, dim) -> (n, bits) Bernoulli probabilities.
 
@@ -115,14 +159,16 @@ class NeuralBucketer:
         bits: int = 12,
         seed: int = 42,
         weights_path: str | None = None,
+        weights: dict[str, np.ndarray] | None = None,
         col: str = "embedding",
         id_col: str = "vec_id",
     ):
-        self.weights = (
-            dict(np.load(weights_path))
-            if weights_path
-            else init_weights(dim, bits=bits, seed=seed)
-        )
+        if weights is not None:
+            self.weights = weights          # trained (fit_hash_weights)
+        elif weights_path:
+            self.weights = dict(np.load(weights_path))
+        else:
+            self.weights = init_weights(dim, bits=bits, seed=seed)
         self.dim = dim
         self.col = col
         self.id_col = id_col
@@ -146,6 +192,7 @@ def neural_bucket_stage(
     bits: int = 12,
     seed: int = 42,
     weights_path: str | None = None,
+    weights: dict[str, np.ndarray] | None = None,
     col: str = "embedding",
     id_col: str = "vec_id",
     concurrency=(1, 8),
@@ -158,6 +205,7 @@ def neural_bucket_stage(
             "bits": bits,
             "seed": seed,
             "weights_path": weights_path,
+            "weights": weights,
             "col": col,
             "id_col": id_col,
         },
@@ -178,6 +226,7 @@ def neural_knn(
     seed: int = 42,
     n_probes: int = 10,       # reference default probe count (base.py:94)
     weights_path: str | None = None,
+    weights: dict[str, np.ndarray] | None = None,
     col: str = "embedding",
     id_col: str = "vec_id",
     dim: int | None = None,
@@ -186,7 +235,9 @@ def neural_knn(
     """Multi-probe bucket lookup + exact re-rank — the reference's query
     path (indexer.py:56-96) over a Ray Dataset."""
     dim = dim or queries.shape[1]
-    hasher = NeuralBucketer(dim, bits=bits, seed=seed, weights_path=weights_path)
+    hasher = NeuralBucketer(
+        dim, bits=bits, seed=seed, weights_path=weights_path, weights=weights
+    )
     qn = _l2norm(np.asarray(queries, dtype=np.float64))
     qprobs = forward_probs(qn, hasher.weights)
     probe_sets = sample_codes(qprobs, n_probes, seed=seed + 1)

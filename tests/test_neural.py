@@ -108,3 +108,47 @@ def test_neural_knn_and_sweep(ray_session):
     out = to_arrow(neural_knn(ds, q, qids, k=10, n_probes=8, dim=64, bits=10))
     per_q = out.group_by("query_id").aggregate([("neighbor_id", "count")])
     assert max(per_q["neighbor_id_count"].to_pylist()) <= 10
+
+
+def test_trained_head_beats_random_at_equal_probes(ray_session):
+    """The reference's checkpoint gate (trainers/base.py:100-103): a
+    TRAINED hash beats the random partition on recall at the same probe
+    budget, without more candidates. Deterministic: ITQ fit + seeded
+    probe sampling."""
+    from nlshray.stages.neural import fit_hash_weights
+
+    ds = rd.read_parquet(f"{SF}/embeddings.parquet")
+    tbl = to_arrow(ds)
+    X = np.array(tbl["embedding"].to_pylist(), dtype=np.float64)
+    ids = np.asarray(tbl["vec_id"])
+    q, qids = X[:20], ids[:20]
+    truth = _truth(ds, q, qids)
+
+    trained = fit_hash_weights(X, bits=6)
+    rand = init_weights(64, bits=6, seed=42)
+    sw_t = multiprobe_sweep(
+        ds, q, qids, truth, probe_counts=(1, 8), dim=64, bits=6,
+        weights=trained,
+    )
+    sw_r = multiprobe_sweep(
+        ds, q, qids, truth, probe_counts=(1, 8), dim=64, bits=6,
+        weights=rand,
+    )
+    for t, r in zip(sw_t, sw_r):
+        assert t["recall"] >= r["recall"], (t, r)
+        assert t["mean_candidates"] <= r["mean_candidates"] * 1.25, (t, r)
+    # strictly better somewhere, not merely equal
+    assert max(t["recall"] - r["recall"] for t, r in zip(sw_t, sw_r)) > 0.05
+
+
+def test_fit_hash_weights_deterministic():
+    from nlshray.stages.neural import fit_hash_weights
+
+    rng = np.random.default_rng(5)
+    X = rng.normal(size=(200, 16))
+    w1, w2 = fit_hash_weights(X, bits=4), fit_hash_weights(X, bits=4)
+    assert (w1["W_out"] == w2["W_out"]).all()
+    assert (w1["b_out"] == w2["b_out"]).all()
+    assert int(w1["n_layers"][0]) == 0
+    p = forward_probs(X, w1)
+    assert p.shape == (200, 4)

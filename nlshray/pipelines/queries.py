@@ -391,6 +391,48 @@ def near_dup_clusters(sf_dir: str):
     return to_arrow(res.clusters)
 
 
+def near_dup_clusters_t1(sf_dir: str):
+    """The FULL MinHash/LSH/verify/cluster pipeline at threshold=1.0 —
+    SQL-checkable from first principles: Jaccard 1.0 is an equivalence
+    relation (identical shingle SETS), identical sets collide in every
+    LSH band, and exact verification rejects everything below 1.0, so
+    the engine's clusters must equal DuckDB's groups over a canonical
+    shingle-set key. Oracles the same machinery near_dup_clusters runs
+    at 0.8 (VERDICT r1 #6)."""
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+    cfg = DedupConfig(threshold=1.0)
+    res = dedup_docs(docs, cfg, num_partitions=NPARTS)
+    return to_arrow(res.clusters)
+
+
+def quality_scores_sql(sf_dir: str):
+    """The SQL-expressible core of the quality operator (everything but
+    the hash-based fingerprint/lang columns of ``quality_scores``) —
+    bit-exact ratios and the composite score, DuckDB-checkable."""
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+    stats = textstats_stage(docs)
+    return stats.select_columns(
+        [
+            "doc_id",
+            "n_tokens",
+            "n_pieces",
+            "mean_token_len",
+            "punct_ratio",
+            "stop_ratio",
+            "digit_ratio",
+            "quality",
+        ]
+    )
+
+
+def sampled_docs(sf_dir: str, fraction: float = 0.2):
+    """Seeded corpus sampling (T2: ``Dataset.random_sample(seed=)``) —
+    rows-only (the sample is engine-RNG-defined, not SQL-reproducible);
+    determinism is pinned by a registry test."""
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    return docs.random_sample(fraction, seed=CFG.seed)
+
+
 def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.9):
     """Exact token-set (1-gram) Jaccard over all doc pairs, >= threshold.
 
@@ -575,6 +617,9 @@ QUERIES = {
     "minhash_signatures": minhash_signatures,
     "near_dup_pairs": near_dup_pairs,
     "near_dup_clusters": near_dup_clusters,
+    "near_dup_clusters_t1": near_dup_clusters_t1,
+    "quality_scores_sql": quality_scores_sql,
+    "sampled_docs": sampled_docs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "substring_dups": substring_dups,
     "simhash_pairs": simhash_pairs,
@@ -710,7 +755,87 @@ ORACLE_SQL = {
         WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                      CAST(b.embedding AS DOUBLE[])) >= 0.45
     """,
-    # quality_scores, minhash_signatures, near_dup_pairs, near_dup_clusters,
-    # simhash_pairs, knn_cosine_lsh: engine-specific (hash-seeded or
-    # approximate) -> rows-only driver check by design.
+    # The full near-dup pipeline at threshold=1.0: clusters are exactly
+    # the groups of IDENTICAL shingle sets (J=1.0 is an equivalence
+    # relation; identical sets collide in every band; exact verify
+    # rejects J<1), so DuckDB can rebuild them from a canonical
+    # shingle-set key: sorted distinct 5-token windows (short docs key on
+    # their whole token sequence, empty docs share one key — mirroring
+    # doc_shingle_hashes' whole-doc fold and empty sentinel).
+    "near_dup_clusters_t1": """
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '[^0-9a-z_]+'),
+                             x -> x != '') AS ts
+          FROM documents
+        ),
+        keyed AS (
+          SELECT doc_id,
+                 CASE
+                   WHEN length(ts) = 0 THEN chr(2) || 'EMPTY'
+                   WHEN length(ts) < 5
+                     THEN chr(3) || array_to_string(ts, ' ')
+                   ELSE array_to_string(
+                          list_sort(list_distinct(
+                            list_transform(
+                              generate_series(1, length(ts) - 4),
+                              i -> array_to_string(ts[i:i+4], ' ')
+                            )
+                          )), chr(31))
+                 END AS grp_key
+          FROM toks
+        )
+        SELECT doc_id,
+               MIN(doc_id) OVER (PARTITION BY grp_key) AS cluster_id
+        FROM keyed
+    """,
+    "quality_scores_sql": """
+        WITH toks AS (
+          SELECT doc_id, text,
+                 list_filter(regexp_split_to_array(lower(text), '[^0-9a-z_]+'),
+                             x -> x != '') AS ts
+          FROM documents
+        ),
+        feat AS (
+          SELECT doc_id,
+            length(ts) AS n_tokens,
+            length(regexp_extract_all(text, '[0-9a-zA-Z_]+|[^0-9a-zA-Z_\\s]'))
+              AS n_pieces,
+            CASE WHEN length(ts) = 0 THEN 0.0
+                 ELSE list_sum(list_transform(ts, t -> length(t))) / length(ts)
+            END AS mean_token_len,
+            CASE WHEN length(text) = 0 THEN 0.0
+                 ELSE length(regexp_extract_all(text, '[^0-9a-zA-Z_\\s]'))
+                      / length(text)
+            END AS punct_ratio,
+            CASE WHEN length(ts) = 0 THEN 0.0
+                 ELSE length(list_filter(ts, t -> list_contains(
+                   ['the','and','of','to','in','is','that','it','for','was',
+                    'on','are','with','as','his','they','at','be','this',
+                    'have','from','or','had','by','not','but','what','all',
+                    'were','when','we','there','can'], t)))
+                      / length(ts)
+            END AS stop_ratio,
+            CASE WHEN length(text) = 0 THEN 0.0
+                 ELSE length(regexp_extract_all(text, '[0-9]')) / length(text)
+            END AS digit_ratio
+          FROM toks
+        )
+        SELECT doc_id, n_tokens, n_pieces, mean_token_len, punct_ratio,
+               stop_ratio, digit_ratio,
+               1.0
+               * (CASE WHEN n_tokens < 20 OR n_tokens > 100000
+                       THEN 0.3 ELSE 1.0 END)
+               * (CASE WHEN mean_token_len < 3.0 OR mean_token_len > 12.0
+                       THEN 0.5 ELSE 1.0 END)
+               * (CASE WHEN punct_ratio > 0.2 THEN 0.5 ELSE 1.0 END)
+               * (CASE WHEN digit_ratio > 0.3 THEN 0.5 ELSE 1.0 END)
+               * (CASE WHEN stop_ratio < 0.05 THEN 0.7 ELSE 1.0 END)
+               AS quality
+        FROM feat
+    """,
+    # quality_scores (fingerprint column), minhash_signatures,
+    # near_dup_pairs, near_dup_clusters (thr 0.8), simhash_pairs,
+    # knn_cosine_lsh, sampled_docs: engine-specific (hash-seeded,
+    # approximate or RNG-defined) -> rows-only driver check by design.
 }

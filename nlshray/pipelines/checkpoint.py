@@ -44,6 +44,7 @@ def run_checkpointed(
     *,
     num_partitions: int | None = None,
     stop_after: str | None = None,
+    sink=None,
 ) -> dict:
     """Run (or resume) the dedup pipeline with per-stage checkpoints.
 
@@ -54,7 +55,8 @@ def run_checkpointed(
     """
     cfg = cfg or DedupConfig()
     nparts = num_partitions or default_partitions()
-    runner = StageRunner(out_root, cfg.config_hash())
+    runner = StageRunner(out_root, cfg.config_hash(), sink=sink)
+    runner.sink.meta({"config_hash": cfg.config_hash(), "pages_path": pages_path})
     report: dict[str, dict] = {}
 
     def record(stage, d, m, skipped):

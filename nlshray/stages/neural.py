@@ -38,11 +38,23 @@ from nlshray.stages.ann import _finalize_topk, _l2norm, _topk_rows, vectors_from
 
 
 def init_weights(
-    dim: int, hidden: tuple[int, ...] = (64, 64), bits: int = 12, seed: int = 42
+    dim: int,
+    hidden: tuple[int, ...] = (64, 64),
+    bits: int = 12,
+    seed: int = 42,
+    activation: str = "sin",
 ) -> dict[str, np.ndarray]:
-    """Seed-derived SIREN weights (reference grid config: hash_size=12,
-    encoder 64,64 — ``run_multiple.sh:3-16``). Stand-in for a trained
-    checkpoint; swap in ``np.savez`` weights of the same shapes."""
+    """Seed-derived encoder weights for a configurable hidden stack.
+
+    ``activation="sin"`` is the SIREN default (reference grid config:
+    hash_size=12, encoder 64,64 — ``run_multiple.sh:3-16``;
+    ``/root/reference/encoders.py:58-79``); ``activation="relu"`` is the
+    reference's ``MultiLayerRelu`` stack (``encoders.py:24-55``), with
+    ``hidden=(256, 256)`` reproducing its fixed ``TwoLayer256Relu``
+    (``encoders.py:8-21``). Stand-in for a trained checkpoint; swap in
+    ``np.savez`` weights of the same shapes (or ``fit_hash_weights``)."""
+    if activation not in ("sin", "relu"):
+        raise ValueError(f"unknown activation {activation!r}")
     sizes = [dim, *hidden]
     rng_base = np.uint64(seed * 31 + 7)
     weights: dict[str, np.ndarray] = {}
@@ -54,13 +66,24 @@ def init_weights(
     for i in range(len(sizes) - 1):
         fan_in = sizes[i]
         w = draw(sizes[i] * sizes[i + 1], 1000 + i).reshape(sizes[i], sizes[i + 1])
-        weights[f"W{i}"] = w * np.sqrt(6.0 / fan_in)   # SIREN-ish init
+        # SIREN-ish uniform(+/-sqrt(6/fan)) vs He-style for ReLU
+        scale = np.sqrt(6.0 / fan_in) if activation == "sin" else np.sqrt(2.0 / fan_in)
+        weights[f"W{i}"] = w * scale
         weights[f"b{i}"] = np.zeros(sizes[i + 1])
     w_out = draw(sizes[-1] * bits, 9999).reshape(sizes[-1], bits)
     weights["W_out"] = w_out * np.sqrt(6.0 / sizes[-1])
     weights["b_out"] = np.zeros(bits)
     weights["n_layers"] = np.array([len(sizes) - 1])
+    weights["activation"] = np.array([activation])
     return weights
+
+
+def init_relu_weights(
+    dim: int, hidden: tuple[int, ...] = (256, 256), bits: int = 12, seed: int = 42
+) -> dict[str, np.ndarray]:
+    """The reference's fixed two-layer-256 ReLU encoder shape (M5,
+    ``encoders.py:8-21``) as the default ``hidden``."""
+    return init_weights(dim, hidden=hidden, bits=bits, seed=seed, activation="relu")
 
 
 def fit_hash_weights(
@@ -112,13 +135,19 @@ def forward_probs(x: np.ndarray, weights: dict[str, np.ndarray]) -> np.ndarray:
 
     sin activations (encoders.py:58-79), sigmoid head (hashings.py:23-27).
     """
+    act = str(np.asarray(weights.get("activation", ["sin"]))[0])
     h = x
     for i in range(int(weights["n_layers"][0])):
-        # SIREN scales the WHOLE preactivation by omega0 (encoders.py:
-        # sin(omega0 * (Wx + b))), not just the bias
-        h = np.sin(30.0 * (h @ weights[f"W{i}"] + weights[f"b{i}"]))
+        pre = h @ weights[f"W{i}"] + weights[f"b{i}"]
+        if act == "relu":
+            h = np.maximum(pre, 0.0)          # MultiLayerRelu (encoders.py:24-55)
+        else:
+            # SIREN scales the WHOLE preactivation by omega0
+            # (encoders.py: sin(omega0 * (Wx + b))), not just the bias
+            h = np.sin(30.0 * pre)
     logits = h @ weights["W_out"] + weights["b_out"]
-    return 1.0 / (1.0 + np.exp(-logits))
+    with np.errstate(over="ignore"):
+        return 1.0 / (1.0 + np.exp(-logits))
 
 
 def pack_codes(bits: np.ndarray) -> np.ndarray:

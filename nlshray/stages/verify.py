@@ -95,17 +95,6 @@ def _est_lookup_batch(batch: pa.Table, *, sig_ref, num_perms: int) -> pa.Table:
     )
 
 
-def _exact_batch(batch: pa.Table, *, sets_ref) -> pa.Table:
-    sets = ray.get(sets_ref)
-    lefts = batch["left_id"].to_numpy()
-    rights = batch["right_id"].to_numpy()
-    out = np.array(
-        [exact_jaccard(sets[int(l)], sets[int(r)]) for l, r in zip(lefts, rights)],
-        dtype=np.float64,
-    )
-    return batch.append_column("jaccard", pa.array(out))
-
-
 def collect_pair_ids(pairs: ray.data.Dataset) -> np.ndarray:
     """Distinct doc ids participating in any pair (driver-side, small)."""
     chunks = [
@@ -304,6 +293,17 @@ def verify_stage(
             )
         )
 
+    # ---- distributed plan: ONE estimate+classify pass, then (only if
+    # borderline pairs exist) one shingle-set scan + a lazy decision map.
+    # Round-1's version materialized est, borderline and the union
+    # separately (3 extra executor barriers on the serial floor).
+    def classify(t: pa.Table) -> pa.Table:
+        """Pairs annotated with est_jaccard; rejects (< exact_lo)
+        dropped in place so only keepers hit the object store."""
+        return t.filter(
+            pc.greater_equal(t["est_jaccard"], cfg.exact_lo)
+        )
+
     if pair_ids.shape[0] <= _BROADCAST_LIMIT:
         sig_ref = gather_sigs(sigs, pair_ids, cfg)
         est = pairs.map_batches(
@@ -311,7 +311,7 @@ def verify_stage(
             fn_kwargs={"sig_ref": sig_ref, "num_perms": cfg.num_perms},
             batch_format="pyarrow",
             zero_copy_batch=True,
-        ).materialize()
+        )
     else:
         left_sigs = _rename(sigs, {"doc_id": "left_id", "sig": "sig_left"})
         right_sigs = _rename(sigs, {"doc_id": "right_id", "sig": "sig_right"})
@@ -331,51 +331,59 @@ def verify_stage(
             fn_kwargs={"num_perms": cfg.num_perms},
             batch_format="pyarrow",
             zero_copy_batch=True,
-        ).materialize()  # small (pairs only); consumed twice below
-
-    def take_confident(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.greater(t["est_jaccard"], cfg.exact_hi))
-        t = t.append_column("jaccard", t["est_jaccard"].cast(pa.float64()))
-        return t.append_column(
-            "method", pa.array(["est"] * t.num_rows, pa.string())
         )
+    kept = est.map_batches(
+        classify, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # pairs-scale; the ONLY barrier this stage adds
 
-    def take_borderline(t: pa.Table) -> pa.Table:
-        return t.filter(
-            pc.and_(
-                pc.greater_equal(t["est_jaccard"], cfg.exact_lo),
-                pc.less_equal(t["est_jaccard"], cfg.exact_hi),
-            )
-        )
-
-    def keep_exact_dups(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.greater_equal(t["jaccard"], cfg.threshold))
-        return t.append_column(
-            "method", pa.array(["exact"] * t.num_rows, pa.string())
-        )
+    # borderline doc ids straight off the materialized table (no re-execution)
+    bl_chunks = []
+    for b in kept.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+        sel = b.filter(pc.less_equal(b["est_jaccard"], cfg.exact_hi))
+        bl_chunks.append(np.asarray(sel["left_id"]))
+        bl_chunks.append(np.asarray(sel["right_id"]))
+    bl_ids = (
+        np.unique(np.concatenate(bl_chunks))
+        if bl_chunks and sum(c.shape[0] for c in bl_chunks)
+        else np.empty(0, np.int64)
+    )
 
     cols = ["left_id", "right_id", "jaccard", "n_bands", "method"]
-    confident = est.map_batches(
-        take_confident, batch_format="pyarrow", zero_copy_batch=True
-    ).select_columns(cols)
 
-    borderline = est.map_batches(
-        take_borderline, batch_format="pyarrow", zero_copy_batch=True
-    ).materialize()
-
-    if borderline.count() == 0:
-        return confident
-
-    bl_ids = collect_pair_ids(borderline)
-    sets_ref = ray.put(gather_shingle_sets(reps, bl_ids, cfg))
-    exact_ok = (
-        borderline.map_batches(
-            _exact_batch,
-            fn_kwargs={"sets_ref": sets_ref},
-            batch_format="pyarrow",
-            zero_copy_batch=True,
+    def decide(t: pa.Table, *, sets_ref) -> pa.Table:
+        """Confident pairs keep the estimate; borderline pairs get exact
+        shingle Jaccard from the broadcast sets — one pass, one output."""
+        est_j = t["est_jaccard"].to_numpy()
+        confident = est_j > cfg.exact_hi
+        jac = est_j.astype(np.float64).copy()
+        if not confident.all():
+            sets = ray.get(sets_ref)
+            lefts = t["left_id"].to_numpy()
+            rights = t["right_id"].to_numpy()
+            for i in np.flatnonzero(~confident):
+                jac[i] = exact_jaccard(
+                    sets[int(lefts[i])], sets[int(rights[i])]
+                )
+        keep = confident | (jac >= cfg.threshold)
+        method = np.where(confident, "est", "exact")
+        out = pa.table(
+            {
+                "left_id": t["left_id"],
+                "right_id": t["right_id"],
+                "jaccard": pa.array(jac),
+                "n_bands": t["n_bands"],
+                "method": pa.array(method.tolist(), pa.string()),
+            }
         )
-        .map_batches(keep_exact_dups, batch_format="pyarrow", zero_copy_batch=True)
-        .select_columns(cols)
-    )
-    return confident.union(exact_ok)
+        return out.filter(pa.array(keep))
+
+    if bl_ids.shape[0] == 0:
+        sets_ref = ray.put({})
+    else:
+        sets_ref = ray.put(gather_shingle_sets(reps, bl_ids, cfg))
+    return kept.map_batches(
+        decide,
+        fn_kwargs={"sets_ref": sets_ref},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).select_columns(cols)

@@ -88,11 +88,21 @@ class StageManifest:
 
 
 class StageRunner:
-    """Run-or-skip executor for one checkpointed stage."""
+    """Run-or-skip executor for one checkpointed stage.
 
-    def __init__(self, out_root: str, config_hash: str):
+    ``sink``: optional metrics sink (``nlshray.state.metrics`` duck
+    type) — every run/skip emits a (stage, metrics, wall_sec) event, the
+    engine's analog of the reference's pluggable logger surface
+    (``/root/reference/nlsh/loggers.py:6-97``)."""
+
+    def __init__(self, out_root: str, config_hash: str, sink=None):
         self.out_root = out_root
         self.config_hash = config_hash
+        if sink is None:
+            from nlshray.state.metrics import NullSink
+
+            sink = NullSink()
+        self.sink = sink
         os.makedirs(out_root, exist_ok=True)
 
     def stage_dir(self, stage: str) -> str:
@@ -120,6 +130,7 @@ class StageRunner:
         d = self.stage_dir(stage)
         m = self.is_fresh(stage, input_fp)
         if m is not None:
+            self.sink.emit(stage, {"skipped": True, "rows": m.rows}, 0.0)
             return d, m, True
         t0 = time.perf_counter()
         ds, metrics = produce()
@@ -152,4 +163,7 @@ class StageRunner:
             pass
         os.rename(tmp, d)
         m.save(d)   # manifest lands last: its presence implies valid data
+        self.sink.emit(
+            stage, {"skipped": False, "rows": rows, **(metrics or {})}, m.wall_sec
+        )
         return d, m, False

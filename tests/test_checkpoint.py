@@ -78,3 +78,37 @@ def test_stage_metrics_recorded(ray_session, pages_path, tiny_fixture, tmp_path)
     assert pm["metrics"]["hot_buckets"] > 0
     assert pm["rows"] > 0
     assert pm["wall_sec"] > 0
+
+
+def test_metrics_sink_stream(ray_session, tmp_path):
+    """JSONL metrics sink: one meta event + one event per stage on a
+    cold run; skip events on resume (the reference's pluggable logger
+    surface, loggers.py:6-97, as a no-network JSONL stream)."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    from nlshray.fixtures import generate_pages
+    from nlshray.pipelines.checkpoint import run_checkpointed
+    from nlshray.state.metrics import CompositeSink, JsonlSink, NullSink
+
+    pages = generate_pages(120, seed=7)
+    ppath = str(tmp_path / "pages.parquet")
+    pq.write_table(pages, ppath)
+    mpath = str(tmp_path / "metrics.jsonl")
+    sink = CompositeSink(JsonlSink(mpath), NullSink())
+
+    run_checkpointed(ppath, str(tmp_path / "ckpt"), sink=sink)
+    events = [json.loads(l) for l in open(mpath)]
+    kinds = [e["event"] for e in events]
+    assert kinds[0] == "meta"
+    stages = [e["stage"] for e in events if e["event"] == "stage"]
+    assert len(stages) >= 4                      # docs/sigs/pairs/... stages
+    assert all(not e.get("metrics", {}).get("skipped", False)
+               for e in events if e["event"] == "stage")
+
+    # resume: everything skips, and says so in the stream
+    run_checkpointed(ppath, str(tmp_path / "ckpt"), sink=sink)
+    events2 = [json.loads(l) for l in open(mpath)][len(events):]
+    skipped = [e for e in events2 if e["event"] == "stage"]
+    assert skipped and all(e["metrics"]["skipped"] for e in skipped)

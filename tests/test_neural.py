@@ -152,3 +152,33 @@ def test_fit_hash_weights_deterministic():
     assert int(w1["n_layers"][0]) == 0
     p = forward_probs(X, w1)
     assert p.shape == (200, 4)
+
+
+def test_relu_encoder_stack():
+    """The reference's MultiLayerRelu / TwoLayer256Relu configurable
+    stack (encoders.py:8-55) as a weight-dict option."""
+    from nlshray.stages.neural import init_relu_weights
+
+    w = init_relu_weights(16, hidden=(32, 32), bits=8, seed=3)
+    x = np.random.default_rng(0).normal(size=(6, 16))
+    p = forward_probs(x, w)
+    assert p.shape == (6, 8)
+    assert ((p > 0) & (p < 1)).all()
+    # relu and sin stacks genuinely differ
+    ws = init_weights(16, hidden=(32, 32), bits=8, seed=3)
+    assert not np.allclose(p, forward_probs(x, ws))
+    # npz round-trip preserves the activation tag
+    import io
+
+    buf = io.BytesIO()
+    np.savez(buf, **w)
+    buf.seek(0)
+    w2 = dict(np.load(buf))
+    assert (forward_probs(x, w2) == p).all()
+
+
+def test_default_256_relu_shape():
+    from nlshray.stages.neural import init_relu_weights
+
+    w = init_relu_weights(64)
+    assert w["W0"].shape == (64, 256) and w["W1"].shape == (256, 256)

@@ -21,3 +21,14 @@ def test_smoke_one_query_runs(ray_session):
 
     tbl = out.to_pandas() if hasattr(out, "to_pandas") else out
     assert len(tbl) == 500
+
+
+def test_sampled_docs_seeded_deterministic(ray_session):
+    """T2: Dataset.random_sample(seed=) — same seed, same sample."""
+    from nlshray.pipelines.dedup import to_arrow
+    from nlshray.pipelines.queries import QUERIES
+
+    a = to_arrow(QUERIES["sampled_docs"]("/root/testdata/sf0.001"))
+    b = to_arrow(QUERIES["sampled_docs"]("/root/testdata/sf0.001"))
+    assert a.num_rows > 0
+    assert sorted(a["doc_id"].to_pylist()) == sorted(b["doc_id"].to_pylist())

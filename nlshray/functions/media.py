@@ -1,0 +1,199 @@
+"""Pure-numpy media codecs + feature kernels (no external libraries).
+
+The multimodal stage treats image/audio as opaque ``binary`` columns;
+these are REAL decoders for the container formats that need no codec
+library — WAV (PCM 8/16-bit), BMP (uncompressed 24/32-bit BI_RGB) and
+PPM/PGM (binary P5/P6) — plus the transform kernels a training-data
+pipeline runs on the decoded arrays: nearest-neighbor resize, audio
+frame sampling / RMS features, channel statistics. Compressed formats
+(jpeg/png/mp3/webm) still require a library and stay stubbed in
+``nlshray.stages.multimodal``.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+class MediaFormatError(ValueError):
+    pass
+
+
+# --------------------------------------------------------------------------
+# WAV (RIFF/WAVE, PCM integer)
+# --------------------------------------------------------------------------
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16_000) -> bytes:
+    """float32 [-1,1] mono -> 16-bit PCM WAV bytes (test/fixture helper)."""
+    pcm = np.clip(np.asarray(samples, np.float64), -1.0, 1.0)
+    pcm16 = (pcm * 32767.0).astype("<i2")
+    data = pcm16.tobytes()
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+    fmt = b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16
+    )
+    return hdr + fmt + b"data" + struct.pack("<I", len(data)) + data
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """PCM WAV bytes -> (float32 mono samples in [-1,1], sample_rate).
+
+    Multi-channel input is mean-downmixed. 8-bit (unsigned) and 16-bit
+    (signed little-endian) PCM only — the formats a header-only parser
+    can decode exactly.
+    """
+    if len(data) < 44 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise MediaFormatError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    samples = None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        size = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, n_ch, rate, _bps, _ba, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            if audio_fmt != 1:
+                raise MediaFormatError(f"non-PCM wav (fmt={audio_fmt})")
+            fmt = (n_ch, rate, bits)
+        elif cid == b"data":
+            samples = body
+        pos += 8 + size + (size & 1)   # chunks are 2-byte aligned
+    if fmt is None or samples is None:
+        raise MediaFormatError("missing fmt/data chunk")
+    n_ch, rate, bits = fmt
+    if bits == 16:
+        arr = np.frombuffer(samples, dtype="<i2").astype(np.float32) / 32768.0
+    elif bits == 8:
+        arr = (np.frombuffer(samples, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    else:
+        raise MediaFormatError(f"unsupported bit depth {bits}")
+    if n_ch > 1:
+        arr = arr[: len(arr) - len(arr) % n_ch].reshape(-1, n_ch).mean(axis=1)
+    return arr.astype(np.float32), rate
+
+
+# --------------------------------------------------------------------------
+# BMP (BITMAPINFOHEADER, uncompressed 24/32-bit)
+# --------------------------------------------------------------------------
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> 24-bit BI_RGB BMP bytes (fixture helper)."""
+    img = np.asarray(img, np.uint8)
+    h, w, _ = img.shape
+    row = w * 3
+    pad = (-row) % 4
+    body = bytearray()
+    for r in range(h - 1, -1, -1):          # bottom-up rows
+        bgr = img[r, :, ::-1].tobytes()
+        body += bgr + b"\x00" * pad
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    off = 14 + 40
+    hdr = b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+    return hdr + info + bytes(body)
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """BMP bytes -> (h, w, 3) uint8 RGB. Uncompressed 24/32-bit only."""
+    if len(data) < 54 or data[:2] != b"BM":
+        raise MediaFormatError("not a BMP payload")
+    off = struct.unpack("<I", data[10:14])[0]
+    hsz, w, h, _planes, bpp, comp = struct.unpack("<IiiHHI", data[14:34])
+    if comp != 0 or bpp not in (24, 32):
+        raise MediaFormatError(f"unsupported BMP (bpp={bpp}, comp={comp})")
+    flip = h > 0
+    h = abs(h)
+    step = bpp // 8
+    row_bytes = (w * step + 3) & ~3
+    px = np.frombuffer(data, np.uint8, count=row_bytes * h, offset=off)
+    px = px.reshape(h, row_bytes)[:, : w * step].reshape(h, w, step)
+    rgb = px[:, :, 2::-1]                     # BGR(A) -> RGB
+    return (rgb[::-1] if flip else rgb).copy()
+
+
+# --------------------------------------------------------------------------
+# PPM / PGM (binary P6 / P5)
+# --------------------------------------------------------------------------
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    img = np.asarray(img, np.uint8)
+    h, w, _ = img.shape
+    return f"P6 {w} {h} 255\n".encode() + img.tobytes()
+
+
+def decode_ppm(data: bytes) -> np.ndarray:
+    """P6 (RGB) / P5 (gray) binary netpbm -> uint8 array (h,w,3)/(h,w)."""
+    if data[:2] not in (b"P5", b"P6"):
+        raise MediaFormatError("not a binary netpbm payload")
+    # header: magic, width, height, maxval — whitespace/comment separated
+    fields: list[int] = []
+    pos = 2
+    while len(fields) < 3 and pos < len(data):
+        c = data[pos : pos + 1]
+        if c == b"#":
+            while pos < len(data) and data[pos : pos + 1] != b"\n":
+                pos += 1
+        elif c.isspace():
+            pos += 1
+        else:
+            start = pos
+            while pos < len(data) and not data[pos : pos + 1].isspace():
+                pos += 1
+            fields.append(int(data[start:pos]))
+    pos += 1                                   # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise MediaFormatError("16-bit netpbm unsupported")
+    ch = 3 if data[:2] == b"P6" else 1
+    px = np.frombuffer(data, np.uint8, count=w * h * ch, offset=pos)
+    return px.reshape(h, w, 3) if ch == 3 else px.reshape(h, w)
+
+
+# --------------------------------------------------------------------------
+# transform kernels over decoded arrays
+# --------------------------------------------------------------------------
+
+def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize (pure indexing — deterministic)."""
+    h, w = img.shape[:2]
+    ri = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    ci = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return img[ri][:, ci]
+
+
+def frame_sample(samples: np.ndarray, n_frames: int) -> np.ndarray:
+    """Evenly spaced sample/frame selection (video frame-sampling shape)."""
+    n = samples.shape[0]
+    if n == 0:
+        return samples[:0]
+    idx = (np.arange(n_frames) * n // n_frames).clip(0, n - 1)
+    return samples[idx]
+
+
+def audio_features(samples: np.ndarray, n_windows: int = 8) -> np.ndarray:
+    """Per-window RMS energy features, float32 (n_windows,)."""
+    n = samples.shape[0]
+    if n == 0:
+        return np.zeros(n_windows, np.float32)
+    edges = (np.arange(n_windows + 1) * n // n_windows).clip(0, n)
+    sq = np.concatenate([[0.0], np.cumsum(samples.astype(np.float64) ** 2)])
+    cnt = np.maximum(edges[1:] - edges[:-1], 1)
+    return np.sqrt((sq[edges[1:]] - sq[edges[:-1]]) / cnt).astype(np.float32)
+
+
+def image_features(img: np.ndarray, bins: int = 8) -> np.ndarray:
+    """Normalized intensity histogram + mean/std, float32 (bins+2,)."""
+    flat = np.asarray(img, np.float64).reshape(-1)
+    hist = np.bincount(
+        (flat * bins / 256.0).astype(np.int64).clip(0, bins - 1),
+        minlength=bins,
+    ).astype(np.float64)
+    hist /= max(flat.shape[0], 1)
+    return np.concatenate(
+        [hist, [flat.mean() / 255.0 if flat.size else 0.0,
+                flat.std() / 255.0 if flat.size else 0.0]]
+    ).astype(np.float32)

@@ -1,13 +1,13 @@
-"""Multimodal plumbing: opaque binary payload columns through actor pools.
+"""Multimodal stages: binary payload columns through actor pools.
 
-Image/audio/video ride as ``binary`` columns with typed metadata. The
-decode libraries are NOT in this environment, so the decode kernel is a
-clearly-marked stub: format sniffing and byte accounting are REAL
-(pure-python magic-byte inspection); pixel/sample decoding raises
-``NotImplementedError`` unless ``fake=True``, which substitutes a
-deterministic hash-derived feature vector so the Ray-side plumbing —
-schema, actor pool, batch sizing, output layout — is fully exercised by
-tests and ready for a real decoder drop-in.
+Image/audio/video ride as ``binary`` columns with typed metadata.
+Decoding is REAL for the library-free container formats — WAV PCM, BMP,
+PPM/PGM (``nlshray.functions.media``: pure numpy/struct) — producing
+real feature vectors (audio per-window RMS, image histogram+moments).
+Compressed formats (jpeg/png/mp3/webm) require codec libraries absent
+from this environment and stay clearly stubbed: ``NotImplementedError``
+unless ``fake=True`` substitutes a deterministic hash-derived vector so
+the plumbing is exercised end-to-end either way.
 """
 
 from __future__ import annotations
@@ -23,16 +23,23 @@ _MAGICS: list[tuple[bytes, str]] = [
     (b"\x89PNG\r\n\x1a\n", "png"),
     (b"\xff\xd8\xff", "jpeg"),
     (b"GIF8", "gif"),
-    (b"RIFF", "riff"),       # wav/avi container
+    (b"BM", "bmp"),
+    (b"P5", "pgm"),
+    (b"P6", "ppm"),
     (b"ID3", "mp3"),
     (b"\x1aE\xdf\xa3", "webm"),
     (b"<html", "html"),
     (b"<!doc", "html"),
 ]
 
+# formats with a real pure-numpy decoder in nlshray.functions.media
+DECODABLE = frozenset({"wav", "bmp", "ppm", "pgm"})
+
 
 def sniff_format(data: bytes) -> str:
     head = data[:16]
+    if head.startswith(b"RIFF"):
+        return "wav" if data[8:12] == b"WAVE" else "riff"
     low = head[:5].lower()
     for magic, name in _MAGICS:
         probe = low if name == "html" else head
@@ -57,11 +64,30 @@ class MediaDecoder:
         self.feature_dim = feature_dim
 
     def _decode(self, data: bytes) -> np.ndarray:
+        from nlshray.functions.media import (
+            MediaFormatError,
+            audio_features,
+            decode_bmp,
+            decode_ppm,
+            decode_wav,
+            image_features,
+        )
+
+        fmt = sniff_format(data)
+        try:
+            if fmt == "wav":
+                samples, _rate = decode_wav(data)
+                return audio_features(samples, n_windows=self.feature_dim)
+            if fmt in ("bmp", "ppm", "pgm"):
+                img = decode_bmp(data) if fmt == "bmp" else decode_ppm(data)
+                return image_features(img, bins=self.feature_dim - 2)
+        except MediaFormatError:
+            pass   # malformed container -> fall through to stub handling
         if not self.fake:
             raise NotImplementedError(
-                "media decoding requires an image/audio library not present "
-                "in this environment; pass fake=True for the deterministic "
-                "stub features"
+                f"decoding {fmt!r} requires a codec library not present in "
+                "this environment (real decoders cover wav/bmp/ppm/pgm); "
+                "pass fake=True for deterministic stub features"
             )
         seed = np.frombuffer(
             data[:8].ljust(8, b"\0"), dtype=np.uint64
@@ -103,6 +129,64 @@ def decode_stage(
             "payload_col": payload_col,
             "fake": fake,
             "feature_dim": feature_dim,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        zero_copy_batch=True,
+        concurrency=concurrency,
+    )
+
+
+class ImageResizer:
+    """Actor-pool UDF: decode (bmp/ppm/pgm) -> nearest-neighbor resize ->
+    re-encode PPM. The 'resize at ingest' stage of an image curation
+    pipeline, real end-to-end for the library-free formats."""
+
+    def __init__(self, out_h: int, out_w: int, payload_col: str = "payload"):
+        self.out_h = out_h
+        self.out_w = out_w
+        self.payload_col = payload_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from nlshray.functions.media import (
+            decode_bmp,
+            decode_ppm,
+            encode_ppm,
+            resize_nearest,
+        )
+
+        out_payloads, ok = [], []
+        for data in batch[self.payload_col].to_pylist():
+            fmt = sniff_format(data)
+            if fmt in ("bmp", "ppm"):
+                img = decode_bmp(data) if fmt == "bmp" else decode_ppm(data)
+                out_payloads.append(
+                    encode_ppm(resize_nearest(img, self.out_h, self.out_w))
+                )
+                ok.append(True)
+            else:
+                out_payloads.append(data)
+                ok.append(False)
+        out = batch.drop_columns([self.payload_col])
+        out = out.append_column(self.payload_col, pa.array(out_payloads, pa.binary()))
+        return out.append_column("resized", pa.array(ok, pa.bool_()))
+
+
+def resize_stage(
+    ds: ray.data.Dataset,
+    *,
+    out_h: int,
+    out_w: int,
+    payload_col: str = "payload",
+    batch_size: int = 64,
+    concurrency=(1, 4),
+) -> ray.data.Dataset:
+    return ds.map_batches(
+        ImageResizer,
+        fn_constructor_kwargs={
+            "out_h": out_h,
+            "out_w": out_w,
+            "payload_col": payload_col,
         },
         batch_format="pyarrow",
         batch_size=batch_size,

@@ -236,3 +236,92 @@ def test_decode_stage_plumbing(ray_session):
     # deterministic across runs
     out2 = to_arrow(decode_stage(ds, fake=True, feature_dim=8))
     assert out.equals(out2)
+
+
+# ---------------- real library-free codecs ----------------
+
+def test_wav_roundtrip_and_features():
+    from nlshray.functions.media import audio_features, decode_wav, encode_wav
+
+    t = np.linspace(0, 1, 16000, endpoint=False)
+    sig = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    data = encode_wav(sig, 16000)
+    assert sniff_format(data) == "wav"
+    out, rate = decode_wav(data)
+    assert rate == 16000
+    # 16-bit quantization + 32767/32768 scale asymmetry
+    np.testing.assert_allclose(out, sig, atol=1 / 12000)
+    f = audio_features(out, n_windows=8)
+    assert f.shape == (8,)
+    # constant-amplitude sine: every window RMS ~ 0.5/sqrt(2)
+    np.testing.assert_allclose(f, 0.5 / np.sqrt(2), atol=0.01)
+
+
+def test_bmp_ppm_roundtrip_and_resize():
+    from nlshray.functions.media import (
+        decode_bmp,
+        decode_ppm,
+        encode_bmp,
+        encode_ppm,
+        resize_nearest,
+    )
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, size=(7, 5, 3), dtype=np.uint8)
+    assert (decode_bmp(encode_bmp(img)) == img).all()
+    assert (decode_ppm(encode_ppm(img)) == img).all()
+    assert sniff_format(encode_bmp(img)) == "bmp"
+    assert sniff_format(encode_ppm(img)) == "ppm"
+    small = resize_nearest(img, 3, 2)
+    assert small.shape == (3, 2, 3)
+    big = resize_nearest(img, 14, 10)
+    assert (resize_nearest(big, 7, 5) == img).all()  # exact 2x inverse
+
+
+def test_decode_stage_real_formats(ray_session):
+    """wav/bmp/ppm payloads decode for REAL (no fake flag) while a jpeg
+    in the same batch still requires the stub."""
+    from nlshray.functions.media import encode_bmp, encode_ppm, encode_wav
+
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, size=(6, 6, 3), dtype=np.uint8)
+    sig = (0.25 * np.sin(np.linspace(0, 50, 800))).astype(np.float32)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "item_id": pa.array([1, 2, 3], pa.int64()),
+                "payload": pa.array(
+                    [encode_wav(sig), encode_bmp(img), encode_ppm(img)],
+                    pa.binary(),
+                ),
+            }
+        )
+    )
+    out = to_arrow(decode_stage(ds, fake=False, feature_dim=10))
+    assert out["format"].to_pylist() == ["wav", "bmp", "ppm"]
+    feats = out["features"].combine_chunks()
+    assert all(len(feats[i]) == 10 for i in range(3))
+    # same image through bmp and ppm yields identical features
+    assert feats[1].values.to_pylist() == feats[2].values.to_pylist()
+
+
+def test_resize_stage(ray_session):
+    from nlshray.functions.media import decode_ppm, encode_bmp
+    from nlshray.stages.multimodal import resize_stage
+
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "item_id": pa.array([1, 2], pa.int64()),
+                "payload": pa.array(
+                    [encode_bmp(img), b"\xff\xd8\xff" + b"j" * 20], pa.binary()
+                ),
+            }
+        )
+    )
+    out = to_arrow(resize_stage(ds, out_h=4, out_w=4))
+    assert out["resized"].to_pylist() == [True, False]
+    resized = decode_ppm(out["payload"].combine_chunks()[0].as_py())
+    assert resized.shape == (4, 4, 3)

@@ -50,7 +50,40 @@ def simhash_text(text: str, seed: int = 0) -> int:
 
 
 def simhash_batch(texts, seed: int = 0) -> np.ndarray:
-    return np.array([simhash_text(t, seed=seed) for t in texts], dtype=np.uint64)
+    """Vectorized ``simhash_text`` for a batch (identical values).
+
+    One Arrow tokenize+hash pass, per-doc unique+count via a global
+    lexsort run-detect, then 64 bit-vote columns summed with one
+    segmented reduceat — no per-document python."""
+    from nlshray.functions.shingles import batch_token_hashes
+
+    th, counts = batch_token_hashes(texts, seed=seed)
+    n_docs = counts.shape[0]
+    out = np.zeros(n_docs, dtype=np.uint64)
+    if th.shape[0] == 0:
+        return out
+    doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+    order = np.lexsort((th, doc_of))
+    th_s, doc_s = th[order], doc_of[order]
+    new_run = np.concatenate(
+        [[True], (th_s[1:] != th_s[:-1]) | (doc_s[1:] != doc_s[:-1])]
+    )
+    run_starts = np.flatnonzero(new_run)
+    run_counts = np.diff(np.concatenate([run_starts, [th_s.shape[0]]]))
+    uniq = th_s[run_starts]
+    run_doc = doc_s[run_starts]
+    mixed = splitmix64(uniq)
+    bits = (mixed[:, None] & _BITS[None, :]) != 0          # (n_runs, 64)
+    contrib = np.where(bits, run_counts[:, None], -run_counts[:, None])
+    # segment-sum votes per doc (every doc with tokens has >= 1 run)
+    doc_run_starts = np.flatnonzero(
+        np.concatenate([[True], run_doc[1:] != run_doc[:-1]])
+    )
+    votes = np.add.reduceat(contrib, doc_run_starts, axis=0)
+    docs_with_tokens = run_doc[doc_run_starts]
+    packed = ((votes > 0).astype(np.uint64) @ _BITS.astype(np.uint64))
+    out[docs_with_tokens] = packed
+    return out
 
 
 def hamming_distance(a: np.ndarray, b: np.ndarray) -> np.ndarray:

@@ -28,7 +28,7 @@ class SimHashSigner:
         self.seed = seed
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sh = simhash_batch(batch["text"].to_pylist(), seed=self.seed)
+        sh = simhash_batch(batch["text"], seed=self.seed)
         return pa.table(
             {
                 "doc_id": batch["doc_id"],

@@ -325,3 +325,19 @@ def test_resize_stage(ray_session):
     assert out["resized"].to_pylist() == [True, False]
     resized = decode_ppm(out["payload"].combine_chunks()[0].as_py())
     assert resized.shape == (4, 4, 3)
+
+
+def test_simhash_batch_matches_scalar():
+    from nlshray.functions.simhash import simhash_batch, simhash_text
+
+    texts = [
+        "the cat sat on the mat",
+        "",
+        "   ",
+        "one",
+        "repeat repeat repeat distinct words here",
+        "The Cat SAT on, the mat!",
+    ]
+    got = simhash_batch(texts, seed=5)
+    want = np.array([simhash_text(t, seed=5) for t in texts], dtype=np.uint64)
+    assert (got == want).all()

@@ -433,19 +433,33 @@ def sampled_docs(sf_dir: str, fraction: float = 0.2):
     return docs.random_sample(fraction, seed=CFG.seed)
 
 
+# ngram_jaccard_pairs routes by corpus size (VERDICT r1 #5): up to this
+# many docs the exact all-pairs broadcast member runs; beyond it the
+# LSH-banded + exact-verify member takes over (precision 1.0 by exact
+# verification; recall ~1-1e-4 at J>=0.9 with the 16x8 banding).
+_NGRAM_BF_LIMIT = 20_000
+
+
 def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.9):
     """Exact token-set (1-gram) Jaccard over all doc pairs, >= threshold.
 
     The brute-force member of the dedup family (SQL-verifiable; DuckDB
     list_intersect oracle). Token sets are hashed per worker, collected
     once and broadcast; each batch scores its docs against the corpus —
-    the same broadcast pattern as embedding_near_dup. At engine scale
-    the pair space goes through MinHash/LSH instead (near_dup_pairs).
+    the same broadcast pattern as embedding_near_dup. Above
+    ``_NGRAM_BF_LIMIT`` docs the registry routes to the LSH-banded
+    member with exact verification (shingle_k=1 == token sets) instead
+    of hard-coding the O(n^2) brute member.
     """
     from nlshray.functions.shingles import tokenize
     from nlshray.hashing import hash_str_array
 
     docs = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+    if docs.count() > _NGRAM_BF_LIMIT:
+        cfg = DedupConfig(shingle_k=1, threshold=threshold, exact_hi=1.1)
+        res = dedup_docs(docs, cfg, num_partitions=NPARTS)
+        pairs = to_arrow(res.pairs).select(["left_id", "right_id", "jaccard"])
+        return _round(pairs, {"jaccard": 6})
 
     def tok_sets(t: pa.Table) -> pa.Table:
         sets = [
@@ -591,9 +605,11 @@ def knn_neural(sf_dir: str):
 
 
 def embedding_dup_pairs(sf_dir: str):
-    """All-pairs cosine >= 0.45 over embeddings (exact, SQL-checkable)."""
+    """All-pairs cosine >= 0.45 over embeddings (exact at sf scale,
+    SQL-checkable; ``strategy="auto"`` flips to the bucketed LSH member
+    past the broadcast limit instead of hard-coding the brute member)."""
     emb = _pq(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    out = embedding_near_dup(emb, threshold=0.45, strategy="bruteforce")
+    out = embedding_near_dup(emb, threshold=0.45, strategy="auto")
     return _round(to_arrow(out), {"cosine": 6})
 
 

@@ -26,6 +26,7 @@ from nlshray.stages.ann import (
     embedding_near_dup,
     gather_matrix,
     knn_bruteforce,
+    knn_hnsw,
     knn_lsh,
 )
 from nlshray.stages.exact import exact_stage
@@ -604,6 +605,17 @@ def knn_neural(sf_dir: str):
     return _round(to_arrow(out), {"sim": 6})
 
 
+def knn_hnsw_graph(sf_dir: str):
+    """HNSW graph-index top-10 — the reference's competitor baseline
+    (hnswlib in ``trainers/hnsw.py:28-48``) rebuilt library-free and
+    sharded (ST5). Rows-only: graph search is approximate by design;
+    recall vs brute force is gated in ``tests/test_hnsw.py`` instead
+    (and is 1.0 at these ef settings on the sf fixtures)."""
+    emb, q, qids = _query_vectors(sf_dir)
+    out = knn_hnsw(emb, q, qids, k=10, ef_search=64, seed=CFG.seed)
+    return _round(to_arrow(out), {"sim": 6})
+
+
 def embedding_dup_pairs(sf_dir: str):
     """All-pairs cosine >= 0.45 over embeddings (exact at sf scale,
     SQL-checkable; ``strategy="auto"`` flips to the bucketed LSH member
@@ -641,6 +653,7 @@ QUERIES = {
     "simhash_pairs": simhash_pairs,
     "knn_cosine": knn_cosine,
     "knn_cosine_lsh": knn_cosine_lsh,
+    "knn_hnsw": knn_hnsw_graph,
     "knn_neural": knn_neural,
     "embedding_dup_pairs": embedding_dup_pairs,
 }

@@ -236,6 +236,82 @@ def knn_lsh(
     )
 
 
+def knn_hnsw(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 10,
+    *,
+    m: int = 10,
+    ef_construction: int = 100,
+    ef_search: int = 40,
+    n_shards: int = 4,
+    seed: int = 42,
+    col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+    exclude_self: bool = True,
+) -> ray.data.Dataset:
+    """HNSW graph-index top-k — the reference's competitor baseline
+    (``/root/reference/nlsh/trainers/hnsw.py:28-48``: hnswlib, cosine,
+    M=10, ef=40) rebuilt library-free on the sharded layout.
+
+    One deterministic graph per shard (``vec_id % n_shards`` — never
+    block boundaries, so results are identical at any parallelism), built
+    inside ``map_groups``; per-shard top-k merged by the same exact
+    per-query re-rank as the other k-NN members. At 10^12 docs the shard
+    count scales with the cluster and each graph stays worker-sized.
+    """
+    from nlshray.functions.hnsw import HNSWIndex
+
+    dim = dim or queries.shape[1]
+    qn = _l2norm(np.asarray(queries, dtype=np.float64))
+    q_ref = ray.put((np.asarray(query_ids, dtype=np.int64), qn))
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        vids = t[id_col].to_numpy()
+        return t.append_column(
+            "shard", pa.array((vids % n_shards).astype(np.int64))
+        )
+
+    def shard_topk(t: pa.Table) -> dict[str, np.ndarray]:
+        qids, qmat = ray.get(q_ref)
+        vids = t[id_col].to_numpy()
+        mat = _l2norm(vectors_from_batch(t[col], dim))
+        order = np.argsort(vids, kind="stable")  # deterministic inserts
+        vids, mat = vids[order], mat[order]
+        index = HNSWIndex.build(
+            mat, vids.astype(np.int64), m=m,
+            ef_construction=ef_construction, seed=seed,
+        )
+        out_q, out_v, out_s = [], [], []
+        for qi in range(qmat.shape[0]):
+            nbr, sims = index.search(qmat[qi], k + 1, ef=ef_search)
+            if exclude_self:
+                keep = nbr != qids[qi]
+                nbr, sims = nbr[keep][:k], sims[keep][:k]
+            else:
+                nbr, sims = nbr[:k], sims[:k]
+            out_q.append(np.full(len(nbr), qids[qi], np.int64))
+            out_v.append(nbr)
+            out_s.append(sims)
+        return {
+            "query_id": np.concatenate(out_q) if out_q else np.empty(0, np.int64),
+            "neighbor_id": np.concatenate(out_v) if out_v else np.empty(0, np.int64),
+            "sim": np.concatenate(out_s) if out_s else np.empty(0, np.float64),
+        }
+
+    cand = (
+        ds.select_columns([id_col, col])
+        .map_batches(add_shard, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("shard", num_partitions=min(n_shards, 8))
+        .map_groups(shard_topk, batch_format="pyarrow")
+    )
+    return cand.groupby("query_id", num_partitions=4).map_groups(
+        _finalize_topk, fn_kwargs={"k": k}, batch_format="numpy"
+    )
+
+
 # ---------------------------------------------------------------------------
 # embedding near-dup
 # ---------------------------------------------------------------------------

@@ -296,6 +296,52 @@ def events_sessionize(sf_dir: str, gap_minutes: int = 30):
     )
 
 
+def events_sliding(sf_dir: str):
+    """Per-event trailing 1-hour window (count + max) per user — the
+    sliding-window member of §2.9 (tumbling = events_hourly, session =
+    events_sessionize). COUNT/MAX only: order-independent, so bit-exact
+    against the SQL RANGE-frame oracle (a windowed SUM of doubles would
+    not be — BASELINE.md parity notes)."""
+    from nlshray.stages.window import sliding_window
+
+    ds = _pq(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    out = sliding_window(
+        ds, key="user_id", ts="ts", value="value", id_col="event_id",
+        window_seconds=3600, num_partitions=NPARTS,
+    )
+    return _round(to_arrow(out), {"max_value": 6})
+
+
+def events_asof_orders(sf_dir: str):
+    """As-of join: each event enriched with the user's most recent order
+    at or before the event time (ties: greatest o_orderkey). The
+    canonical 'attach latest dimension state to a fact stream' op —
+    one co-partitioning shuffle, vectorized searchsorted per group."""
+    from nlshray.stages.joins import asof_join
+
+    events = _pq(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    orders = _pq(
+        sf_dir, "orders",
+        columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"],
+    ).map_batches(
+        lambda t: t.rename_columns(
+            ["user_id", "o_orderkey", "o_orderdate", "o_totalprice"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    out = asof_join(
+        events, orders,
+        on="user_id", left_ts="ts", right_ts="o_orderdate",
+        left_cols=["event_id"],
+        right_cols=["o_orderkey", "o_totalprice"],
+        right_tie="o_orderkey",
+        num_partitions=NPARTS,
+    )
+    tbl = to_arrow(out).select(["event_id", "o_orderkey", "o_totalprice"])
+    return tbl.rename_columns(["event_id", "last_order_key", "last_order_price"])
+
+
 # ---------------------------------------------------------------------------
 # dedup family over documents
 # ---------------------------------------------------------------------------
@@ -637,6 +683,8 @@ QUERIES = {
     "zscore_quantity": zscore_quantity,
     "events_hourly": events_hourly,
     "events_sessionize": events_sessionize,
+    "events_sliding": events_sliding,
+    "events_asof_orders": events_asof_orders,
     "exact_dup_docs": exact_dup_docs,
     "token_counts": token_counts,
     "doc_stats": doc_stats,
@@ -719,6 +767,27 @@ ORACLE_SQL = {
         SELECT user_id, MIN(ts_us) AS session_start,
                COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
         FROM numbered GROUP BY user_id, session
+    """,
+    "events_sliding": """
+        SELECT event_id,
+               COUNT(*)             OVER w AS cnt,
+               ROUND(MAX(value) OVER w, 6) AS max_value
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                           AND CURRENT ROW)
+    """,
+    "events_asof_orders": """
+        SELECT event_id, last_order_key, last_order_price FROM (
+          SELECT e.event_id,
+                 o.o_orderkey   AS last_order_key,
+                 o.o_totalprice AS last_order_price,
+                 ROW_NUMBER() OVER (PARTITION BY e.event_id
+                                    ORDER BY o.o_orderdate DESC,
+                                             o.o_orderkey DESC) AS rn
+          FROM events e JOIN orders o
+            ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        ) WHERE rn = 1
     """,
     "exact_dup_docs": """
         SELECT doc_id,

@@ -1,0 +1,73 @@
+"""Sliding (RANGE) window aggregate — per-row trailing-window stats.
+
+For each row, statistics over all rows of the same key whose timestamp
+falls in ``[ts - window, ts]`` (both ends inclusive — ANSI ``RANGE
+BETWEEN <window> PRECEDING AND CURRENT ROW`` frame semantics, including
+same-timestamp peers).
+
+Ray-native plan: one hash shuffle (``groupby(key)``), then a
+``map_groups`` kernel that sorts the group once and derives every frame
+with two vectorized ``np.searchsorted`` passes. COUNT is exact integer
+arithmetic; MAX is a copied value — both bit-reproducible against a SQL
+window oracle (a SUM of doubles would not be: summation-order error,
+see BASELINE.md parity notes — so the stage deliberately emits
+order-independent aggregates only).
+
+The max kernel is the classic monotone-deque sliding max: O(n) per
+group total (each row enters/leaves the deque once), not O(n·w); frame
+bounds are non-decreasing after the sort, which is what the deque
+requires. Partitioning assumption: one key's rows fit one worker.
+
+Completes §2.9 (streaming-shaped, ours): tumbling (`events_hourly`),
+session (`events_sessionize`), and now sliding windows.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+
+def sliding_window(
+    ds: ray.data.Dataset,
+    *,
+    key: str,
+    ts: str,
+    value: str,
+    id_col: str,
+    window_seconds: int,
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """Per-row trailing-window (count, max) over ``value``; emits
+    (id_col, cnt, max_value) rows, one per input row."""
+    delta = np.timedelta64(window_seconds, "s")
+
+    def frames(t: pa.Table) -> dict[str, np.ndarray]:
+        tsv = t[ts].to_numpy(zero_copy_only=False)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        vals = t[value].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, tsv))
+        tsv, ids, vals = tsv[order], ids[order], vals[order]
+        lo = np.searchsorted(tsv, tsv - delta, side="left")
+        hi = np.searchsorted(tsv, tsv, side="right")
+        mx = np.empty(len(vals), np.float64)
+        dq: deque[int] = deque()
+        j = 0
+        for i in range(len(vals)):
+            while j < hi[i]:
+                while dq and vals[dq[-1]] <= vals[j]:
+                    dq.pop()
+                dq.append(j)
+                j += 1
+            while dq[0] < lo[i]:
+                dq.popleft()
+            mx[i] = vals[dq[0]]
+        return {id_col: ids, "cnt": (hi - lo).astype(np.int64), "max_value": mx}
+
+    return ds.groupby(key, num_partitions=num_partitions).map_groups(
+        frames, batch_format="pyarrow"
+    )

@@ -1,0 +1,162 @@
+"""Sliding RANGE-window aggregate (stages/window.py) and as-of join
+(stages/joins.py) — kernel goldens vs brute-force oracles plus the
+boundary cases the vectorized searchsorted paths must get right
+(inclusive frame ends, same-timestamp peers, unmatched left rows)."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from nlshray.pipelines.dedup import to_arrow
+from nlshray.stages.joins import asof_join
+from nlshray.stages.window import sliding_window
+
+
+def _events(rows):
+    ids, users, ts, vals = zip(*rows)
+    return pa.table(
+        {
+            "event_id": pa.array(ids, pa.int64()),
+            "user_id": pa.array(users, pa.int64()),
+            "ts": pa.array(
+                np.array(ts, dtype="datetime64[s]").astype("datetime64[us]")
+            ),
+            "value": pa.array(vals, pa.float64()),
+        }
+    )
+
+
+def test_sliding_window_golden(ray_session):
+    # user 1: ts 0, 3600, 3601, 3601 — frame is INCLUSIVE both ends:
+    # the event at 3600 still sees the one at 0; the pair at 3601 are
+    # peers of each other but exclude ts=0 (3601-3600 > ... wait: lo =
+    # 3601-3600 = 1 > 0, so ts=0 is out) and include ts=3600.
+    t = _events(
+        [
+            (1, 1, 0, 5.0),
+            (2, 1, 3600, 1.0),
+            (3, 1, 3601, 2.0),
+            (4, 1, 3601, 3.0),
+            (5, 2, 100, 9.0),
+        ]
+    )
+    out = to_arrow(
+        sliding_window(
+            rd.from_arrow(t), key="user_id", ts="ts", value="value",
+            id_col="event_id", window_seconds=3600, num_partitions=2,
+        )
+    )
+    got = {
+        r["event_id"]: (r["cnt"], r["max_value"])
+        for r in out.to_pylist()
+    }
+    assert got == {
+        1: (1, 5.0),
+        2: (2, 5.0),   # [0, 3600] inclusive
+        3: (3, 3.0),   # {3600, 3601, 3601}
+        4: (3, 3.0),   # same frame as its peer
+        5: (1, 9.0),
+    }
+
+
+def test_sliding_window_matches_bruteforce_random(ray_session):
+    rng = np.random.default_rng(7)
+    n = 400
+    users = rng.integers(0, 5, n)
+    ts = np.sort(rng.integers(0, 20_000, n))
+    vals = np.round(rng.normal(size=n), 3)
+    t = _events(list(zip(range(n), users.tolist(), ts.tolist(), vals.tolist())))
+    out = to_arrow(
+        sliding_window(
+            rd.from_arrow(t), key="user_id", ts="ts", value="value",
+            id_col="event_id", window_seconds=1000, num_partitions=3,
+        )
+    )
+    got = {r["event_id"]: (r["cnt"], r["max_value"]) for r in out.to_pylist()}
+    for i in range(n):
+        frame = (users == users[i]) & (ts >= ts[i] - 1000) & (ts <= ts[i])
+        assert got[i] == (int(frame.sum()), float(vals[frame].max())), i
+
+
+def test_asof_join_golden(ray_session):
+    left = pa.table(
+        {
+            "k": pa.array([1, 1, 1, 2, 3], pa.int64()),
+            "lts": pa.array(
+                np.array([10, 20, 5, 10, 10], "datetime64[s]").astype(
+                    "datetime64[us]"
+                )
+            ),
+            "event_id": pa.array([100, 101, 102, 103, 104], pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "k": pa.array([1, 1, 1, 2], pa.int64()),
+            "rts": pa.array(
+                np.array([10, 10, 15, 50], "datetime64[s]").astype(
+                    "datetime64[us]"
+                )
+            ),
+            "rid": pa.array([7, 9, 8, 6], pa.int64()),
+            "price": pa.array([1.5, 2.5, 3.5, 4.5], pa.float64()),
+        }
+    )
+    out = to_arrow(
+        asof_join(
+            rd.from_arrow(left), rd.from_arrow(right),
+            on="k", left_ts="lts", right_ts="rts",
+            left_cols=["event_id"], right_cols=["rid", "price"],
+            right_tie="rid", num_partitions=2,
+        )
+    )
+    got = {r["event_id"]: (r["rid"], r["price"]) for r in out.to_pylist()}
+    assert got == {
+        100: (9, 2.5),   # ties at rts=10 -> greatest rid wins
+        101: (8, 3.5),   # latest rts <= 20 is 15
+        # 102: no right row at ts <= 5 -> dropped (inner)
+        # 103: k=2 right row is at 50 > 10 -> dropped
+        # 104: k=3 has no right rows at all -> dropped
+    }
+    assert out.num_rows == 2
+
+
+def test_asof_join_parallelism_independent(ray_session):
+    rng = np.random.default_rng(11)
+    nl, nr = 300, 200
+    left = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 8, nl), pa.int64()),
+            "lts": pa.array(
+                rng.integers(0, 1000, nl).astype("datetime64[s]").astype(
+                    "datetime64[us]"
+                )
+            ),
+            "event_id": pa.array(np.arange(nl), pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 8, nr), pa.int64()),
+            "rts": pa.array(
+                rng.integers(0, 1000, nr).astype("datetime64[s]").astype(
+                    "datetime64[us]"
+                )
+            ),
+            "rid": pa.array(np.arange(nr), pa.int64()),
+        }
+    )
+
+    def run(nparts, nblocks):
+        out = to_arrow(
+            asof_join(
+                rd.from_arrow(left).repartition(nblocks),
+                rd.from_arrow(right),
+                on="k", left_ts="lts", right_ts="rts",
+                left_cols=["event_id"], right_cols=["rid"],
+                right_tie="rid", num_partitions=nparts,
+            )
+        )
+        return sorted(zip(out["event_id"].to_pylist(), out["rid"].to_pylist()))
+
+    assert run(2, 1) == run(5, 7)

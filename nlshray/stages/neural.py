@@ -130,11 +130,8 @@ def fit_hash_weights(
     }
 
 
-def forward_probs(x: np.ndarray, weights: dict[str, np.ndarray]) -> np.ndarray:
-    """(n, dim) -> (n, bits) Bernoulli probabilities.
-
-    sin activations (encoders.py:58-79), sigmoid head (hashings.py:23-27).
-    """
+def _head_logits(x: np.ndarray, weights: dict[str, np.ndarray]) -> np.ndarray:
+    """Shared encoder stack + linear output layer -> raw logits."""
     act = str(np.asarray(weights.get("activation", ["sin"]))[0])
     h = x
     for i in range(int(weights["n_layers"][0])):
@@ -145,9 +142,42 @@ def forward_probs(x: np.ndarray, weights: dict[str, np.ndarray]) -> np.ndarray:
             # SIREN scales the WHOLE preactivation by omega0
             # (encoders.py: sin(omega0 * (Wx + b))), not just the bias
             h = np.sin(30.0 * pre)
-    logits = h @ weights["W_out"] + weights["b_out"]
+    return h @ weights["W_out"] + weights["b_out"]
+
+
+def forward_probs(x: np.ndarray, weights: dict[str, np.ndarray]) -> np.ndarray:
+    """(n, dim) -> (n, bits) Bernoulli probabilities.
+
+    sin activations (encoders.py:58-79), sigmoid head (hashings.py:23-27).
+    """
     with np.errstate(over="ignore"):
-        return 1.0 / (1.0 + np.exp(-logits))
+        return 1.0 / (1.0 + np.exp(-_head_logits(x, weights)))
+
+
+def forward_categorical(
+    x: np.ndarray, weights: dict[str, np.ndarray]
+) -> np.ndarray:
+    """(n, dim) -> (n, n_buckets) bucket distribution — the reference's
+    ``Categorical`` hasher head (``nlsh/hashings.py:94-139``): softmax
+    over a linear layer on the encoder output (M10; disabled in the
+    reference's runs but part of its hash-family surface). Same weight
+    dict as the Bernoulli head; ``W_out``'s width is the bucket count
+    instead of the bit count."""
+    logits = _head_logits(x, weights)
+    logits -= logits.max(axis=1, keepdims=True)   # stable softmax
+    e = np.exp(logits)
+    return e / e.sum(axis=1, keepdims=True)
+
+
+def categorical_codes(probs: np.ndarray, n_probes: int = 1) -> list[np.ndarray]:
+    """Bucket ids per vector: argmax (``hashings.py:132-134``) plus the
+    next (n_probes-1) most probable buckets as the deterministic
+    multi-probe analog (sorted, deduplicated — same contract as
+    ``sample_codes``)."""
+    if n_probes <= 1:
+        return [np.array([b]) for b in probs.argmax(axis=1)]
+    top = np.argsort(-probs, axis=1, kind="stable")[:, :n_probes]
+    return [np.unique(row) for row in top]
 
 
 def pack_codes(bits: np.ndarray) -> np.ndarray:

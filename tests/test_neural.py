@@ -182,3 +182,32 @@ def test_default_256_relu_shape():
 
     w = init_relu_weights(64)
     assert w["W0"].shape == (64, 256) and w["W1"].shape == (256, 256)
+
+
+def test_categorical_head():
+    """M10: softmax-argmax bucket head (ref nlsh/hashings.py:94-139)."""
+    import numpy as np
+
+    from nlshray.stages.neural import (
+        categorical_codes,
+        forward_categorical,
+        init_weights,
+    )
+
+    w = init_weights(16, hidden=(32,), bits=8, seed=5)  # 8 buckets
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(20, 16))
+    p = forward_categorical(x, w)
+    assert p.shape == (20, 8)
+    assert np.allclose(p.sum(axis=1), 1.0)
+    assert (p >= 0).all()
+    # hard hash = argmax, deterministic
+    codes = categorical_codes(p)
+    assert all(len(c) == 1 for c in codes)
+    assert [c[0] for c in codes] == p.argmax(axis=1).tolist()
+    # multi-probe: argmax always included, <= n_probes buckets, sorted
+    probes = categorical_codes(p, n_probes=3)
+    for i, pr in enumerate(probes):
+        assert p[i].argmax() in pr
+        assert 1 <= len(pr) <= 3
+        assert (np.diff(pr) > 0).all()

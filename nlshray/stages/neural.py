@@ -180,6 +180,25 @@ def categorical_codes(probs: np.ndarray, n_probes: int = 1) -> list[np.ndarray]:
     return [np.unique(row) for row in top]
 
 
+def save_weights(weights: dict[str, np.ndarray], path: str) -> None:
+    """Persist a hash-head weight dict (S5 — the reference's
+    ``hashings.py:53-58`` ``save(base_name)`` surface, npz instead of
+    torchscript). Atomic rename so a killed run never leaves a torn
+    checkpoint; the twin of ``NeuralBucketer(weights_path=...)``."""
+    import os
+
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, **weights)
+    os.replace(tmp, path)
+
+
+def load_weights(path: str) -> dict[str, np.ndarray]:
+    """Load a weight dict saved by ``save_weights`` (S6 load path; the
+    actor pool calls this once per worker in ``__init__``)."""
+    return dict(np.load(path))
+
+
 def pack_codes(bits: np.ndarray) -> np.ndarray:
     """(n, hash_size) {0,1} -> int64 bucket keys, MSB-first — the numpy
     twin of the reference's Cython fold (utils.pyx:13-14)."""
@@ -225,7 +244,7 @@ class NeuralBucketer:
         if weights is not None:
             self.weights = weights          # trained (fit_hash_weights)
         elif weights_path:
-            self.weights = dict(np.load(weights_path))
+            self.weights = load_weights(weights_path)
         else:
             self.weights = init_weights(dim, bits=bits, seed=seed)
         self.dim = dim

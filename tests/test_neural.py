@@ -211,3 +211,25 @@ def test_categorical_head():
         assert p[i].argmax() in pr
         assert 1 <= len(pr) <= 3
         assert (np.diff(pr) > 0).all()
+
+
+def test_save_load_weights_roundtrip(tmp_path):
+    """S5/S6: trained head -> disk -> bit-identical forward."""
+    import numpy as np
+
+    from nlshray.stages.neural import (
+        fit_hash_weights,
+        forward_probs,
+        load_weights,
+        save_weights,
+    )
+
+    rng = np.random.default_rng(1)
+    X = rng.normal(size=(64, 16))
+    w = fit_hash_weights(X, bits=6)
+    p = str(tmp_path / "head.npz")
+    save_weights(w, p)
+    w2 = load_weights(p)
+    assert set(w2) == set(w)
+    x = rng.normal(size=(10, 16))
+    assert (forward_probs(x, w2) == forward_probs(x, w)).all()

@@ -80,8 +80,34 @@ def _ensure_scaling_fixture() -> str:
     return out
 
 
+def _burn(secs: float) -> int:
+    t0 = time.perf_counter()
+    x = 0
+    while time.perf_counter() - t0 < secs:
+        for _ in range(10000):
+            x += 1
+    return x
+
+
+def _cpu_capacity(n: int, secs: float = 1.5) -> float:
+    """Concurrently measured host CPU capacity at n worker processes
+    (loop iters/sec, arbitrary units). This sandbox shares physical
+    cores with neighbors: a pure-CPU burn at 32 procs delivers only
+    ~70-80% of 32x the single-proc rate (measured; varies by window),
+    so the achievable num_cpus N -> 4N speedup is bounded by
+    cap(4N)/cap(N), NOT 4.0 — on a real N -> 4N NODE cluster each node
+    brings its own cores and this bound does not exist. The scaling
+    report therefore carries both the raw efficiency and the
+    host-capacity-normalized one, with the capacities disclosed."""
+    import multiprocessing as mp
+
+    with mp.get_context("spawn").Pool(n) as p:
+        return sum(p.map(_burn, [secs] * n)) / secs
+
+
 def run_dedup_only(num_cpus: int, pages_path: str) -> dict:
     """Headline dedup job alone over an arbitrary pages parquet path."""
+    cpu_capacity = _cpu_capacity(num_cpus)  # before ray.init: no contention
     import ray
 
     ray.init(
@@ -117,8 +143,13 @@ def run_dedup_only(num_cpus: int, pages_path: str) -> dict:
     # partitions scale with CPUs on compute-dominated runs; the low cap
     # only pays below ~100k rows where fixed per-partition cost dominates
     nparts = num_cpus * 2 if n_rows > 100_000 else max(8, min(16, num_cpus * 2))
+    # ~8 read blocks per cpu: on this steal-prone shared host a worker
+    # that loses its core for a while strands its whole block on the
+    # stage wall; many small tasks let the others absorb the tail
+    # (measured: sign stage 46.2s -> 38.0s at 32 cpus, 64 -> 256 blocks)
+    nblocks = num_cpus * 8 if n_rows > 100_000 else num_cpus * 2
     res = dedup_pages(
-        rd.read_parquet(pages_path, override_num_blocks=num_cpus * 2),
+        rd.read_parquet(pages_path, override_num_blocks=nblocks),
         DedupConfig(),
         num_partitions=nparts,
         force_distributed=force_dist,
@@ -134,6 +165,7 @@ def run_dedup_only(num_cpus: int, pages_path: str) -> dict:
         "num_cpus": num_cpus,
         "n_pages": n_rows,
         "docs_per_sec": round(n_rows / sec, 1),
+        "cpu_capacity": round(cpu_capacity, 0),
     }
 
 
@@ -251,6 +283,12 @@ def run_scaling() -> dict:
     tp_lo = best_lo["docs_per_sec"]
     tp_hi = best_hi["docs_per_sec"]
     eff = (tp_hi / tp_lo) / (hi / lo)
+    # host-capacity-normalized: divide by what a pure-CPU burn actually
+    # gained going lo -> hi procs IN THE SAME SUBPROCESSES (see
+    # _cpu_capacity — this shared host throttles wide jobs, a real
+    # multi-node cluster would not); both numbers + capacities reported
+    cap_ratio = best_hi["cpu_capacity"] / best_lo["cpu_capacity"]
+    eff_norm = (tp_hi / tp_lo) / cap_ratio
     return {
         "metric": f"dedup scaling efficiency (num_cpus {lo} -> {hi})",
         "n_pages": best_lo["n_pages"],
@@ -260,7 +298,11 @@ def run_scaling() -> dict:
         f"dedup_sec_{hi}": best_hi["value"],
         f"all_sec_{lo}": [r["value"] for r in runs_lo],
         f"all_sec_{hi}": [r["value"] for r in runs_hi],
+        f"cpu_capacity_{lo}": best_lo["cpu_capacity"],
+        f"cpu_capacity_{hi}": best_hi["cpu_capacity"],
+        "host_capacity_ratio": round(cap_ratio, 3),
         "scaling_efficiency": round(eff, 3),
+        "scaling_efficiency_host_normalized": round(eff_norm, 3),
     }
 
 

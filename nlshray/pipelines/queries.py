@@ -27,6 +27,7 @@ from nlshray.stages.ann import (
     gather_matrix,
     knn_bruteforce,
     knn_hnsw,
+    knn_ivf,
     knn_lsh,
 )
 from nlshray.stages.exact import exact_stage
@@ -662,6 +663,15 @@ def knn_hnsw_graph(sf_dir: str):
     return _round(to_arrow(out), {"sim": 6})
 
 
+def knn_ivf_probe(sf_dir: str):
+    """IVF (k-means inverted-file) top-10 — the coarse-quantizer member
+    of the ANN family. Rows-only: bucket membership is quantizer-defined;
+    recall vs brute force is gated in tests (near-1 at these settings)."""
+    emb, q, qids = _query_vectors(sf_dir)
+    out = knn_ivf(emb, q, qids, k=10, n_centroids=16, nprobe=6, seed=CFG.seed)
+    return _round(to_arrow(out), {"sim": 6})
+
+
 def embedding_dup_pairs(sf_dir: str):
     """All-pairs cosine >= 0.45 over embeddings (exact at sf scale,
     SQL-checkable; ``strategy="auto"`` flips to the bucketed LSH member
@@ -702,6 +712,7 @@ QUERIES = {
     "knn_cosine": knn_cosine,
     "knn_cosine_lsh": knn_cosine_lsh,
     "knn_hnsw": knn_hnsw_graph,
+    "knn_ivf": knn_ivf_probe,
     "knn_neural": knn_neural,
     "embedding_dup_pairs": embedding_dup_pairs,
 }

@@ -236,6 +236,89 @@ def knn_lsh(
     )
 
 
+def fit_ivf_centroids(
+    X: np.ndarray, n_centroids: int = 16, *, n_iters: int = 20, seed: int = 42
+) -> np.ndarray:
+    """Deterministic Lloyd k-means on unit-normalized vectors — the IVF
+    coarse quantizer (Jégou et al., PAMI 2011 — public method). Init is
+    seed-derived point selection (splitmix64 order, no RNG stream), and
+    iteration count is fixed, so every worker/rerun gets the same
+    centroids. At 10^12 scale, fit on a ``Dataset.random_sample`` of the
+    corpus (a few 100k rows suffice for a coarse quantizer); the
+    centroid matrix (n_centroids x dim, a few MB) broadcasts via
+    ``ray.put`` exactly like the LSH plane matrix."""
+    X = _l2norm(np.asarray(X, dtype=np.float64))
+    n = X.shape[0]
+    k = min(n_centroids, n)
+    order = np.argsort(splitmix64(np.arange(n, dtype=np.uint64) ^ np.uint64(seed)))
+    C = X[order[:k]].copy()
+    for _ in range(n_iters):
+        assign = np.argmax(X @ C.T, axis=1)       # cosine on unit sphere
+        for j in range(k):
+            m = assign == j
+            if m.any():
+                c = X[m].sum(axis=0)
+                nrm = np.linalg.norm(c)
+                if nrm > 0:
+                    C[j] = c / nrm
+    return C
+
+
+def knn_ivf(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 10,
+    *,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    train: np.ndarray | None = None,
+    col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+    exclude_self: bool = True,
+) -> ray.data.Dataset:
+    """IVF top-k: score a query only against corpus rows whose nearest
+    coarse centroid is among the query's ``nprobe`` nearest centroids —
+    the inverted-file member of the ANN family (brute / LSH / trained
+    ITQ / HNSW / IVF), same batch-mask + per-query re-rank shape as
+    ``knn_lsh``. ``train``: vectors to fit the quantizer on (defaults
+    to gathering the corpus — test scale; pass a sample at real scale).
+    """
+    dim = dim or queries.shape[1]
+    if train is None:
+        _ids, train = gather_matrix(ds, col=col, id_col=id_col, dim=dim)
+    C = fit_ivf_centroids(train, n_centroids, seed=seed)
+    qn = _l2norm(np.asarray(queries, dtype=np.float64))
+    # query probe lists: nprobe nearest centroids each
+    qprobe = np.argsort(-(qn @ C.T), axis=1, kind="stable")[:, :nprobe]
+    q_ref = ray.put((np.asarray(query_ids, dtype=np.int64), qn, qprobe))
+    c_ref = ray.put(C)
+
+    def score(t: pa.Table) -> dict[str, np.ndarray]:
+        qids, qmat, qp = ray.get(q_ref)
+        cm = ray.get(c_ref)
+        m = _l2norm(vectors_from_batch(t[col], dim))
+        vids = t[id_col].to_numpy()
+        vassign = np.argmax(m @ cm.T, axis=1)
+        probe_mask = (qp[:, :, None] == vassign[None, None, :]).any(axis=1)
+        sims = qmat @ m.T
+        sims = np.where(probe_mask, sims, -np.inf)
+        if exclude_self:
+            sims = np.where(vids[None, :] == qids[:, None], -np.inf, sims)
+        out = _topk_rows(qids, sims, vids, k)
+        keep = out["sim"] > -np.inf
+        return {kk: vv[keep] for kk, vv in out.items()}
+
+    cand = ds.select_columns([id_col, col]).map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True, batch_size=4096
+    )
+    return cand.groupby("query_id", num_partitions=4).map_groups(
+        _finalize_topk, fn_kwargs={"k": k}, batch_format="numpy"
+    )
+
+
 def knn_hnsw(
     ds: ray.data.Dataset,
     queries: np.ndarray,

@@ -108,3 +108,55 @@ def test_stage_recall_and_parallelism_independence(ray_session):
         )
     )
     assert key(out) == key(out2)
+
+
+# ---------------- IVF (same recall-gate pattern) ----------------
+
+def test_ivf_centroids_deterministic():
+    from nlshray.stages.ann import fit_ivf_centroids
+
+    pts = _clustered(seed=5)
+    a = fit_ivf_centroids(pts, 8, seed=42)
+    b = fit_ivf_centroids(pts, 8, seed=42)
+    assert (a == b).all()
+    assert np.allclose(np.linalg.norm(a, axis=1), 1.0)
+
+
+def test_ivf_stage_recall_and_determinism(ray_session):
+    from nlshray.stages.ann import knn_ivf
+
+    ds = rd.read_parquet(f"{SF}/embeddings.parquet")
+    q, qids = _query(ds)
+    bf = to_arrow(knn_bruteforce(ds, q, qids, k=10))
+    out = to_arrow(knn_ivf(ds, q, qids, k=10, n_centroids=16, nprobe=6))
+    recalls = []
+    for qid in qids:
+        want = set(
+            bf.filter(pa.compute.equal(bf["query_id"], int(qid)))[
+                "neighbor_id"
+            ].to_pylist()
+        )
+        got = set(
+            out.filter(pa.compute.equal(out["query_id"], int(qid)))[
+                "neighbor_id"
+            ].to_pylist()
+        )
+        recalls.append(len(want & got) / 10)
+    # nprobe=6 of 16 centroids on near-random sf embeddings: high but
+    # not exact (same theory bound as LSH at equal candidate budget)
+    assert float(np.mean(recalls)) >= 0.5
+
+    out2 = to_arrow(
+        knn_ivf(
+            rd.read_parquet(f"{SF}/embeddings.parquet", override_num_blocks=7),
+            q, qids, k=10, n_centroids=16, nprobe=6,
+        )
+    )
+    key = lambda t: sorted(
+        zip(
+            t["query_id"].to_pylist(),
+            t["neighbor_id"].to_pylist(),
+            [round(s, 12) for s in t["sim"].to_pylist()],
+        )
+    )
+    assert key(out) == key(out2)

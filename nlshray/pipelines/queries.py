@@ -343,6 +343,19 @@ def events_asof_orders(sf_dir: str):
     return tbl.rename_columns(["event_id", "last_order_key", "last_order_price"])
 
 
+def events_range_pairs(sf_dir: str):
+    """Range self-join: canonical pairs of same-user events within 10
+    minutes of each other — the range-join member of the join family
+    (broadcast ★, shuffle ★, as-of ★, range ★)."""
+    from nlshray.stages.joins import range_self_join
+
+    ds = _pq(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    return range_self_join(
+        ds, on="user_id", ts="ts", id_col="event_id",
+        window_seconds=600, num_partitions=NPARTS,
+    )
+
+
 # ---------------------------------------------------------------------------
 # dedup family over documents
 # ---------------------------------------------------------------------------
@@ -695,6 +708,7 @@ QUERIES = {
     "events_sessionize": events_sessionize,
     "events_sliding": events_sliding,
     "events_asof_orders": events_asof_orders,
+    "events_range_pairs": events_range_pairs,
     "exact_dup_docs": exact_dup_docs,
     "token_counts": token_counts,
     "doc_stats": doc_stats,
@@ -787,6 +801,14 @@ ORACLE_SQL = {
         WINDOW w AS (PARTITION BY user_id ORDER BY ts
                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
                            AND CURRENT ROW)
+    """,
+    "events_range_pairs": """
+        SELECT LEAST(e1.event_id, e2.event_id)    AS left_id,
+               GREATEST(e1.event_id, e2.event_id) AS right_id
+        FROM events e1 JOIN events e2
+          ON e1.user_id = e2.user_id
+         AND e1.event_id < e2.event_id
+         AND ABS(EPOCH_US(e1.ts) - EPOCH_US(e2.ts)) <= 600 * 1000000
     """,
     "events_asof_orders": """
         SELECT event_id, last_order_key, last_order_price FROM (

@@ -113,3 +113,52 @@ def asof_join(
     return both.groupby(on, num_partitions=num_partitions).map_groups(
         match, batch_format="pyarrow"
     )
+
+
+def range_self_join(
+    ds: ray.data.Dataset,
+    *,
+    on: str,
+    ts: str,
+    id_col: str,
+    window_seconds: int,
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """Range self-join: canonical (left_id < right_id) pairs of rows
+    sharing ``on`` whose timestamps differ by at most ``window_seconds``
+    (inclusive) — the banded/range-join member of the join family
+    (broadcast equi-join, shuffle equi-join, as-of, range).
+
+    Plan: one co-partitioning shuffle (``groupby(on)``), then per group a
+    sort + two ``np.searchsorted`` passes find each row's window span;
+    pairs are emitted vectorized with ``repeat``/``concatenate`` — no
+    per-pair Python. Output size is the real join cardinality (bounded
+    per key by activity-within-window, the same bound any range join
+    carries); the emit itself is O(pairs).
+    """
+    delta = np.timedelta64(window_seconds, "s")
+
+    def pairs(t: pa.Table) -> dict[str, np.ndarray]:
+        tsv = t[ts].to_numpy(zero_copy_only=False)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, tsv))
+        tsv, ids = tsv[order], ids[order]
+        n = len(ids)
+        # for row i (as the window's earliest member): rows in
+        # (i, hi_i) are within +window — emitting only forward spans
+        # yields each unordered pair exactly once
+        hi = np.searchsorted(tsv, tsv + delta, side="right")
+        counts = hi - np.arange(n) - 1
+        li = np.repeat(np.arange(n), counts)
+        ri = np.concatenate(
+            [np.arange(i + 1, h) for i, h in enumerate(hi)]
+        ) if counts.sum() else np.empty(0, np.int64)
+        a, b = ids[li], ids[ri]
+        return {
+            "left_id": np.minimum(a, b),
+            "right_id": np.maximum(a, b),
+        }
+
+    return ds.groupby(on, num_partitions=num_partitions).map_groups(
+        pairs, batch_format="pyarrow"
+    )

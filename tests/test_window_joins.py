@@ -28,9 +28,9 @@ def _events(rows):
 
 def test_sliding_window_golden(ray_session):
     # user 1: ts 0, 3600, 3601, 3601 — frame is INCLUSIVE both ends:
-    # the event at 3600 still sees the one at 0; the pair at 3601 are
-    # peers of each other but exclude ts=0 (3601-3600 > ... wait: lo =
-    # 3601-3600 = 1 > 0, so ts=0 is out) and include ts=3600.
+    # the event at 3600 still sees the one at 0 (Δ=3600 exactly); the
+    # pair at 3601 are peers of each other, include ts=3600, and
+    # exclude ts=0 (frame start 1 > 0).
     t = _events(
         [
             (1, 1, 0, 5.0),
@@ -160,3 +160,28 @@ def test_asof_join_parallelism_independent(ray_session):
         return sorted(zip(out["event_id"].to_pylist(), out["rid"].to_pylist()))
 
     assert run(2, 1) == run(5, 7)
+
+
+def test_range_self_join_golden(ray_session):
+    from nlshray.stages.joins import range_self_join
+
+    # user 1: ts 0, 60, 61, 61; window 60s INCLUSIVE: (1,2) in (Δ=60),
+    # (1,3)/(1,4) out (Δ=61), (2,3)/(2,4)/(3,4) in (Δ<=1; equal-ts peers
+    # pair exactly once)
+    t = _events(
+        [
+            (1, 1, 0, 0.0),
+            (2, 1, 60, 0.0),
+            (3, 1, 61, 0.0),
+            (4, 1, 61, 0.0),
+            (5, 2, 0, 0.0),    # different user: no cross-user pairs
+        ]
+    )
+    out = to_arrow(
+        range_self_join(
+            rd.from_arrow(t), on="user_id", ts="ts", id_col="event_id",
+            window_seconds=60, num_partitions=2,
+        )
+    )
+    got = set(zip(out["left_id"].to_pylist(), out["right_id"].to_pylist()))
+    assert got == {(1, 2), (2, 3), (2, 4), (3, 4)}

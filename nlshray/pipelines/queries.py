@@ -29,6 +29,7 @@ from nlshray.stages.ann import (
     knn_hnsw,
     knn_ivf,
     knn_lsh,
+    knn_pq,
 )
 from nlshray.stages.exact import exact_stage
 from nlshray.stages.sign import sign_stage, sigs_to_numpy
@@ -685,6 +686,18 @@ def knn_ivf_probe(sf_dir: str):
     return _round(to_arrow(out), {"sim": 6})
 
 
+def knn_pq_adc(sf_dir: str):
+    """Product-quantization asymmetric-distance top-10 — implements the
+    extension the reference only declared (``nlsh/hashings.py:142-145``
+    is a ``pass`` stub). 16 uint8 codes per vector; rows-only
+    (quantized distances are approximate by construction; recall gated
+    in tests)."""
+    emb, q, qids = _query_vectors(sf_dir)
+    out = knn_pq(emb, q, qids, k=10, n_subspaces=16, n_centroids=16,
+                 seed=CFG.seed)
+    return _round(to_arrow(out), {"sim": 6})
+
+
 def embedding_dup_pairs(sf_dir: str):
     """All-pairs cosine >= 0.45 over embeddings (exact at sf scale,
     SQL-checkable; ``strategy="auto"`` flips to the bucketed LSH member
@@ -727,6 +740,7 @@ QUERIES = {
     "knn_cosine_lsh": knn_cosine_lsh,
     "knn_hnsw": knn_hnsw_graph,
     "knn_ivf": knn_ivf_probe,
+    "knn_pq": knn_pq_adc,
     "knn_neural": knn_neural,
     "embedding_dup_pairs": embedding_dup_pairs,
 }

@@ -236,6 +236,126 @@ def knn_lsh(
     )
 
 
+def _lloyd_l2(
+    X: np.ndarray, k: int, *, n_iters: int = 20, seed: int = 42
+) -> np.ndarray:
+    """Deterministic Lloyd k-means under L2 (seed-derived point init,
+    fixed iterations) — shared by the PQ sub-band codebooks."""
+    n = X.shape[0]
+    k = min(k, n)
+    order = np.argsort(splitmix64(np.arange(n, dtype=np.uint64) ^ np.uint64(seed)))
+    C = X[order[:k]].copy()
+    for _ in range(n_iters):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d, axis=1)
+        for j in range(k):
+            m = assign == j
+            if m.any():
+                C[j] = X[m].mean(axis=0)
+    return C
+
+
+def fit_pq_codebooks(
+    X: np.ndarray, *, n_subspaces: int = 16, n_centroids: int = 16,
+    n_iters: int = 20, seed: int = 42,
+) -> np.ndarray:
+    """Product-quantization codebooks (Jégou et al., PAMI 2011):
+    (n_subspaces, n_centroids, dim/n_subspaces). The reference DECLARES
+    this extension but never implements it (``nlsh/hashings.py:142-145``
+    is a ``pass`` stub); here it is real. Vectors are expected
+    unit-normalized (the engine's cosine space), so the asymmetric L2
+    distance maps back to a similarity as ``1 - d2/2``."""
+    X = np.asarray(X, dtype=np.float64)
+    dim = X.shape[1]
+    if dim % n_subspaces:
+        raise ValueError(f"dim {dim} not divisible by {n_subspaces}")
+    dsub = dim // n_subspaces
+    return np.stack(
+        [
+            _lloyd_l2(
+                X[:, s * dsub : (s + 1) * dsub], n_centroids,
+                n_iters=n_iters, seed=seed * 131 + s,
+            )
+            for s in range(n_subspaces)
+        ]
+    )
+
+
+def encode_pq(X: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """(n, dim) -> (n, n_subspaces) uint8 codes — nearest sub-centroid
+    per band. 64x compression at dim=64 float32 -> 16 bytes/vector."""
+    m, k, dsub = codebooks.shape
+    codes = np.empty((X.shape[0], m), np.uint8)
+    for s in range(m):
+        sub = X[:, s * dsub : (s + 1) * dsub]
+        d = ((sub[:, None, :] - codebooks[s][None, :, :]) ** 2).sum(axis=2)
+        codes[:, s] = np.argmin(d, axis=1)
+    return codes
+
+
+def knn_pq(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 10,
+    *,
+    n_subspaces: int = 16,
+    n_centroids: int = 16,
+    seed: int = 42,
+    train: np.ndarray | None = None,
+    col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+    exclude_self: bool = True,
+) -> ray.data.Dataset:
+    """PQ asymmetric-distance top-k: corpus rows compress to
+    ``n_subspaces`` uint8 codes per batch; each query precomputes a
+    (n_subspaces x n_centroids) distance lookup table and scores a row
+    as the sum of table entries at its codes — no full vectors move
+    after encoding, which is the point of PQ at 10^12 scale (16 B/vec
+    in the index vs 256 B raw). Approximate by construction; recall
+    gated in tests, same candidate/re-rank contract as the other
+    members."""
+    dim = dim or queries.shape[1]
+    if train is None:
+        _ids, train = gather_matrix(ds, col=col, id_col=id_col, dim=dim)
+        # gathered block order depends on task completion order — sort
+        # by id so codebook init (positional) is parallelism-independent
+        train = train[np.argsort(_ids, kind="stable")]
+    books = fit_pq_codebooks(
+        _l2norm(train), n_subspaces=n_subspaces, n_centroids=n_centroids,
+        seed=seed,
+    )
+    qn = _l2norm(np.asarray(queries, dtype=np.float64))
+    m, kc, dsub = books.shape
+    # per-query LUT: ||q_sub - centroid||^2 for every (band, centroid)
+    qsub = qn.reshape(qn.shape[0], m, dsub)
+    lut = ((qsub[:, :, None, :] - books[None, :, :, :]) ** 2).sum(axis=3)
+    q_ref = ray.put((np.asarray(query_ids, dtype=np.int64), lut))
+    books_ref = ray.put(books)
+
+    def score(t: pa.Table) -> dict[str, np.ndarray]:
+        qids, ql = ray.get(q_ref)
+        bk = ray.get(books_ref)
+        mat = _l2norm(vectors_from_batch(t[col], dim))
+        vids = t[id_col].to_numpy()
+        codes = encode_pq(mat, bk)
+        d2 = np.zeros((ql.shape[0], mat.shape[0]))
+        for s in range(bk.shape[0]):
+            d2 += ql[:, s, :][:, codes[:, s]]
+        sims = 1.0 - d2 / 2.0   # unit sphere: ||a-b||^2 = 2 - 2 cos
+        if exclude_self:
+            sims = np.where(vids[None, :] == qids[:, None], -np.inf, sims)
+        return _topk_rows(qids, sims, vids, k)
+
+    cand = ds.select_columns([id_col, col]).map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True, batch_size=4096
+    )
+    return cand.groupby("query_id", num_partitions=4).map_groups(
+        _finalize_topk, fn_kwargs={"k": k}, batch_format="numpy"
+    )
+
+
 def fit_ivf_centroids(
     X: np.ndarray, n_centroids: int = 16, *, n_iters: int = 20, seed: int = 42
 ) -> np.ndarray:
@@ -289,6 +409,9 @@ def knn_ivf(
     dim = dim or queries.shape[1]
     if train is None:
         _ids, train = gather_matrix(ds, col=col, id_col=id_col, dim=dim)
+        # gathered block order depends on task completion order — sort
+        # by id so centroid init (positional) is parallelism-independent
+        train = train[np.argsort(_ids, kind="stable")]
     C = fit_ivf_centroids(train, n_centroids, seed=seed)
     qn = _l2norm(np.asarray(queries, dtype=np.float64))
     # query probe lists: nprobe nearest centroids each

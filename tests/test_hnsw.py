@@ -160,3 +160,63 @@ def test_ivf_stage_recall_and_determinism(ray_session):
         )
     )
     assert key(out) == key(out2)
+
+
+# ---------------- PQ (the reference's declared-but-unimplemented
+# ProductQuantization, nlsh/hashings.py:142-145) ----------------
+
+def test_pq_codebooks_deterministic_and_shapes():
+    from nlshray.stages.ann import encode_pq, fit_pq_codebooks
+
+    pts = _clustered(dim=64, seed=2)
+    a = fit_pq_codebooks(pts, n_subspaces=16, n_centroids=16, seed=42)
+    b = fit_pq_codebooks(pts, n_subspaces=16, n_centroids=16, seed=42)
+    assert a.shape == (16, 16, 4)
+    assert (a == b).all()
+    codes = encode_pq(pts, a)
+    assert codes.shape == (len(pts), 16) and codes.dtype == np.uint8
+
+
+def test_pq_kernel_recall_on_clustered():
+    from nlshray.stages.ann import encode_pq, fit_pq_codebooks
+
+    pts = _clustered(dim=64, seed=0)
+    books = fit_pq_codebooks(pts, n_subspaces=16, n_centroids=16, seed=42)
+    codes = encode_pq(pts, books)
+    m, kc, dsub = books.shape
+    qsub = pts.reshape(-1, m, dsub)
+    lut = ((qsub[:, :, None, :] - books[None]) ** 2).sum(axis=3)
+    d2 = np.zeros((len(pts), len(pts)))
+    for s in range(m):
+        d2 += lut[:, s, :][:, codes[:, s]]
+    sims_true = pts @ pts.T
+    sims_adc = 1 - d2 / 2
+    rec = []
+    for q in range(0, len(pts), 7):
+        t = set(np.argsort(-sims_true[q])[1:11].tolist())
+        g = set(np.argsort(-sims_adc[q])[1:11].tolist())
+        rec.append(len(t & g) / 10)
+    assert float(np.mean(rec)) >= 0.7
+
+
+def test_pq_stage_runs_and_deterministic(ray_session):
+    from nlshray.stages.ann import knn_pq
+
+    ds = rd.read_parquet(f"{SF}/embeddings.parquet")
+    q, qids = _query(ds)
+    out = to_arrow(knn_pq(ds, q, qids, k=10))
+    assert out.num_rows == 30  # 3 queries x 10
+    out2 = to_arrow(
+        knn_pq(
+            rd.read_parquet(f"{SF}/embeddings.parquet", override_num_blocks=7),
+            q, qids, k=10,
+        )
+    )
+    key = lambda t: sorted(
+        zip(
+            t["query_id"].to_pylist(),
+            t["neighbor_id"].to_pylist(),
+            [round(s, 12) for s in t["sim"].to_pylist()],
+        )
+    )
+    assert key(out) == key(out2)

@@ -20,7 +20,6 @@ import ray.data as rd
 from ray.data.aggregate import Count, Mean, Sum
 
 from nlshray.config import DedupConfig
-from nlshray.functions.textstats import whitespace_token_count
 from nlshray.pipelines.dedup import dedup_docs, to_arrow
 from nlshray.stages.ann import (
     embedding_near_dup,
@@ -370,16 +369,25 @@ def exact_dup_docs(sf_dir: str):
 
 
 def token_counts(sf_dir: str):
+    """Whitespace tokens + BPE-ish pieces (words | single punct) per
+    doc — both as single vectorized RE2 count kernels, no per-row
+    Python (the scalar twins in functions/textstats.py define the
+    semantics and are golden-tested equal)."""
     docs = _pq(sf_dir, "documents", columns=["doc_id", "text"])
 
     def fn(t: pa.Table) -> pa.Table:
+        arr = t["text"]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        n_ws = pc.count_substring_regex(arr, r"\S+")
+        n_pieces = pc.count_substring_regex(
+            arr, r"[0-9a-zA-Z_]+|[^0-9a-zA-Z_\s]"
+        )
         return pa.table(
             {
                 "doc_id": t["doc_id"],
-                "n_ws_tokens": pa.array(
-                    [whitespace_token_count(x) for x in t["text"].to_pylist()],
-                    pa.int64(),
-                ),
+                "n_ws_tokens": n_ws.cast(pa.int64()),
+                "n_pieces": n_pieces.cast(pa.int64()),
             }
         )
 
@@ -390,13 +398,15 @@ def doc_stats(sf_dir: str):
     docs = _pq(sf_dir, "documents", columns=["doc_id", "text"])
 
     def fn(t: pa.Table) -> pa.Table:
-        texts = t["text"].to_pylist()
+        arr = t["text"]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
         return pa.table(
             {
                 "doc_id": t["doc_id"],
-                "n_chars": pc.utf8_length(t["text"]).cast(pa.int64()),
-                "n_ws_tokens": pa.array(
-                    [whitespace_token_count(x) for x in texts], pa.int64()
+                "n_chars": pc.utf8_length(arr).cast(pa.int64()),
+                "n_ws_tokens": pc.count_substring_regex(arr, r"\S+").cast(
+                    pa.int64()
                 ),
             }
         )
@@ -846,7 +856,10 @@ ORACLE_SQL = {
         SELECT doc_id,
                CASE WHEN TRIM(text) = '' THEN 0
                     ELSE LENGTH(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+'))
-               END AS n_ws_tokens
+               END AS n_ws_tokens,
+               LENGTH(REGEXP_EXTRACT_ALL(
+                   text, '[0-9a-zA-Z_]+|[^0-9a-zA-Z_\\s]'
+               )) AS n_pieces
         FROM documents
     """,
     "doc_stats": """

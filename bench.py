@@ -140,14 +140,15 @@ def run_dedup_only(num_cpus: int, pages_path: str) -> dict:
             while f.read(1 << 24):
                 pass
     t0 = time.perf_counter()
-    # partitions scale with CPUs on compute-dominated runs; the low cap
-    # only pays below ~100k rows where fixed per-partition cost dominates
-    nparts = num_cpus * 2 if n_rows > 100_000 else max(8, min(16, num_cpus * 2))
-    # ~8 read blocks per cpu: on this steal-prone shared host a worker
-    # that loses its core for a while strands its whole block on the
-    # stage wall; many small tasks let the others absorb the tail
-    # (measured: sign stage 46.2s -> 38.0s at 32 cpus, 64 -> 256 blocks)
-    nblocks = num_cpus * 8 if n_rows > 100_000 else num_cpus * 2
+    # measured (3.2M pages, 32 cpus, same quiet window): 16 partitions /
+    # 64 blocks = 75.6 s vs 64 partitions / 256 blocks = 125.4 s — the
+    # multi-execution pipeline pays per-task dispatch + per-partition
+    # fixed cost on EVERY one of its ~10 executions, which dwarfs the
+    # straggler-smoothing a finer split buys on any single stage. Low
+    # task counts win at 8 cpus too (16 vs 64 blocks: 324 vs 430 s
+    # back-to-back).
+    nparts = max(8, min(16, num_cpus * 2))
+    nblocks = num_cpus * 2
     res = dedup_pages(
         rd.read_parquet(pages_path, override_num_blocks=nblocks),
         DedupConfig(),

@@ -66,9 +66,23 @@ class DedupConfig:
             )
 
     def config_hash(self) -> str:
-        """Stable fingerprint used in checkpoint manifests."""
+        """Stable fingerprint used in checkpoint manifests.
+
+        Folds in ``_KERNEL_VERSION`` so checkpoints written by an older
+        hash/ID kernel invalidate cleanly — config fields alone cannot
+        see a code-level change to doc ids, text hashes or signatures,
+        and resuming across one would silently mix ID spaces.
+        """
         d = asdict(self)
         d.pop("extra", None)
         d.pop("num_cpus", None)   # parallelism must not change results
+        d["_kernel_version"] = _KERNEL_VERSION
         blob = json.dumps(d, sort_keys=True).encode()
         return hashlib.sha256(blob).hexdigest()[:16]
+
+
+# bump whenever a deterministic kernel changes its outputs:
+#   1 = blake2b era (round 1)
+#   2 = poly_fold hash kernels (round 2)
+#   3 = ASCII-unified tokenizer + dual-hash exact groups (round 3)
+_KERNEL_VERSION = 3

@@ -46,7 +46,7 @@ def make_vocab(n_words: int, seed: int) -> list[str]:
 
 def _format_text(token_words: list[str], rng: np.random.Generator) -> str:
     """Tokens -> sentences -> paragraphs. Token stream is preserved
-    under ``tokenize(text)`` (lowercase \\w+), so Jaccard semantics are
+    under ``tokenize(text)`` (lowercase ``[0-9a-z_]+``), so Jaccard semantics are
     independent of formatting."""
     sents = []
     i = 0

@@ -31,9 +31,13 @@ from nlshray.hashing import (
     splitmix64,
 )
 
-_TOKEN_RE = re.compile(r"\w+", re.UNICODE)
-# RE2 split pattern equivalent to python \W+ on LOWERCASED ASCII text
-# (the corpus contract: web text normalized at extraction)
+# ONE token definition for scalar and batch paths: maximal runs of
+# [0-9a-z_] in the lowercased text. ASCII-only ON PURPOSE — the batch
+# path runs in Arrow's RE2 split kernel, whose fast byte-class scan
+# can't match python's Unicode \w, and a scalar/batch divergence would
+# change query semantics across size-routing boundaries (non-ASCII word
+# chars act as separators in BOTH paths; tested on de/fr text).
+_TOKEN_RE = re.compile(r"[0-9a-z_]+")
 _SPLIT_PATTERN = r"[^0-9a-z_]+"
 
 # sentinel shingle for documents with zero tokens: all empty docs share
@@ -42,7 +46,8 @@ _EMPTY_SENTINEL = np.uint64(0xE117E117E117E117)
 
 
 def tokenize(text: str) -> list[str]:
-    """Lowercased word tokens. Pure function of the text bytes."""
+    """Lowercased ASCII word tokens ([0-9a-z_]+ runs). Pure function of
+    the text bytes, identical to the batch RE2 tokenizer by definition."""
     return _TOKEN_RE.findall(text.lower())
 
 
@@ -61,8 +66,9 @@ def batch_token_hashes(texts, seed: int = 0) -> tuple[np.ndarray, np.ndarray]:
 
     Returns ``(flat_hashes, counts)``: ``flat_hashes`` concatenates every
     document's token hashes in order; ``counts[i]`` is doc i's token
-    count (0 for empty docs). Tokens are the ``\\w+`` runs of the
-    lowercased text; hashes are ``splitmix64(poly_fold(bytes) ^ seed)``.
+    count (0 for empty docs). Tokens are the ``[0-9a-z_]+`` runs of the
+    lowercased text (same definition as the scalar ``tokenize``); hashes
+    are ``splitmix64(poly_fold(bytes) ^ seed)``.
     """
     arr = _as_string_array(texts)
     toks = pc.split_pattern_regex(pc.utf8_lower(arr), _SPLIT_PATTERN)

@@ -13,11 +13,17 @@ import numpy as np
 
 from nlshray.hashing import splitmix64
 
-_WS_RE = re.compile(r"\s+")
-_TOKEN_RE = re.compile(r"\w+", re.UNICODE)
+# ASCII character classes throughout — matching the batch kernel's RE2
+# definitions EXACTLY (RE2's fast scan is ASCII-classed; a Unicode \w
+# here would change semantics between the scalar and batch paths on
+# non-ASCII text). Non-ASCII word chars count as punctuation/separators
+# in both paths; tested on de/fr text.
+_WS_RE = re.compile(r"\S+", re.ASCII)
+_TOKEN_RE = re.compile(r"[0-9a-z_]+")
 # BPE-ish word/punct pieces: word chars | single non-word-non-space
-_PIECE_RE = re.compile(r"\w+|[^\w\s]", re.UNICODE)
-_PUNCT_RE = re.compile(r"[^\w\s]", re.UNICODE)
+_PIECE_RE = re.compile(r"[0-9a-zA-Z_]+|[^0-9a-zA-Z_\s]", re.ASCII)
+_PUNCT_RE = re.compile(r"[^0-9a-zA-Z_\s]", re.ASCII)
+_DIGIT_RE = re.compile(r"[0-9]")
 
 # compact stopword profiles for the n-gram/stopword language heuristic
 _LANG_STOPWORDS: dict[str, frozenset[str]] = {
@@ -37,9 +43,9 @@ _LANG_STOPWORDS: dict[str, frozenset[str]] = {
 
 
 def whitespace_token_count(text: str) -> int:
-    """Tokens by whitespace split (the SQL-parity token counter)."""
-    t = text.strip()
-    return len(_WS_RE.split(t)) if t else 0
+    """Tokens by whitespace split: count of ``\\S+`` runs (ASCII \\s,
+    the exact definition the batch RE2 kernel counts)."""
+    return len(_WS_RE.findall(text))
 
 
 def piece_token_count(text: str) -> int:
@@ -64,7 +70,7 @@ def quality_features(text: str) -> dict[str, float]:
         sum(1 for t in toks if t in stop) / n_tokens if n_tokens else 0.0
     )
     digit_ratio = (
-        sum(ch.isdigit() for ch in text) / n_chars if n_chars else 0.0
+        len(_DIGIT_RE.findall(text)) / n_chars if n_chars else 0.0
     )
     punct_ratio = n_punct / n_chars if n_chars else 0.0
 
@@ -126,8 +132,9 @@ def doc_fingerprint(text: str, gram: int = 8) -> int:
 
 # ---------------------------------------------------------------------------
 # Vectorized batch kernel (Arrow C++ RE2 counts + segmented numpy).
-# Bit-identical to the scalar functions above (tested): every ratio is an
-# integer-count division and the quality score multiplies the same
+# Bit-identical to the scalar functions above (tested, incl. non-ASCII
+# text — both sides use the same ASCII character classes): every ratio
+# is an integer-count division and the quality score multiplies the same
 # constants in the same order.
 # ---------------------------------------------------------------------------
 

@@ -29,6 +29,12 @@ _C2 = _U64(0x94D049BB133111EB)
 _GOLDEN = _U64(0x9E3779B97F4A7C15)
 # polynomial-fold multiplier (odd => bijective per step mod 2^64)
 _POLY = _U64(0x100000001B3)  # FNV-1a 64 prime
+# independent second multiplier (MurmurHash64A constant) for the
+# verification hash: a poly-fold collision is fold-structural, so it
+# survives ANY finalizer seed — independence requires a different
+# multiplier, and a simultaneous collision under two unrelated odd
+# multipliers is a ~2^-126 event
+_POLY2 = _U64(0xC6A4A7935BD1E995)
 
 MASK63 = (1 << 63) - 1  # doc ids are masked to 63 bits -> int64-safe everywhere
 
@@ -72,7 +78,9 @@ def _seed_mix(seed: int) -> np.uint64:
     return splitmix64(np.array([np.uint64(seed)], dtype=np.uint64))[0]
 
 
-def poly_fold_ragged(values: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+def poly_fold_ragged(
+    values: np.ndarray, lengths: np.ndarray, mult: np.uint64 = _POLY
+) -> np.ndarray:
     """Segmented ``acc = acc * P + v`` fold, vectorized over segments.
 
     ``values``: contiguous concatenation of all segments (any int dtype,
@@ -80,7 +88,8 @@ def poly_fold_ragged(values: np.ndarray, lengths: np.ndarray) -> np.ndarray:
     Returns one raw uint64 per segment (NO splitmix finalize — callers
     add their own). Equivalent to ``sum(v_i * P^(L-1-i)) mod 2^64``,
     computed with a power table + one wrapping cumsum — no per-segment
-    python. Empty segments fold to 0.
+    python. Empty segments fold to 0. ``mult`` selects the multiplier
+    (pass ``_POLY2`` for an independent verification hash).
     """
     lengths = lengths.astype(np.int64, copy=False)
     n = lengths.shape[0]
@@ -99,7 +108,7 @@ def poly_fold_ragged(values: np.ndarray, lengths: np.ndarray) -> np.ndarray:
         pows[0] = _U64(1)
         if maxlen > 1:
             np.multiply.accumulate(
-                np.full(maxlen - 1, _POLY, dtype=_U64), out=pows[1:]
+                np.full(maxlen - 1, mult, dtype=_U64), out=pows[1:]
             )
         # Tiled over segment groups: the uint64 temporaries (exp,
         # contrib, cumsum) inflate byte input 8x each — unbounded they
@@ -131,9 +140,22 @@ def _string_array_bytes(arr) -> tuple[np.ndarray, np.ndarray]:
     """(byte values concatenated per string, per-string byte lengths)
     for a flat Arrow String/Binary array — zero-copy views of its
     buffers wherever the values are contiguous (always true for freshly
-    built arrays, e.g. the output of split kernels)."""
+    built arrays, e.g. the output of split kernels).
+
+    Handles both 32-bit (string/binary) and 64-bit (large_string/
+    large_binary) offset widths — misreading a large_* buffer as int32
+    would silently hash every row identically."""
+    import pyarrow as pa
+
+    t = arr.type
+    if pa.types.is_large_string(t) or pa.types.is_large_binary(t):
+        off_dtype = np.int64
+    elif pa.types.is_string(t) or pa.types.is_binary(t):
+        off_dtype = np.int32
+    else:
+        raise TypeError(f"unsupported array type for byte hashing: {t}")
     offs_buf = arr.buffers()[1]
-    offs = np.frombuffer(offs_buf, dtype=np.int32)[
+    offs = np.frombuffer(offs_buf, dtype=off_dtype)[
         arr.offset : arr.offset + len(arr) + 1
     ].astype(np.int64)
     data_buf = arr.buffers()[2]
@@ -145,7 +167,7 @@ def _string_array_bytes(arr) -> tuple[np.ndarray, np.ndarray]:
     return data[offs[0] : offs[-1]], np.diff(offs)
 
 
-def hash_utf8_array(arr, seed: int = 0) -> np.ndarray:
+def hash_utf8_array(arr, seed: int = 0, mult: np.uint64 = _POLY) -> np.ndarray:
     """Vectorized 64-bit hash of an Arrow string/binary array.
 
     Polynomial fold over each value's utf-8 bytes (P = FNV-64 prime, so
@@ -161,7 +183,7 @@ def hash_utf8_array(arr, seed: int = 0) -> np.ndarray:
     elif not isinstance(arr, pa.Array):
         arr = pa.array(list(arr), pa.string())
     data, lengths = _string_array_bytes(arr)
-    raw = poly_fold_ragged(data, lengths)
+    raw = poly_fold_ragged(data, lengths, mult=mult)
     return splitmix64(raw ^ _seed_mix(seed))
 
 

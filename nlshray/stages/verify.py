@@ -297,6 +297,14 @@ def verify_stage(
     # borderline pairs exist) one shingle-set scan + a lazy decision map.
     # Round-1's version materialized est, borderline and the union
     # separately (3 extra executor barriers on the serial floor).
+    #
+    # The confident-accept boundary is max(exact_hi, threshold): accepting
+    # on the estimate alone is only sound when the estimate is ABOVE the
+    # threshold (with threshold > exact_hi, e.g. the threshold=1.0
+    # equivalence query, a pair with true J just under the threshold could
+    # otherwise be confirmed on a high estimate and never exact-verified).
+    hi = max(cfg.exact_hi, cfg.threshold)
+
     def classify(t: pa.Table) -> pa.Table:
         """Pairs annotated with est_jaccard; rejects (< exact_lo)
         dropped in place so only keepers hit the object store."""
@@ -339,7 +347,7 @@ def verify_stage(
     # borderline doc ids straight off the materialized table (no re-execution)
     bl_chunks = []
     for b in kept.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
-        sel = b.filter(pc.less_equal(b["est_jaccard"], cfg.exact_hi))
+        sel = b.filter(pc.less_equal(b["est_jaccard"], hi))
         bl_chunks.append(np.asarray(sel["left_id"]))
         bl_chunks.append(np.asarray(sel["right_id"]))
     bl_ids = (
@@ -354,7 +362,7 @@ def verify_stage(
         """Confident pairs keep the estimate; borderline pairs get exact
         shingle Jaccard from the broadcast sets — one pass, one output."""
         est_j = t["est_jaccard"].to_numpy()
-        confident = est_j > cfg.exact_hi
+        confident = est_j > hi
         jac = est_j.astype(np.float64).copy()
         if not confident.all():
             sets = ray.get(sets_ref)

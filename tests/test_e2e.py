@@ -108,3 +108,63 @@ def test_numpy_components_matches_unionfind():
         keys, labels = numpy_components(l, r)
         want = uf.labels(keys.tolist())
         assert labels.tolist() == want
+
+
+def test_verify_threshold_above_exact_hi_forces_exact(ray_session):
+    """ADVICE r2 (high): with threshold > exact_hi the confident-accept
+    cut must move UP to the threshold — a pair whose ESTIMATE is high
+    (here: bit-equal signatures, est=1.0) but whose true Jaccard is
+    below the threshold must be exact-verified and rejected, never
+    confirmed on the estimate."""
+    import pyarrow as pa
+
+    from nlshray.config import DedupConfig
+    from nlshray.stages.sign import MinHashSigner
+    from nlshray.stages.verify import verify_stage
+
+    cfg = DedupConfig(threshold=1.0)
+    base = " ".join(f"tok{i}" for i in range(3000))
+    signer = MinHashSigner(cfg)
+
+    # deterministic search: an appended token whose 5 new shingles never
+    # win a min under any of the 128 permutations -> est_jaccard == 1.0
+    # while the true shingle-set Jaccard is < 1.0
+    sig_a = None
+    text_b = None
+    for cand in range(200):
+        ta, tb = base, base + f" extra{cand}"
+        t = signer(
+            pa.table(
+                {
+                    "doc_id": pa.array([1, 2], pa.int64()),
+                    "text": pa.array([ta, tb], pa.string()),
+                }
+            )
+        )
+        if t["sig"][0].as_py() == t["sig"][1].as_py():
+            sig_a, text_b = t, tb
+            break
+    assert sig_a is not None, "no est==1.0 construction found"
+
+    pairs = rd.from_arrow(
+        pa.table(
+            {
+                "left_id": pa.array([1], pa.int64()),
+                "right_id": pa.array([2], pa.int64()),
+                "n_bands": pa.array([16], pa.int64()),
+            }
+        )
+    )
+    sigs = rd.from_arrow(sig_a)
+    reps = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array([base, text_b], pa.string()),
+            }
+        )
+    )
+    out = to_arrow(
+        verify_stage(pairs, sigs, reps, cfg, allow_small_path=False)
+    )
+    assert out.num_rows == 0, out.to_pylist()

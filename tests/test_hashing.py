@@ -78,3 +78,35 @@ def test_band_hashes_band_identity_mixed_in():
     ba, bb = band_hashes(a, 2, 8), band_hashes(b, 2, 8)
     assert ba[0, 0] == bb[0, 0]
     assert ba[0, 1] != bb[0, 1]
+
+
+def test_hash_utf8_array_large_string_offsets():
+    """large_string (int64 offsets) must hash identically to string —
+    misreading the offsets as int32 silently hashed every row the same
+    (mass-collapse in exact dedup)."""
+    import pyarrow as pa
+
+    from nlshray.hashing import hash_utf8_array
+
+    texts = ["alpha", "beta", "gamma gamma", "", "alpha"]
+    small = pa.array(texts, pa.string())
+    large = pa.array(texts, pa.large_string())
+    hs = hash_utf8_array(small, seed=7)
+    hl = hash_utf8_array(large, seed=7)
+    np.testing.assert_array_equal(hs, hl)
+    assert len(np.unique(hs)) == 4  # distinct texts hash distinctly
+
+    # sliced large arrays (non-zero arr.offset) parse correctly too
+    sl = large.slice(1, 3)
+    np.testing.assert_array_equal(hash_utf8_array(sl, seed=7), hs[1:4])
+
+    # binary flavors
+    bs = pa.array([t.encode() for t in texts], pa.binary())
+    bl = pa.array([t.encode() for t in texts], pa.large_binary())
+    np.testing.assert_array_equal(hash_utf8_array(bs), hash_utf8_array(bl))
+
+    # unsupported types raise instead of mis-hashing
+    import pytest
+
+    with pytest.raises(TypeError):
+        hash_utf8_array(pa.array([1, 2, 3]))

@@ -102,3 +102,27 @@ def test_vectorized_matches_slow_reference():
         assert want.shape[0] == ln
         assert (flat[off : off + ln] == want).all(), repr(t[:40])
         off += ln
+
+
+def test_scalar_batch_tokenizer_agree_non_ascii():
+    """Scalar tokenize() and the batch RE2 tokenizer share ONE ASCII
+    token definition — de/fr text must produce identical token hashes
+    in both paths (a divergence here silently changes query semantics
+    across size-routing boundaries)."""
+    from nlshray.functions.shingles import batch_token_hashes
+    from nlshray.hashing import hash_str_array
+
+    texts = [
+        "Über die Brücke: größere Straßen führen östlich.",
+        "Le cœur à l'épreuve — déjà vu, naïveté, garçon!",
+        "mixed ascii und ünïcödé tokens",
+        "日本語のテキスト with ascii islands",
+    ]
+    flat, counts = batch_token_hashes(texts, seed=0)
+    off = 0
+    for t, c in zip(texts, counts):
+        toks = tokenize(t)
+        assert len(toks) == c, (t, toks, c)
+        want = hash_str_array(toks) if toks else np.empty(0, np.uint64)
+        assert (flat[off : off + c] == want).all(), t
+        off += c

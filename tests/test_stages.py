@@ -215,3 +215,48 @@ def test_exact_stage_hot_hash_multiblock(ray_session):
     assert all(r["n_copies"] == 20 for r in dup)
     uniq = [r for r in out.to_pylist() if r["text"] != "same text"]
     assert all(r["rep_id"] == r["doc_id"] and r["n_copies"] == 1 for r in uniq)
+
+
+def test_attach_rep_second_hash_verification():
+    """A text_hash-only collision (second hash disagrees) must NOT merge:
+    the colliding doc stays its own representative (recall loss is
+    acceptable; silently dropping a non-duplicate is not)."""
+    import ray
+
+    from nlshray.stages.exact import _attach_rep
+
+    # group key 5: rep doc 1 with verification hash 99, copies 3.
+    map_ref = ray.put(
+        (
+            np.array([5], np.int64),
+            np.array([1], np.int64),
+            np.array([3], np.int64),
+            np.array([99], np.int64),
+        )
+    )
+    batch = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text_hash": pa.array([5, 5, 5, 8], pa.int64()),
+            "text_hash2": pa.array([99, 99, 77, 1], pa.int64()),
+        }
+    )
+    out = _attach_rep(batch, map_ref=map_ref)
+    rows = {
+        r["doc_id"]: (r["rep_id"], r["n_copies"]) for r in out.to_pylist()
+    }
+    assert rows[1] == (1, 3)       # true member
+    assert rows[2] == (1, 3)       # true member
+    assert rows[3] == (3, 1)       # fold collision: NOT merged
+    assert rows[4] == (4, 1)       # not in any group
+
+
+def test_exact_stage_dual_hash_end_to_end(ray_session):
+    """Identical texts still merge through both plans with the dual-hash
+    group map (the verification hash must agree for real duplicates)."""
+    rows = [(i, f"text {i % 4}") for i in range(1, 25)]
+    for kwargs in ({}, {"driver_merge_limit": 0}):
+        out = to_arrow(exact_stage(_docs(rows), **kwargs))
+        got = {r["doc_id"]: r["rep_id"] for r in out.to_pylist()}
+        for i in range(1, 25):
+            assert got[i] == 1 + (i - 1) % 4, (kwargs, i)

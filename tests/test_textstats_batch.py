@@ -67,3 +67,17 @@ def test_unicode_exact_fields():
     for i, x in enumerate(texts):
         assert int(f["n_chars"][i]) == len(x)
         assert int(f["fingerprint"][i]) == doc_fingerprint(x)
+
+
+def test_batch_matches_scalar_non_ascii():
+    """de/fr/cjk text: scalar and batch kernels share ASCII character
+    classes, so every stat agrees beyond ASCII too (the advisor found
+    an 18-vs-24 token divergence here in round 2)."""
+    texts = [
+        "Über die Brücke und der Weg: größere Straßen führen östlich.",
+        "Le cœur à l'épreuve — déjà vu, naïveté, garçon!",
+        "a b nbsp separated words",
+        "    leading unicode space",
+        "日本語のテキスト 123 mixed",
+    ]
+    _assert_rows_equal(batch_textstats(texts), texts)

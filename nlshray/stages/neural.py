@@ -34,7 +34,13 @@ import ray
 import ray.data
 
 from nlshray.hashing import MASK63, splitmix64
-from nlshray.stages.ann import _finalize_topk, _l2norm, _topk_rows, vectors_from_batch
+from nlshray.stages.ann import (
+    _finalize_topk,
+    _l2norm,
+    _log_candidate_fraction,
+    _topk_rows,
+    vectors_from_batch,
+)
 
 
 def init_weights(
@@ -325,14 +331,29 @@ def neural_knn(
     w_ref = ray.put(hasher.weights)
 
     def score(t: pa.Table) -> dict[str, np.ndarray]:
+        """Gather-then-score: the hash forward pass + probe-set lookup
+        select candidate columns FIRST; the d-dim similarity matmul runs
+        only over survivors (the reference's index2row.get -> gather ->
+        distance-on-candidates shape, indexer.py:62-88)."""
         qids, qmat, probes = ray.get(q_ref)
         w = ray.get(w_ref)
         m = _l2norm(vectors_from_batch(t[col], dim))
-        vids = t[id_col].to_numpy()
+        vids_all = t[id_col].to_numpy()
         vb = pack_codes(forward_probs(m, w) > 0.5)
         # candidate mask: corpus bucket in the query's probe set
         mask = np.stack([np.isin(vb, p) for p in probes])
-        sims = np.where(mask, qmat @ m.T, -np.inf)
+        cand = np.flatnonzero(mask.any(axis=0))
+        _log_candidate_fraction(
+            "knn_neural", cand.shape[0], vids_all.shape[0]
+        )
+        if cand.shape[0] == 0:
+            return {
+                "query_id": np.empty(0, np.int64),
+                "neighbor_id": np.empty(0, np.int64),
+                "sim": np.empty(0, np.float64),
+            }
+        vids = vids_all[cand]
+        sims = np.where(mask[:, cand], qmat @ m[cand].T, -np.inf)
         if exclude_self:
             sims = np.where(vids[None, :] == qids[:, None], -np.inf, sims)
         out = _topk_rows(qids, sims, vids, k)

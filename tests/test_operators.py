@@ -341,3 +341,58 @@ def test_simhash_batch_matches_scalar():
     got = simhash_batch(texts, seed=5)
     want = np.array([simhash_text(t, seed=5) for t in texts], dtype=np.uint64)
     assert (got == want).all()
+
+
+def test_hamming_u64_matches_bin():
+    from nlshray.stages.ann import _hamming_u64
+
+    rng = np.random.default_rng(5)
+    a = rng.integers(0, 1 << 62, size=7).astype(np.int64)
+    b = rng.integers(0, 1 << 62, size=9).astype(np.int64)
+    got = _hamming_u64(a, b)
+    for i in range(7):
+        for j in range(9):
+            assert got[i, j] == bin(int(a[i]) ^ int(b[j])).count("1")
+
+
+def test_knn_lsh_prunes_and_matches_mask_after_score(ray_session):
+    """VERDICT r2 #2: the bucketed member must (a) return the same top-k
+    as the old mask-after-score formulation and (b) actually score a
+    strict subset of the corpus (the index saves FLOPs)."""
+    from nlshray.stages.ann import (
+        _l2norm,
+        _hamming_u64,
+        hyperplane_buckets,
+        make_planes,
+    )
+
+    ds = _emb_ds()
+    q, qids = _query(ds)
+    n_planes, multiprobe, k = 8, 1, 5
+    lsh = to_arrow(
+        knn_lsh(ds, q, qids, k=k, n_planes=n_planes, multiprobe=multiprobe)
+    )
+
+    # inline mask-after-score oracle (the round-2 semantics)
+    ids, m = [], []
+    for r in ds.take_all():
+        ids.append(r["vec_id"])
+        m.append(r["embedding"])
+    ids = np.array(ids, dtype=np.int64)
+    m = np.array(m, dtype=np.float64)
+    planes = make_planes(n_planes, m.shape[1], 42)
+    qn = _l2norm(q.copy())
+    pmask = _hamming_u64(
+        hyperplane_buckets(qn, planes), hyperplane_buckets(m, planes)
+    ) <= multiprobe
+    sims = np.where(pmask, qn @ _l2norm(m.copy()).T, -np.inf)
+    sims = np.where(ids[None, :] == qids[:, None], -np.inf, sims)
+    frac = pmask.any(axis=0).mean()
+    assert frac < 0.9, f"no pruning happened (candidate fraction {frac})"
+    for qi, qid in enumerate(qids):
+        s = sims[qi]
+        order = np.lexsort((ids, -s))[:k]
+        want = [int(ids[o]) for o in order if s[o] > -np.inf]
+        sel = lsh.filter(pa.compute.equal(lsh["query_id"], int(qid)))
+        got = sel["neighbor_id"].to_pylist()
+        assert sorted(got) == sorted(want), (qid, got, want)

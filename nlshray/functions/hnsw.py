@@ -146,6 +146,60 @@ class HNSWIndex:
                 self._links[layer][i] = []
             self._entry, self._top = i, l
 
+    # -- serialization (S5/S6 parity: build once, reload per query run) ----
+
+    def to_arrays(self) -> dict[str, np.ndarray]:
+        """Flatten the graph to dense arrays for an npz artifact.
+
+        Per layer L: ``pL`` present-mask (distinguishes unreached nodes
+        from empty neighbor lists), ``fL`` concatenated neighbor ids,
+        ``oL`` per-node lengths. Plus vectors, ids, levels and scalars.
+        """
+        out: dict[str, np.ndarray] = {
+            "mat": self._mat,
+            "ids": self._ids,
+            "levels": self._levels,
+            "meta": np.array(
+                [self._m, self._ef_c, self._entry, self._top, len(self._links)],
+                dtype=np.int64,
+            ),
+        }
+        for L, layer in enumerate(self._links):
+            present = np.array([x is not None for x in layer], dtype=bool)
+            lens = np.array(
+                [len(x) if x is not None else 0 for x in layer], dtype=np.int64
+            )
+            flat = (
+                np.concatenate([np.asarray(x, dtype=np.int64) for x in layer
+                                if x is not None and len(x)])
+                if lens.sum()
+                else np.empty(0, np.int64)
+            )
+            out[f"p{L}"] = present
+            out[f"o{L}"] = lens
+            out[f"f{L}"] = flat
+        return out
+
+    @classmethod
+    def from_arrays(cls, arrays: dict[str, np.ndarray]) -> "HNSWIndex":
+        m, ef_c, entry, top, n_layers = (int(x) for x in arrays["meta"])
+        idx = cls(arrays["mat"], arrays["ids"], arrays["levels"], m, ef_c)
+        links: list[list[list[int] | None]] = []
+        for L in range(n_layers):
+            present = arrays[f"p{L}"]
+            lens = arrays[f"o{L}"]
+            flat = arrays[f"f{L}"].tolist()
+            ends = np.cumsum(lens)
+            starts = ends - lens
+            layer: list[list[int] | None] = [
+                flat[starts[i] : ends[i]] if present[i] else None
+                for i in range(len(present))
+            ]
+            links.append(layer)
+        idx._links = links
+        idx._entry, idx._top = entry, top
+        return idx
+
     # -- query -------------------------------------------------------------
 
     def search(self, q: np.ndarray, k: int, ef: int = 40

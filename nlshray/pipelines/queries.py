@@ -631,6 +631,17 @@ def _query_vectors(sf_dir: str, n: int = 5):
     return emb, q, qids
 
 
+def _index_dir(sf_dir: str) -> str:
+    """Per-corpus IndexStore root: HNSW graphs / IVF centroids / PQ
+    codebooks build once per corpus and reload on every later query run
+    (artifacts are content-addressed, so a changed corpus just misses)."""
+    import hashlib as _hl
+    import os as _os
+
+    tag = _hl.blake2b(sf_dir.encode(), digest_size=6).hexdigest()
+    return _os.path.join("/tmp", "nlshray_index", tag)
+
+
 def knn_cosine(sf_dir: str):
     """Exact cosine top-10 for query vectors vec_id<5 (A5/J1/T1 family)."""
     emb, q, qids = _query_vectors(sf_dir)
@@ -683,7 +694,8 @@ def knn_hnsw_graph(sf_dir: str):
     recall vs brute force is gated in ``tests/test_hnsw.py`` instead
     (and is 1.0 at these ef settings on the sf fixtures)."""
     emb, q, qids = _query_vectors(sf_dir)
-    out = knn_hnsw(emb, q, qids, k=10, ef_search=64, seed=CFG.seed)
+    out = knn_hnsw(emb, q, qids, k=10, ef_search=64, seed=CFG.seed,
+                   index_dir=_index_dir(sf_dir))
     return _round(to_arrow(out), {"sim": 6})
 
 
@@ -692,7 +704,8 @@ def knn_ivf_probe(sf_dir: str):
     of the ANN family. Rows-only: bucket membership is quantizer-defined;
     recall vs brute force is gated in tests (near-1 at these settings)."""
     emb, q, qids = _query_vectors(sf_dir)
-    out = knn_ivf(emb, q, qids, k=10, n_centroids=16, nprobe=6, seed=CFG.seed)
+    out = knn_ivf(emb, q, qids, k=10, n_centroids=16, nprobe=6, seed=CFG.seed,
+                  index_dir=_index_dir(sf_dir))
     return _round(to_arrow(out), {"sim": 6})
 
 
@@ -704,7 +717,7 @@ def knn_pq_adc(sf_dir: str):
     in tests)."""
     emb, q, qids = _query_vectors(sf_dir)
     out = knn_pq(emb, q, qids, k=10, n_subspaces=16, n_centroids=16,
-                 seed=CFG.seed)
+                 seed=CFG.seed, index_dir=_index_dir(sf_dir))
     return _round(to_arrow(out), {"sim": 6})
 
 

@@ -220,3 +220,56 @@ def test_pq_stage_runs_and_deterministic(ray_session):
         )
     )
     assert key(out) == key(out2)
+
+
+def test_index_store_builds_once(ray_session, tmp_path):
+    """VERDICT r2 #4: knn_hnsw twice over the same corpus must build each
+    shard graph ONCE (builds.log counter) and return identical results;
+    IVF/PQ artifacts behave the same via _fit_or_load."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from nlshray.pipelines.dedup import to_arrow
+    from nlshray.stages.ann import knn_hnsw, knn_ivf, knn_pq
+    from nlshray.state.indexstore import IndexStore
+
+    rng = np.random.default_rng(3)
+    n, dim = 200, 16
+    mat = rng.normal(size=(n, dim))
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                "embedding": pa.array(
+                    [row.tolist() for row in mat], pa.list_(pa.float32())
+                ),
+            }
+        )
+    )
+    q, qids = mat[:3], np.arange(3, dtype=np.int64)
+    store_dir = str(tmp_path / "idx")
+    n_shards = 3
+
+    r1 = to_arrow(
+        knn_hnsw(ds, q, qids, k=5, n_shards=n_shards, dim=dim,
+                 index_dir=store_dir)
+    ).sort_by([("query_id", "ascending"), ("neighbor_id", "ascending")])
+    store = IndexStore(store_dir)
+    assert store.build_count("hnsw") == n_shards
+    r2 = to_arrow(
+        knn_hnsw(ds, q, qids, k=5, n_shards=n_shards, dim=dim,
+                 index_dir=store_dir)
+    ).sort_by([("query_id", "ascending"), ("neighbor_id", "ascending")])
+    assert store.build_count("hnsw") == n_shards  # second run: zero builds
+    assert r1.equals(r2)
+
+    for fn, kind in ((knn_ivf, "ivf"), (knn_pq, "pq")):
+        a = to_arrow(fn(ds, q, qids, k=5, dim=dim, index_dir=store_dir))
+        assert store.build_count(kind) == 1
+        b = to_arrow(fn(ds, q, qids, k=5, dim=dim, index_dir=store_dir))
+        assert store.build_count(kind) == 1
+        key = lambda t: sorted(
+            map(tuple, zip(t["query_id"].to_pylist(),
+                           t["neighbor_id"].to_pylist()))
+        )
+        assert key(a) == key(b)

@@ -604,12 +604,19 @@ def substring_dups(sf_dir: str):
 
 
 def simhash_pairs(sf_dir: str):
-    """SimHash near-dup pairs, Hamming <= 3 (rows-only)."""
+    """SimHash near-dup pairs, Hamming <= 3 — DuckDB-oracled (r2 #3).
+
+    The simhash is a pure function of the text bytes (ASCII tokens,
+    mod-2^64 poly fold + splitmix64 + bit votes), so the oracle
+    recomputes it in SQL (HUGEINT modular arithmetic) and self-joins
+    with ``bit_count(xor) <= 3``; the 4x16-bit banding is EXACT at
+    Hamming<=3 by pigeonhole, so the two plans are semantically equal,
+    not just approximately."""
     docs = _pq(sf_dir, "documents", columns=["doc_id", "text"])
     return to_arrow(
         simhash_dedup(docs, max_hamming=3, seed=CFG.seed, cfg=CFG,
                       num_partitions=NPARTS).select_columns(
-            ["left_id", "right_id", "hamming"]
+            ["left_id", "right_id", "left_simhash", "right_simhash", "hamming"]
         )
     )
 
@@ -768,7 +775,95 @@ QUERIES = {
     "embedding_dup_pairs": embedding_dup_pairs,
 }
 
+def _build_simhash_oracle() -> str:
+    """DuckDB SQL that recomputes the engine's 64-bit SimHash bit-exactly
+    and self-joins at Hamming <= 3 (r2 verdict #3).
+
+    Every kernel step is reproduced in SQL: ASCII tokenization
+    (``[^0-9a-z_]+`` split of the lowered text), per-token poly fold
+    over the byte values (tokens are ASCII so ``unicode(char)`` IS the
+    byte), two splitmix64 passes, frequency-weighted bit votes, sign
+    pack. mod-2^64 arithmetic runs in HUGEINT with 64x64 multiplies
+    split into 32-bit halves (a full product would overflow INT128).
+    The 4x16-bit banding in the Ray plan is exact at Hamming <= 3 by
+    pigeonhole, so the all-pairs SQL is semantically equal."""
+    from nlshray.hashing import _seed_mix
+
+    seedmix = int(_seed_mix(CFG.seed))
+    M = 1 << 64
+    G, C1, C2 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    POLY = 0x100000001B3
+
+    def mulmod(z: str, c: int) -> str:
+        return (
+            f"((((({z}) // 4294967296) * {c}) % {M}) * 4294967296"
+            f" + (({z}) % 4294967296) * {c}) % {M}"
+        )
+
+    def splitmix(prefix: str, src: str, incol: str, carry: str) -> str:
+        cc = (", " + carry) if carry else ""
+        return f"""
+        {prefix}1 AS (SELECT doc_id{cc}, CAST((CAST({incol} AS HUGEINT) + {G}) % {M} AS UBIGINT) AS z FROM {src}),
+        {prefix}2 AS (SELECT doc_id{cc}, xor(z, z >> 30) AS z FROM {prefix}1),
+        {prefix}3 AS (SELECT doc_id{cc}, CAST({mulmod('CAST(z AS HUGEINT)', C1)} AS UBIGINT) AS z FROM {prefix}2),
+        {prefix}4 AS (SELECT doc_id{cc}, xor(z, z >> 27) AS z FROM {prefix}3),
+        {prefix}5 AS (SELECT doc_id{cc}, CAST({mulmod('CAST(z AS HUGEINT)', C2)} AS UBIGINT) AS z FROM {prefix}4),
+        {prefix}6 AS (SELECT doc_id{cc}, xor(z, z >> 31) AS z FROM {prefix}5)"""
+
+    return f"""
+        WITH toks AS (
+          SELECT d.doc_id, t.tok
+          FROM documents d,
+               unnest(regexp_split_to_array(lower(d.text), '[^0-9a-z_]+')) AS t(tok)
+          WHERE t.tok <> ''
+        ),
+        folded AS (
+          SELECT doc_id,
+            list_reduce(
+              list_prepend(0::HUGEINT,
+                list_transform(regexp_split_to_array(tok, ''),
+                               c -> unicode(c)::HUGEINT)),
+              (acc, c) -> (acc * {POLY} + c) % {M}
+            ) AS raw
+          FROM toks
+        ),
+        seeded AS (SELECT doc_id, xor(CAST(raw AS UBIGINT), {seedmix}::UBIGINT) AS x FROM folded),
+        {splitmix('s', 'seeded', 'x', '').strip()},
+        uniq AS (SELECT doc_id, z AS token_hash, COUNT(*) AS cnt FROM s6 GROUP BY doc_id, z),
+        {splitmix('m', 'uniq', 'token_hash', 'cnt').strip()},
+        votes AS (
+          SELECT doc_id, b.b,
+                 SUM(CASE WHEN (z >> b.b) & 1 = 1 THEN cnt ELSE -cnt END) AS v
+          FROM m6, (SELECT unnest(range(64)) AS b) AS b
+          GROUP BY doc_id, b.b
+        ),
+        packed AS (
+          SELECT doc_id,
+                 SUM(CASE WHEN v > 0 THEN (1::UBIGINT << b)::HUGEINT ELSE 0 END)::UBIGINT AS simhash
+          FROM votes GROUP BY doc_id
+        ),
+        sims AS (
+          SELECT d.doc_id, COALESCE(p.simhash, 0)::UBIGINT AS simhash
+          FROM documents d LEFT JOIN packed p USING (doc_id)
+        )
+        SELECT a.doc_id AS left_id,
+               b.doc_id AS right_id,
+               -- bit-preserving signed view (a plain CAST range-errors
+               -- at >= 2^63 instead of wrapping like the int64 view)
+               CAST(CAST(a.simhash AS HUGEINT)
+                    - CASE WHEN a.simhash >= {1 << 63} THEN {M}::HUGEINT
+                           ELSE 0 END AS BIGINT) AS left_simhash,
+               CAST(CAST(b.simhash AS HUGEINT)
+                    - CASE WHEN b.simhash >= {1 << 63} THEN {M}::HUGEINT
+                           ELSE 0 END AS BIGINT) AS right_simhash,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """
+
+
 ORACLE_SQL = {
+    "simhash_pairs": _build_simhash_oracle(),
     "q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                ROUND(SUM(l_quantity), 2)                         AS sum_qty,

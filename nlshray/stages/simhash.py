@@ -90,7 +90,14 @@ def simhash_dedup(
     num_partitions: int = 16,
 ) -> ray.data.Dataset:
     """docs -> confirmed simhash near-dup pairs
-    (left_id, right_id, hamming, n_bands)."""
+    (left_id, right_id, left_simhash, right_simhash, hamming, n_bands).
+
+    EXACT at ``max_hamming <= N_CHUNKS - 1``: a pair differing in <= 3
+    bits can touch at most 3 of the 4 16-bit chunks, so at least one
+    chunk matches and bands recall the pair (pigeonhole) — which is why
+    the DuckDB all-pairs oracle reproduces this query bit-for-bit.
+    The simhash values ride along as int64 (bit-preserving views) so
+    the oracle can be checked value-by-value."""
     from nlshray.config import DedupConfig
 
     cfg = cfg or DedupConfig()
@@ -113,7 +120,11 @@ def simhash_dedup(
         l = lookup_sorted(kk, vv, t["left_id"].to_numpy(), np.zeros(t.num_rows, np.int64))
         r = lookup_sorted(kk, vv, t["right_id"].to_numpy(), np.zeros(t.num_rows, np.int64))
         ham = hamming_distance(l.astype(np.uint64), r.astype(np.uint64))
-        out = t.append_column("hamming", pa.array(ham.astype(np.int64)))
+        out = (
+            t.append_column("left_simhash", pa.array(l, pa.int64()))
+            .append_column("right_simhash", pa.array(r, pa.int64()))
+            .append_column("hamming", pa.array(ham.astype(np.int64)))
+        )
         return out.filter(pa.compute.less_equal(out["hamming"], max_hamming))
 
     return cand.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)

@@ -32,9 +32,124 @@ def extract_text(html_bytes: bytes) -> str:
     return "\n\n".join(_htmlmod.unescape(p.decode("utf-8", "replace")) for p in paras)
 
 
+_SEP = b"</p>"
+
+
+def _extract_texts_batched(html_col) -> list[str]:
+    """One regex scan over the batch's concatenated html buffer
+    (VERDICT r2 #6 — extraction is the first stage every page passes
+    through; the old version ran a python regex per document).
+
+    Docs are joined with a ``</p>`` separator so a dangling ``<p>`` in
+    doc i non-greedily closes AT the boundary, never inside doc i+1,
+    and the scan resumes exactly at doc i+1's start — matches crossing
+    their segment end are dropped, keeping output byte-identical to
+    per-doc extraction (the invariant test is the gate). Paragraph
+    bytes are joined per doc BEFORE one decode+unescape ("\\n\\n"
+    cannot form or split an HTML entity, so per-para and per-doc
+    unescape agree)."""
+    import numpy as np
+
+    from nlshray.hashing import _string_array_bytes
+
+    if isinstance(html_col, pa.ChunkedArray):
+        html_col = html_col.combine_chunks()
+    data, lengths = _string_array_bytes(html_col)
+    n = lengths.shape[0]
+    if n == 0:
+        return []
+    ends = np.cumsum(lengths)
+    starts_src = ends - lengths
+    # destination offsets in the separated buffer
+    starts = np.concatenate([[0], np.cumsum(lengths[:-1] + len(_SEP))]).astype(
+        np.int64
+    )
+    mv = memoryview(np.ascontiguousarray(data))
+    bbytes = _SEP.join(
+        mv[starts_src[i] : ends[i]] for i in range(n)
+    )
+    buf = np.frombuffer(bbytes, np.uint8)
+
+    # tag positions via vectorized byte comparison (the regex engine's
+    # non-greedy scan was ~9x slower than these four AND'd compares)
+    if buf.shape[0] >= 3:
+        opens = np.flatnonzero(
+            (buf[:-2] == 0x3C) & (buf[1:-1] == 0x70) & (buf[2:] == 0x3E)
+        )
+    else:
+        opens = np.empty(0, np.int64)
+    if buf.shape[0] >= 4:
+        closes = np.flatnonzero(
+            (buf[:-3] == 0x3C)
+            & (buf[1:-2] == 0x2F)
+            & (buf[2:-1] == 0x70)
+            & (buf[3:] == 0x3E)
+        )
+    else:
+        closes = np.empty(0, np.int64)
+
+    # finditer semantics: each <p> non-greedily matches the first </p>
+    # at content start or later; a <p> inside a previous match is
+    # consumed; a <p> with no following </p> matches nothing.
+    ci_all = np.searchsorted(closes, opens + 3)
+    n_closes = closes.shape[0]
+    valid = ci_all < n_closes
+    if valid.any():
+        ov = opens[valid]
+        cv = closes[ci_all[valid]]
+    else:
+        ov = np.empty(0, np.int64)
+        cv = np.empty(0, np.int64)
+    if ov.shape[0] and (ov[1:] >= cv[:-1] + 4).all():
+        # fast path (well-formed html): no candidate match overlaps the
+        # previous one, so greedy acceptance keeps them all — vectorized
+        ao, ac = ov, cv
+    else:
+        # tag soup: replay the scanner's greedy resume rule
+        acc_o: list[int] = []
+        acc_c: list[int] = []
+        resume = -1
+        for j in range(ov.shape[0]):
+            o = int(ov[j])
+            if o < resume:
+                continue
+            c = int(cv[j])
+            acc_o.append(o)
+            acc_c.append(c)
+            resume = c + 4
+        ao = np.array(acc_o, np.int64)
+        ac = np.array(acc_c, np.int64)
+    if ao.shape[0]:
+        # doc of each match; drop matches closing past their segment end
+        # (the injected </p> separator guarantees a dangling <p> closes
+        # AT the boundary, so nothing ever reaches into the next doc)
+        di = np.searchsorted(starts, ao, side="right") - 1
+        keep = (ac + 4) <= (starts[di] + lengths[di])
+        ao, ac, di = ao[keep], ac[keep], di[keep]
+    else:
+        ao = ac = di = np.empty(0, np.int64)
+
+    # group per doc by slicing the (position-sorted, hence doc-sorted)
+    # match arrays at doc boundaries; memoryview slices feed join
+    # without intermediate per-paragraph copies
+    mvb = memoryview(bbytes)
+    bounds = np.searchsorted(di, np.arange(n + 1)).tolist()
+    ol = (ao + 3).tolist()
+    cl = ac.tolist()
+    nl = b"\n\n"
+    return [
+        _htmlmod.unescape(
+            nl.join(
+                [mvb[ol[j] : cl[j]] for j in range(bounds[k], bounds[k + 1])]
+            ).decode("utf-8", "replace")
+        )
+        for k in range(n)
+    ]
+
+
 def _extract_batch(batch: pa.Table) -> pa.Table:
     urls = batch["url"].to_pylist()
-    texts = [extract_text(h) for h in batch["html"].to_pylist()]
+    texts = _extract_texts_batched(batch["html"])
     ids = doc_ids_from_urls(urls)
     text_arr = pa.array(texts, pa.string())
     return pa.table(

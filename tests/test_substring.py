@@ -81,3 +81,44 @@ def test_fingerprint_stage_schema(ray_session):
     assert set(out.column_names) == {"band_idx", "band_hash", "doc_id"}
     assert out.num_rows >= 1
     assert (np.asarray(out["band_hash"]) >= 0).all()
+
+
+def test_pair_docs_hashed_once_in_gather(ray_session):
+    """VERDICT r2 #5: window hashes are computed in the gather (once per
+    unique pair doc) and the decision map does pure dict lookups — a doc
+    in many pairs is never rehashed."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from nlshray.stages.substring import (
+        _decide_pairs,
+        gather_pair_texts_and_hashes,
+        rolling_window_hashes,
+    )
+
+    hub = "the shared verbatim block " * 10
+    texts = {i: f"doc {i} prefix {hub} doc {i} suffix" for i in range(1, 8)}
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(sorted(texts), pa.int64()),
+                "text": pa.array([texts[i] for i in sorted(texts)]),
+            }
+        )
+    )
+    ids = np.array(sorted(texts), np.int64)
+    tx, wh = gather_pair_texts_and_hashes(ds, ids, window=50)
+    assert set(tx) == set(texts) and set(wh) == set(texts)
+    for i, t in texts.items():
+        np.testing.assert_array_equal(wh[i], rolling_window_hashes(t, 50))
+
+    # doc 1 appears in 6 pairs; decisions come from the dicts alone
+    pairs = pa.table(
+        {
+            "left_id": pa.array([1] * 6, pa.int64()),
+            "right_id": pa.array(list(range(2, 8)), pa.int64()),
+        }
+    )
+    out = _decide_pairs(pairs, tx, wh, window=50, min_shared=2)
+    assert out.num_rows == 6  # every pair shares the verbatim hub block
+    assert all(v > 0 for v in out["match_len_checked"].to_pylist())

@@ -180,3 +180,26 @@ def exact_jaccard(a: np.ndarray, b: np.ndarray) -> float:
     inter = np.intersect1d(a, b, assume_unique=True).shape[0]
     union = a.shape[0] + b.shape[0] - inter
     return inter / union if union else 1.0
+
+
+def segmented_unique(
+    flat: np.ndarray, lengths: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-segment sorted-unique of a ragged flat array, fully vectorized.
+
+    ``flat`` concatenates ``len(lengths)`` segments; returns
+    ``(new_flat, new_lengths)`` where each segment has been replaced by
+    its sorted distinct values — one lexsort over the whole batch, no
+    per-segment python (the batch analog of ``np.unique`` per doc).
+    """
+    n = lengths.shape[0]
+    if flat.shape[0] == 0:
+        return flat, np.zeros(n, dtype=np.int64)
+    seg = np.repeat(np.arange(n, dtype=np.int64), lengths)
+    order = np.lexsort((flat, seg))
+    f = flat[order]
+    s = seg[order]
+    keep = np.empty(f.shape[0], dtype=bool)
+    keep[0] = True
+    keep[1:] = (f[1:] != f[:-1]) | (s[1:] != s[:-1])
+    return f[keep], np.bincount(s[keep], minlength=n).astype(np.int64)

@@ -105,8 +105,10 @@ def dedup_docs(
         n_band_rows=None if force_distributed else n_reps * cfg.bands,
     )
     # pairs are consumed twice by verify (id collection + the decision
-    # map); they are tiny relative to the corpus — pin them
-    cand = cand.materialize()
+    # map); they are tiny relative to the corpus — pin them (the fast
+    # path already returns a driver-built materialized table: no-op)
+    if not isinstance(cand, ray.data.dataset.MaterializedDataset):
+        cand = cand.materialize()
     emap = exact_map(docs_rep)
 
     pair_ids = collect_pair_ids(cand)
@@ -120,7 +122,7 @@ def dedup_docs(
         sets, edge_l, edge_r = gather_sets_and_edges(docs_rep, pair_ids, cfg)
         confirmed = verify_stage(
             cand, sigs, reps, cfg, num_partitions=nparts,
-            pair_ids=pair_ids, sets_dict=sets,
+            pair_ids=pair_ids, sets_flat=sets,
         ).materialize()
         clusters = cluster_stage(
             confirmed, emap, cfg, exact_edges=(edge_l, edge_r),

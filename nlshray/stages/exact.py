@@ -106,6 +106,13 @@ def _group_partial(batch: pa.Table) -> pa.Table:
     )
 
 
+@ray.remote
+def _group_partial_block(block: pa.Table) -> pa.Table:
+    return _group_partial(
+        block.select(["text_hash", "text_hash2", "doc_id"])
+    )
+
+
 def exact_stage(
     docs: ray.data.Dataset,
     *,
@@ -125,12 +132,14 @@ def exact_stage(
     ).materialize()
 
     if driver_merge_limit > 0 and docs_h.count() <= driver_merge_limit:
+        # per-block partials via raw Ray tasks over the materialized
+        # blocks — distributed pre-aggregation with no extra streaming
+        # execution (the blocks are already pinned in the object store)
+        partials = ray.get(
+            [_group_partial_block.remote(r) for r in docs_h.to_arrow_refs()]
+        )
         th_c, rep_c, cop_c, h2_c = [], [], [], []
-        for b in docs_h.select_columns(
-            ["text_hash", "text_hash2", "doc_id"]
-        ).map_batches(
-            _group_partial, batch_format="pyarrow", zero_copy_batch=True
-        ).iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+        for b in partials:
             th_c.append(np.asarray(b["text_hash"]))
             rep_c.append(np.asarray(b["rep_id"]))
             cop_c.append(np.asarray(b["n_copies"]))

@@ -54,6 +54,42 @@ _BROADCAST_LIMIT = 8_000_000
 _DRIVER_MERGE_LIMIT = 30_000_000
 # below this, ALL band rows come to the driver in ONE scan (~64 MB)
 _SINGLE_SCAN_LIMIT = 4_000_000
+# distributed-path pair rows up to this stitch on the driver (16 B/row
+# -> ~500 MB at the limit); beyond it the cross-band dedup is a groupby
+_PAIR_STITCH_LIMIT = 30_000_000
+
+# tagged-row kinds emitted by the distributed path's per-block scan
+PAIR, BOUNDARY, HOTSIZE, BSIZE = 0, 1, 2, 3
+
+
+@ray.remote
+def _tagged_meta(t: pa.Table):
+    """Small (boundary/stat) rows + the pair-row count of one tagged
+    block — everything the driver stitch needs except the pairs."""
+    if t.num_rows == 0 or "kind" not in t.column_names:
+        return None
+    kind = np.asarray(t["kind"])
+    a = np.asarray(t["a"])
+    b = np.asarray(t["b"])
+    bm = kind == BOUNDARY
+    sm = kind == BSIZE
+    return (
+        a[bm],
+        b[bm],
+        a[sm],
+        b[sm],
+        a[kind == HOTSIZE],
+        int((kind == PAIR).sum()),
+    )
+
+
+@ray.remote
+def _tagged_pairs(t: pa.Table):
+    """The (left, right) pair rows of one tagged block."""
+    if t.num_rows == 0 or "kind" not in t.column_names:
+        return None
+    sel = t.filter(pa.compute.equal(t["kind"], PAIR))
+    return np.asarray(sel["a"]), np.asarray(sel["b"])
 
 
 @dataclass
@@ -297,8 +333,6 @@ def candidate_pairs_stage(
     cap = cfg.group_cap
     sorted_bands = bands.select_columns(["band_hash", "doc_id"]).sort("band_hash")
 
-    PAIR, BOUNDARY, HOTSIZE, BSIZE = 0, 1, 2, 3
-
     def emit(block: pa.Table) -> pa.Table:
         bh = block["band_hash"].to_numpy()
         ids = block["doc_id"].to_numpy()
@@ -380,21 +414,23 @@ def candidate_pairs_stage(
         emit, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     ).materialize()
 
-    # driver: stitch boundary runs, fold hot sizes into stats
+    # driver: stitch boundary runs, fold hot sizes into stats. Raw Ray
+    # tasks strip each tagged block down to its (small) boundary/stat
+    # rows IN PLACE — pair rows, the bulk, never cross to the driver in
+    # this round (round 2 below fetches them only when driver-bounded).
+    refs = tagged.to_arrow_refs()
+    metas = ray.get([_tagged_meta.remote(r) for r in refs])
     bnd_bh, bnd_ids, sizes, bsz_bh, bsz_n = [], [], [], [], []
-    for t in (ray.get(r) for r in tagged.to_arrow_refs()):
-        if t.num_rows == 0 or "kind" not in t.column_names:
+    n_pair_rows = 0
+    for m in metas:
+        if m is None:
             continue  # empty sort partitions pass through un-mapped
-        kind = np.asarray(t["kind"])
-        a = np.asarray(t["a"])
-        b = np.asarray(t["b"])
-        bm = kind == BOUNDARY
-        bnd_bh.append(a[bm])
-        bnd_ids.append(b[bm])
-        sm = kind == BSIZE
-        bsz_bh.append(a[sm])
-        bsz_n.append(b[sm])
-        sizes.append(a[kind == HOTSIZE])
+        bnd_bh.append(m[0])
+        bnd_ids.append(m[1])
+        bsz_bh.append(m[2])
+        bsz_n.append(m[3])
+        sizes.append(m[4])
+        n_pair_rows += m[5]
     extra_pairs: list[tuple[np.ndarray, np.ndarray]] = []
     if bnd_bh:
         # exact stitched-bucket sizes: sum the per-block unique counts
@@ -436,6 +472,42 @@ def candidate_pairs_stage(
     stats.n_buckets_hot = int(all_sizes.shape[0])
     _fill_stats(stats, all_sizes, cap, policy)
 
+    n_extra = sum(p[0].shape[0] for p in extra_pairs)
+    if n_pair_rows + n_extra <= _PAIR_STITCH_LIMIT:
+        # round 2: the pair rows are driver-bounded (16 B/row) — fetch
+        # them with raw tasks and do the cross-band dedup as ONE
+        # np.unique instead of a groupby shuffle execution (the pairs
+        # here are a tiny fraction of band rows; a full groupby spends
+        # its whole wall on executor + shuffle fixed costs)
+        parts = ray.get([_tagged_pairs.remote(r) for r in refs])
+        lefts = [p[0] for p in parts if p is not None] + [
+            p[0] for p in extra_pairs
+        ]
+        rights = [p[1] for p in parts if p is not None] + [
+            p[1] for p in extra_pairs
+        ]
+        if not lefts:
+            return _empty_pairs(), stats
+        rec = np.empty(
+            sum(x.shape[0] for x in lefts), dtype=[("l", "<i8"), ("r", "<i8")]
+        )
+        rec["l"] = np.concatenate(lefts)
+        rec["r"] = np.concatenate(rights)
+        uniq, n_bands = np.unique(rec, return_counts=True)
+        return (
+            ray.data.from_arrow(
+                pa.table(
+                    {
+                        "left_id": pa.array(uniq["l"]),
+                        "right_id": pa.array(uniq["r"]),
+                        "n_bands": pa.array(n_bands.astype(np.int64)),
+                    }
+                )
+            ),
+            stats,
+        )
+
+    # pair rows exceed the driver bound: distributed cross-band dedup
     def _pair_rows(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or "kind" not in t.column_names:
             return pa.table(

@@ -6,19 +6,25 @@ top-k (``/root/reference/nlsh/indexer.py:84-95``, ``eval.py:178-188``).
 Here, candidates get a signature-estimated Jaccard (fraction of equal
 slots, vectorized — SURVEY.md §2.8) and a three-way decision:
 
-* est >  cfg.exact_hi  -> accept on the estimate (sampling error cannot
-  cross the threshold from up there);
+* est >  max(exact_hi, threshold) -> accept on the estimate (sampling
+  error cannot cross the threshold from up there);
 * est <  cfg.exact_lo  -> reject;
 * otherwise            -> exact shingle-set Jaccard decides, so the
   borderline band around the threshold is noise-free. The borderline doc
   set is small by construction, so its shingle sets are gathered once
   and broadcast (``ray.put``), not shuffled.
 
+Shingle sets travel as ONE flat container — ``(ids, values, ends)``,
+three numpy arrays with per-doc sorted-unique hash segments — rather
+than a dict of per-doc arrays: broadcasting a 100k-entry dict of numpy
+objects serializes 100k individual buffers (measured: tens of seconds
+on the driver), the flat triple is three zero-copy buffers.
+
 Signatures reach the pairs one of two ways (auto-selected):
 * **broadcast gather** — the docs participating in candidate pairs are a
   small fraction of the corpus; their signatures are membership-filtered
-  out of the sigs dataset in one scan, collected, and broadcast. No
-  shuffle at all.
+  out of the (materialized) sigs blocks by raw Ray tasks — no streaming
+  execution at all — collected, and broadcast.
 * **two hash joins** on left_id/right_id when the pair-doc set exceeds
   the broadcast limit (the 10^12-doc fallback). Pairs are id-only rows;
   signatures are ~1 KB/doc — corpus text never enters these shuffles.
@@ -34,17 +40,9 @@ import ray
 import ray.data
 
 from nlshray.config import DedupConfig
-from nlshray.functions.shingles import batch_shingle_hashes, exact_jaccard
+from nlshray.functions.nputil import isin_sorted as _membership
+from nlshray.functions.shingles import batch_shingle_hashes, segmented_unique
 from nlshray.stages.sign import sigs_to_numpy
-
-
-def _unique_sets_from_texts(texts, k: int) -> list[np.ndarray]:
-    """Per-doc UNIQUE shingle-hash sets via one batch kernel call
-    (no per-document python string work)."""
-    flat, lengths = batch_shingle_hashes(texts, k)
-    ends = np.cumsum(lengths)
-    starts = ends - lengths
-    return [np.unique(flat[s:e]) for s, e in zip(starts, ends)]
 
 # pair-doc sets beyond this size use the join path (sig matrix at the
 # limit: 2M docs x 1 KB = 2 GB broadcast — the ceiling, not the norm)
@@ -56,14 +54,110 @@ _BROADCAST_LIMIT = 2_000_000
 _EXACT_ALL_LIMIT = 300_000
 
 
+# ---------------------------------------------------------------------
+# flat shingle-set container: (ids, values, ends)
+#   ids:    sorted int64 doc ids, one per document
+#   values: uint64 flat buffer; doc i's sorted-unique shingle hashes are
+#           values[ends[i-1]:ends[i]] (ends[-1] == len(values))
+# ---------------------------------------------------------------------
+
+FlatSets = tuple  # (np.ndarray, np.ndarray, np.ndarray)
+
+
+def empty_flat_sets() -> FlatSets:
+    return (
+        np.empty(0, np.int64),
+        np.empty(0, np.uint64),
+        np.empty(0, np.int64),
+    )
+
+
+def _unique_flat_from_texts(texts, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc sorted-UNIQUE shingle-hash segments for a batch of texts,
+    as (flat_values, lengths) — one batch kernel + one segmented unique,
+    no per-document python."""
+    flat, lengths = batch_shingle_hashes(texts, k)
+    return segmented_unique(flat, lengths)
+
+
+def _list_array(vals: np.ndarray, lengths: np.ndarray) -> pa.ListArray:
+    offs = np.zeros(lengths.shape[0] + 1, dtype=np.int32)
+    offs[1:] = np.cumsum(lengths)
+    return pa.ListArray.from_arrays(
+        pa.array(offs), pa.array(vals.astype(np.uint64, copy=False))
+    )
+
+
+def _segment_take(
+    lens: np.ndarray, order: np.ndarray
+) -> np.ndarray:
+    """Flat-buffer gather indices that reorder ragged segments into
+    ``order`` — vectorized (repeat/cumsum), no per-segment python."""
+    starts = np.cumsum(lens) - lens
+    sel = lens[order]
+    total = int(sel.sum())
+    if total == 0:
+        return np.empty(0, np.int64)
+    base = np.repeat(starts[order], sel)
+    offsets = np.cumsum(sel) - sel
+    within = np.arange(total, dtype=np.int64) - np.repeat(offsets, sel)
+    return base + within
+
+
+def _flat_from_chunks(id_chunks, val_chunks, len_chunks) -> FlatSets:
+    """Assemble a FlatSets from per-batch (ids, flat values, lengths)
+    chunks arriving in any order — one argsort + one vectorized gather."""
+    if not id_chunks:
+        return empty_flat_sets()
+    ids = np.concatenate(id_chunks).astype(np.int64, copy=False)
+    vals = np.concatenate(val_chunks).astype(np.uint64, copy=False)
+    lens = np.concatenate(len_chunks).astype(np.int64, copy=False)
+    order = np.argsort(ids, kind="stable")
+    take = _segment_take(lens, order)
+    return ids[order], vals[take], np.cumsum(lens[order])
+
+
+def flat_sets_get(fs: FlatSets, doc_id: int) -> np.ndarray:
+    """One doc's sorted-unique shingle set (tests/debug helper)."""
+    ids, vals, ends = fs
+    i = int(np.searchsorted(ids, doc_id))
+    if i >= ids.shape[0] or ids[i] != doc_id:
+        raise KeyError(doc_id)
+    lo = ends[i - 1] if i else 0
+    return vals[lo : ends[i]]
+
+
+def flat_pair_jaccard(
+    fs: FlatSets, lefts: np.ndarray, rights: np.ndarray
+) -> np.ndarray:
+    """Exact Jaccard for each (left, right) pair of docs in ``fs``.
+
+    Per-pair set intersection runs in numpy's C ``intersect1d`` on the
+    pre-sorted unique segments; the python loop only slices views."""
+    ids, vals, ends = fs
+    li = np.searchsorted(ids, lefts)
+    ri = np.searchsorted(ids, rights)
+    if lefts.shape[0] and not (
+        np.array_equal(ids[li], lefts) and np.array_equal(ids[ri], rights)
+    ):
+        missing = np.union1d(lefts[ids[li] != lefts], rights[ids[ri] != rights])
+        raise KeyError(f"pair docs missing from gathered sets: {missing[:5]}")
+    out = np.empty(lefts.shape[0], dtype=np.float64)
+    for j in range(lefts.shape[0]):
+        a_i, b_i = li[j], ri[j]
+        a = vals[(ends[a_i - 1] if a_i else 0) : ends[a_i]]
+        b = vals[(ends[b_i - 1] if b_i else 0) : ends[b_i]]
+        inter = np.intersect1d(a, b, assume_unique=True).shape[0]
+        union = a.shape[0] + b.shape[0] - inter
+        out[j] = inter / union if union else 1.0
+    return out
+
+
 def _rename(ds: ray.data.Dataset, mapping: dict[str, str]) -> ray.data.Dataset:
     def fn(t: pa.Table) -> pa.Table:
         return t.rename_columns([mapping.get(c, c) for c in t.column_names])
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
-
-
-from nlshray.functions.nputil import isin_sorted as _membership
 
 
 def _est_join_batch(batch: pa.Table, *, num_perms: int) -> pa.Table:
@@ -108,22 +202,49 @@ def collect_pair_ids(pairs: ray.data.Dataset) -> np.ndarray:
     return np.unique(np.concatenate(chunks))
 
 
+@ray.remote
+def _filt_sig_block(block: pa.Table, keys: np.ndarray, num_perms: int):
+    mask = _membership(keys, block["doc_id"].to_numpy())
+    sub = block.filter(pa.array(mask))
+    return (
+        np.asarray(sub["doc_id"]).astype(np.int64, copy=False),
+        sigs_to_numpy(sub["sig"], num_perms).copy(),
+    )
+
+
 def gather_sigs(
     sigs: ray.data.Dataset, ids: np.ndarray, cfg: DedupConfig
 ):
     """Membership-filter the sigs dataset to ``ids``; collect and
-    broadcast as (sorted_keys, sig_matrix). One scan, no shuffle."""
-    ids_ref = ray.put(np.sort(ids.astype(np.int64)))
+    broadcast as (sorted_keys, sig_matrix).
 
-    def filt(t: pa.Table) -> pa.Table:
-        keys = ray.get(ids_ref)
-        return t.filter(pa.array(_membership(keys, t["doc_id"].to_numpy())))
+    Materialized sigs (the pipeline always materializes them) are
+    filtered block-by-block with raw Ray tasks — distributed filtering
+    with zero streaming-executor round-trips; a lazy input falls back to
+    one map_batches scan. No shuffle either way."""
+    keys_sorted = np.sort(ids.astype(np.int64))
+    if isinstance(sigs, ray.data.dataset.MaterializedDataset):
+        keys_ref = ray.put(keys_sorted)
+        outs = ray.get(
+            [
+                _filt_sig_block.remote(r, keys_ref, cfg.num_perms)
+                for r in sigs.to_arrow_refs()
+            ]
+        )
+        key_chunks = [o[0] for o in outs if o[0].shape[0]]
+        mat_chunks = [o[1] for o in outs if o[1].shape[0]]
+    else:
+        ids_ref = ray.put(keys_sorted)
 
-    sub = sigs.map_batches(filt, batch_format="pyarrow", zero_copy_batch=True)
-    key_chunks, mat_chunks = [], []
-    for b in sub.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        key_chunks.append(np.asarray(b["doc_id"]))
-        mat_chunks.append(sigs_to_numpy(b["sig"], cfg.num_perms).copy())
+        def filt(t: pa.Table) -> pa.Table:
+            keys = ray.get(ids_ref)
+            return t.filter(pa.array(_membership(keys, t["doc_id"].to_numpy())))
+
+        sub = sigs.map_batches(filt, batch_format="pyarrow", zero_copy_batch=True)
+        key_chunks, mat_chunks = [], []
+        for b in sub.iter_batches(batch_size=65536, batch_format="pyarrow"):
+            key_chunks.append(np.asarray(b["doc_id"]))
+            mat_chunks.append(sigs_to_numpy(b["sig"], cfg.num_perms).copy())
     if not key_chunks:
         return ray.put(
             (np.empty(0, np.int64), np.empty((0, cfg.num_perms), np.uint64))
@@ -136,96 +257,88 @@ def gather_sigs(
 
 def gather_shingle_sets(
     reps: ray.data.Dataset, ids: np.ndarray, cfg: DedupConfig
-) -> dict[int, np.ndarray]:
-    """Shingle sets for an id set: broadcast-filter the reps, compute
-    per-doc unique shingle hashes IN THE WORKERS (shingling is the
-    expensive part — doing it on the driver serializes the pipeline),
-    collect the ready arrays to the driver."""
+) -> FlatSets:
+    """Shingle sets for an id set, as a FlatSets triple: broadcast-filter
+    the reps, compute per-doc unique shingle hashes IN THE WORKERS
+    (shingling is the expensive part — doing it on the driver serializes
+    the pipeline), assemble the flat buffers on the driver."""
     ids_ref = ray.put(np.sort(ids.astype(np.int64)))
     k = cfg.shingle_k
 
     def shingle(t: pa.Table) -> pa.Table:
         keys = ray.get(ids_ref)
         sub = t.filter(pa.array(_membership(keys, t["doc_id"].to_numpy())))
-        sets = _unique_sets_from_texts(sub["text"], k)
+        vals, lens = _unique_flat_from_texts(sub["text"], k)
         return pa.table(
-            {
-                "doc_id": sub["doc_id"],
-                "shingles": pa.array(
-                    [s.tolist() for s in sets], pa.list_(pa.uint64())
-                ),
-            }
+            {"doc_id": sub["doc_id"], "shingles": _list_array(vals, lens)}
         )
 
-    out: dict[int, np.ndarray] = {}
+    id_chunks, val_chunks, len_chunks = [], [], []
     for b in reps.select_columns(["doc_id", "text"]).map_batches(
         shingle, batch_format="pyarrow", zero_copy_batch=True
     ).iter_batches(batch_size=65536, batch_format="pyarrow"):
-        d = np.asarray(b["doc_id"])
         col = b["shingles"].combine_chunks()
-        offs = np.asarray(col.offsets)
-        vals = np.asarray(col.values, dtype=np.uint64)
-        for i in range(len(d)):
-            out[int(d[i])] = vals[offs[i] : offs[i + 1]]
-    return out
+        id_chunks.append(np.asarray(b["doc_id"]))
+        val_chunks.append(np.asarray(col.flatten(), dtype=np.uint64))
+        len_chunks.append(
+            pc.list_value_length(col).to_numpy().astype(np.int64)
+        )
+    return _flat_from_chunks(id_chunks, val_chunks, len_chunks)
 
 
 def gather_sets_and_edges(
     docs_rep: ray.data.Dataset, ids: np.ndarray, cfg: DedupConfig
-) -> tuple[dict[int, np.ndarray], np.ndarray, np.ndarray]:
+) -> tuple[FlatSets, np.ndarray, np.ndarray]:
     """ONE scan of the rep-annotated docs collecting (a) shingle sets of
-    the representative docs in ``ids`` (for pair verification) and (b)
-    every exact-dup edge (doc_id, rep_id) (for clustering) — fusing the
-    two passes the verify and cluster stages would otherwise make."""
+    the representative docs in ``ids`` (for pair verification, as a
+    FlatSets triple) and (b) every exact-dup edge (doc_id, rep_id) (for
+    clustering) — fusing the two passes the verify and cluster stages
+    would otherwise make."""
     ids_ref = ray.put(np.sort(ids.astype(np.int64)))
-
     k = cfg.shingle_k
 
     def pick(t: pa.Table) -> pa.Table:
         """Workers compute the shingle sets (the expensive part); the
-        driver only assembles the dict."""
+        driver only assembles the flat buffers."""
         keys = ray.get(ids_ref)
         d = t["doc_id"].to_numpy()
         r = t["rep_id"].to_numpy()
         is_rep = d == r
         need_text = is_rep & _membership(keys, d)
         keep = need_text | ~is_rep
-        need_sets = _unique_sets_from_texts(
+        vals, lens = _unique_flat_from_texts(
             t["text"].filter(pa.array(need_text)), k
         )
-        empty: list = []
-        it = iter(need_sets)
-        shingles = [
-            next(it).tolist() if need_text[i] else empty
-            for i in np.flatnonzero(keep)
-        ]
+        kept_lens = np.zeros(int(keep.sum()), dtype=np.int64)
+        kept_lens[need_text[keep]] = lens  # filter preserves row order
         return pa.table(
             {
                 "doc_id": pa.array(d[keep]),
                 "rep_id": pa.array(r[keep]),
-                "shingles": pa.array(shingles, pa.list_(pa.uint64())),
+                "shingles": _list_array(vals, kept_lens),
             }
         )
 
-    sets: dict[int, np.ndarray] = {}
+    id_chunks, val_chunks, len_chunks = [], [], []
     edge_l, edge_r = [], []
     for b in docs_rep.select_columns(["doc_id", "rep_id", "text"]).map_batches(
         pick, batch_format="pyarrow", zero_copy_batch=True
     ).iter_batches(batch_size=65536, batch_format="pyarrow"):
         d = np.asarray(b["doc_id"])
         r = np.asarray(b["rep_id"])
-        sh = b["shingles"].combine_chunks()
-        lengths = np.diff(np.asarray(sh.offsets))
-        values = np.asarray(sh.values, dtype=np.uint64) if len(sh.values) else np.empty(0, np.uint64)
-        offs = np.asarray(sh.offsets)
-        for i in np.flatnonzero(lengths > 0):
-            sets[int(d[i])] = values[offs[i] : offs[i + 1]]
+        col = b["shingles"].combine_chunks()
+        lens = pc.list_value_length(col).to_numpy().astype(np.int64)
+        has = lens > 0
+        if has.any():
+            id_chunks.append(d[has])
+            val_chunks.append(np.asarray(col.flatten(), dtype=np.uint64))
+            len_chunks.append(lens[has])
         ne = d != r
         edge_l.append(d[ne])
         edge_r.append(r[ne])
     el = np.concatenate(edge_l) if edge_l else np.empty(0, np.int64)
     er = np.concatenate(edge_r) if edge_r else np.empty(0, np.int64)
-    return sets, el, er
+    return _flat_from_chunks(id_chunks, val_chunks, len_chunks), el, er
 
 
 def verify_stage(
@@ -236,13 +349,13 @@ def verify_stage(
     *,
     num_partitions: int = 32,
     pair_ids: np.ndarray | None = None,
-    sets_dict: dict[int, np.ndarray] | None = None,
+    sets_flat: FlatSets | None = None,
     allow_small_path: bool = True,
 ) -> ray.data.Dataset:
     """candidate pairs -> confirmed pairs (left_id, right_id, jaccard,
     n_bands, method).
 
-    ``pair_ids`` / ``sets_dict``: optional pre-collected inputs (the
+    ``pair_ids`` / ``sets_flat``: optional pre-collected inputs (the
     pipeline fuses their gathering with other scans).
     ``allow_small_path=False`` forces the distributed est+borderline
     plan regardless of size (scaling benchmarks; real clusters).
@@ -257,8 +370,8 @@ def verify_stage(
         # and no sig gather. Pairs are driver-bounded here (they arrived
         # via the pairs fast path), so the decision itself runs inline.
         sets = (
-            sets_dict
-            if sets_dict is not None
+            sets_flat
+            if sets_flat is not None
             else gather_shingle_sets(reps, pair_ids, cfg)
         )
         lefts_c, rights_c, nb_c = [], [], []
@@ -271,13 +384,7 @@ def verify_stage(
         lefts = np.concatenate(lefts_c) if lefts_c else np.empty(0, np.int64)
         rights = np.concatenate(rights_c) if rights_c else np.empty(0, np.int64)
         nb = np.concatenate(nb_c) if nb_c else np.empty(0, np.int64)
-        jac = np.array(
-            [
-                exact_jaccard(sets[int(l)], sets[int(r)])
-                for l, r in zip(lefts, rights)
-            ],
-            dtype=np.float64,
-        )
+        jac = flat_pair_jaccard(sets, lefts, rights)
         keep = jac >= cfg.threshold
         return ray.data.from_arrow(
             pa.table(
@@ -360,18 +467,18 @@ def verify_stage(
 
     def decide(t: pa.Table, *, sets_ref) -> pa.Table:
         """Confident pairs keep the estimate; borderline pairs get exact
-        shingle Jaccard from the broadcast sets — one pass, one output."""
+        shingle Jaccard from the broadcast flat sets — one pass."""
         est_j = t["est_jaccard"].to_numpy()
         confident = est_j > hi
         jac = est_j.astype(np.float64).copy()
         if not confident.all():
-            sets = ray.get(sets_ref)
-            lefts = t["left_id"].to_numpy()
-            rights = t["right_id"].to_numpy()
-            for i in np.flatnonzero(~confident):
-                jac[i] = exact_jaccard(
-                    sets[int(lefts[i])], sets[int(rights[i])]
-                )
+            fs = ray.get(sets_ref)
+            idx = np.flatnonzero(~confident)
+            jac[idx] = flat_pair_jaccard(
+                fs,
+                t["left_id"].to_numpy()[idx],
+                t["right_id"].to_numpy()[idx],
+            )
         keep = confident | (jac >= cfg.threshold)
         method = np.where(confident, "est", "exact")
         out = pa.table(
@@ -386,7 +493,7 @@ def verify_stage(
         return out.filter(pa.array(keep))
 
     if bl_ids.shape[0] == 0:
-        sets_ref = ray.put({})
+        sets_ref = ray.put(empty_flat_sets())
     else:
         sets_ref = ray.put(gather_shingle_sets(reps, bl_ids, cfg))
     return kept.map_batches(

@@ -20,6 +20,7 @@ backpressure instead of living on one GPU.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from functools import partial
 from typing import Any
 
 import pyarrow as pa
@@ -29,7 +30,7 @@ import ray.data
 from ray.data.aggregate import Count
 
 from nlshray.config import DedupConfig
-from nlshray.stages.band import band_stage
+from nlshray.stages.band import band_rows_of_block, band_stage
 from nlshray.stages.cluster import cluster_stage
 from nlshray.stages.exact import exact_map, exact_stage, reps_only
 from nlshray.stages.extract import extract_stage
@@ -103,6 +104,15 @@ def dedup_docs(
         cfg,
         num_partitions=nparts,
         n_band_rows=None if force_distributed else n_reps * cfg.bands,
+        # the scale plan shuffles straight off the materialized sig
+        # blocks with banding folded into its first task round
+        source_refs=sigs.to_arrow_refs(),
+        source_fn=partial(
+            band_rows_of_block,
+            bands=cfg.bands,
+            r=cfg.rows_per_band,
+            num_perms=cfg.num_perms,
+        ),
     )
     # pairs are consumed twice by verify (id collection + the decision
     # map); they are tiny relative to the corpus — pin them (the fast

@@ -38,6 +38,16 @@ def _band_batch(batch: pa.Table, *, bands: int, r: int, num_perms: int) -> pa.Ta
     )
 
 
+def band_rows_of_block(
+    block: pa.Table, *, bands: int, r: int, num_perms: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(band_hash, doc_id) arrays of one sig block — the banding kernel
+    in raw-task form, folded into the pair shuffle's round A so the
+    scale plan needs no separate band-map execution."""
+    t = _band_batch(block, bands=bands, r=r, num_perms=num_perms)
+    return t["band_hash"].to_numpy(), t["doc_id"].to_numpy()
+
+
 def band_stage(sigs: ray.data.Dataset, cfg: DedupConfig) -> ray.data.Dataset:
     return sigs.map_batches(
         _band_batch,

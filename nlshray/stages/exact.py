@@ -13,12 +13,13 @@ collapsed to a single representative *before* any banding.
 
 Physical plan (two, size-selected): group discovery over the projected
 (text_hash, doc_id) columns is either
-* a driver merge of vectorized per-batch partials (zero shuffles,
-  bounded corpora), or
-* a global SORT + per-block duplicate-run detection with pre-aggregated
-  interior runs and driver-stitched block-boundary runs (the scale
-  plan; Ray's groupby-aggregate is pathological on near-unique keys —
-  see stages/pairs.py).
+* a driver merge of vectorized per-block partials computed by raw Ray
+  tasks (zero shuffles, bounded corpora), or
+* a manual two-round task shuffle: per-block partials split by
+  ``text_hash % P``, then P merge tasks that each see every row of
+  their hashes and return only duplicated groups (the scale plan;
+  Ray's groupby-aggregate is pathological on near-unique keys — see
+  stages/pairs.py).
 Either way the duplicated-group map (dup groups only — small by nature)
 is broadcast and ``rep_id`` attached per batch; the full text never
 enters a shuffle.
@@ -106,10 +107,72 @@ def _group_partial(batch: pa.Table) -> pa.Table:
     )
 
 
+_EMPTY_PARTIAL = pa.table(
+    {
+        "text_hash": pa.array([], pa.int64()),
+        "rep_id": pa.array([], pa.int64()),
+        "rep_h2": pa.array([], pa.int64()),
+        "n_copies": pa.array([], pa.int64()),
+    }
+)
+
+
 @ray.remote
 def _group_partial_block(block: pa.Table) -> pa.Table:
+    if block.num_rows == 0:
+        # zero-row blocks pass through map_batches unmapped (no
+        # text_hash columns) — same guard as the old sort path
+        return _EMPTY_PARTIAL
     return _group_partial(
         block.select(["text_hash", "text_hash2", "doc_id"])
+    )
+
+
+@ray.remote
+def _shard_partials(block: pa.Table, P: int):
+    """Round A of the distributed group discovery: this block's
+    (text_hash, min id, h2, count) partials split by text_hash % P."""
+    if block.num_rows == 0:
+        e = np.empty(0, np.int64)
+        out = [(e, e, e, e)] * P
+        return out[0] if P == 1 else tuple(out)
+    t = _group_partial(block.select(["text_hash", "text_hash2", "doc_id"]))
+    th = t["text_hash"].to_numpy()
+    part = (th % P).astype(np.int64)  # 63-bit hashes: non-negative
+    order = np.argsort(part, kind="stable")
+    cuts = np.searchsorted(part[order], np.arange(1, P))
+    cols = [
+        np.split(t[c].to_numpy()[order], cuts)
+        for c in ("text_hash", "rep_id", "rep_h2", "n_copies")
+    ]
+    out = [tuple(col[p] for col in cols) for p in range(P)]
+    return out[0] if P == 1 else tuple(out)
+
+
+@ray.remote
+def _merge_dup_groups(*parts):
+    """Round B: merge one hash partition's partials; every row of a
+    given text_hash is in this partition, so summing counts here is the
+    exact global group size. Only duplicated groups return."""
+    th = np.concatenate([p[0] for p in parts])
+    rep = np.concatenate([p[1] for p in parts])
+    h2 = np.concatenate([p[2] for p in parts])
+    eff = np.concatenate([p[3] for p in parts])
+    if th.shape[0] == 0:
+        e = np.empty(0, np.int64)
+        return e, e, e, e
+    order = np.lexsort((rep, th))
+    th, rep, h2, eff = th[order], rep[order], h2[order], eff[order]
+    starts = np.concatenate([[0], np.flatnonzero(np.diff(th)) + 1])
+    tot = np.add.reduceat(eff, starts)
+    dup = tot >= 2
+    # first row per hash = global-min rep (sorted by rep within hash);
+    # its verification hash rides along, aligned
+    return (
+        th[starts][dup],
+        rep[starts][dup],
+        tot[dup].astype(np.int64),
+        h2[starts][dup],
     )
 
 
@@ -124,8 +187,8 @@ def exact_stage(
     ``rep_id`` = min doc_id among rows with identical text;
     ``n_copies`` = exact-dup group size.
 
-    Group discovery is a driver merge of per-batch partials while the
-    corpus is bounded (zero shuffles), else a groupby-aggregate shuffle.
+    Group discovery is a driver merge of per-block partials while the
+    corpus is bounded (zero shuffles), else a two-round task shuffle.
     """
     docs_h = docs.map_batches(
         _add_text_hash, batch_format="pyarrow", zero_copy_batch=True
@@ -168,85 +231,35 @@ def exact_stage(
             zero_copy_batch=True,
         )
 
-    # distributed group discovery: SORT the (text_hash, doc_id)
-    # projection and detect duplicate runs per block (runs touching a
-    # block edge are stitched on the driver). A groupby-aggregate here is
-    # pathological in Ray when nearly all keys are distinct (same
-    # finding as stages/pairs.py: ~70s for ~10M near-unique groups vs
-    # ~2s for the sort).
-    sorted_h = docs_h.select_columns(
-        ["text_hash", "text_hash2", "doc_id"]
-    ).sort("text_hash")
-
-    def dup_runs(block: pa.Table) -> pa.Table:
-        """Per block: every equal-hash run pre-aggregates to one
-        (hash, min_id, count) row. Interior singleton runs are dropped
-        (they cannot span blocks after the global sort); first/last runs
-        ship even as singletons because they may continue in a neighbor
-        block — but ALWAYS as one aggregated row, so driver traffic is
-        O(1) per block edge even when a hot hash fills whole blocks
-        (VERDICT r1 #4: raw boundary shipping broke exactly under the
-        skew this stage exists to handle)."""
-        empty = pa.table(
-            {
-                "text_hash": pa.array([], pa.int64()),
-                "rep_id": pa.array([], pa.int64()),
-                "rep_h2": pa.array([], pa.int64()),
-                "n_copies": pa.array([], pa.int64()),
-            }
-        )
-        if block.num_rows == 0:
-            return empty
-        # re-sort within the block by (text_hash, doc_id) so the first
-        # row of each run is the min-id doc AND its verification hash
-        # rides along aligned
-        th0 = block["text_hash"].to_numpy()
-        ids0 = block["doc_id"].to_numpy()
-        h20 = block["text_hash2"].to_numpy()
-        order = np.lexsort((ids0, th0))
-        th, ids, h2 = th0[order], ids0[order], h20[order]
-        n = th.shape[0]
-        starts = np.concatenate([[0], np.flatnonzero(np.diff(th)) + 1, [n]])
-        lens = np.diff(starts)
-        keep = lens >= 2
-        keep[0] = True
-        keep[-1] = True
-        if not keep.any():
-            return empty
-        return pa.table(
-            {
-                "text_hash": pa.array(th[starts[:-1]][keep]),
-                "rep_id": pa.array(ids[starts[:-1]][keep]),
-                "rep_h2": pa.array(h2[starts[:-1]][keep]),
-                "n_copies": pa.array(lens[keep].astype(np.int64)),
-            }
-        )
-
-    th_c, rep_c, cnt_c, h2_c = [], [], [], []
-    for b in sorted_h.map_batches(
-        dup_runs, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
-    ).iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
-        th_c.append(np.asarray(b["text_hash"]))
-        rep_c.append(np.asarray(b["rep_id"]))
-        cnt_c.append(np.asarray(b["n_copies"]))
-        h2_c.append(np.asarray(b["rep_h2"]))
-    th = np.concatenate(th_c) if th_c else np.empty(0, np.int64)
-    rep = np.concatenate(rep_c) if rep_c else np.empty(0, np.int64)
-    eff = np.concatenate(cnt_c) if cnt_c else np.empty(0, np.int64)
-    h2 = np.concatenate(h2_c) if h2_c else np.empty(0, np.int64)
-    order = np.lexsort((rep, th))
-    th, rep, eff, h2 = th[order], rep[order], eff[order], h2[order]
-    starts = (
-        np.concatenate([[0], np.flatnonzero(np.diff(th)) + 1])
-        if th.shape[0]
-        else np.empty(0, np.int64)
+    # distributed group discovery: a manual two-round task shuffle over
+    # the materialized blocks — (A) per block, pre-aggregate to
+    # (text_hash, min id, h2, count) partials and split them by
+    # text_hash % P; (B) per partition, merge the partials and keep only
+    # duplicated groups (tiny by nature). Same O(n) object traffic as a
+    # global sort, zero streaming-executor executions, and only dup
+    # groups ever reach the driver. (A groupby-aggregate here is
+    # pathological in Ray when nearly all keys are distinct: ~70 s for
+    # ~10M near-unique groups vs ~2 s for a sort; the task shuffle beats
+    # both — see stages/pairs.py for the same plan shape.)
+    P = max(1, num_partitions)
+    a_out = [
+        _shard_partials.options(num_returns=P).remote(r, P)
+        for r in docs_h.to_arrow_refs()
+    ]
+    if P == 1:
+        a_out = [[r] for r in a_out]
+    b_out = ray.get(
+        [
+            _merge_dup_groups.remote(*[a[p] for a in a_out])
+            for p in range(P)
+        ]
     )
-    tot = np.add.reduceat(eff, starts) if th.shape[0] else eff
-    th_u, rep_u, h2_u = th[starts], rep[starts], h2[starts]  # min rep per hash
-    dup = tot >= 2
-    map_ref = ray.put(
-        (th_u[dup], rep_u[dup], tot[dup].astype(np.int64), h2_u[dup])
-    )
+    th_u = np.concatenate([b[0] for b in b_out])
+    rep_u = np.concatenate([b[1] for b in b_out])
+    tot = np.concatenate([b[2] for b in b_out])
+    h2_u = np.concatenate([b[3] for b in b_out])
+    order = np.argsort(th_u)  # _attach_rep looks keys up via searchsorted
+    map_ref = ray.put((th_u[order], rep_u[order], tot[order], h2_u[order]))
     return docs_h.map_batches(
         _attach_rep,
         fn_kwargs={"map_ref": map_ref},

@@ -204,6 +204,13 @@ def collect_pair_ids(pairs: ray.data.Dataset) -> np.ndarray:
 
 @ray.remote
 def _filt_sig_block(block: pa.Table, keys: np.ndarray, num_perms: int):
+    if block.num_rows == 0:
+        # zero-row blocks pass through map_batches unmapped and may
+        # lack the sig columns entirely
+        return (
+            np.empty(0, np.int64),
+            np.empty((0, num_perms), np.uint64),
+        )
     mask = _membership(keys, block["doc_id"].to_numpy())
     sub = block.filter(pa.array(mask))
     return (

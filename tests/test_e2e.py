@@ -168,3 +168,18 @@ def test_verify_threshold_above_exact_hi_forces_exact(ray_session):
         verify_stage(pairs, sigs, reps, cfg, allow_small_path=False)
     )
     assert out.num_rows == 0, out.to_pylist()
+
+
+def test_empty_and_dupfree_inputs(ray_session, tiny_fixture):
+    """Zero-row and duplicate-free corpora flow through BOTH physical
+    plans (zero-row blocks pass through map_batches unmapped, so every
+    raw-task round must guard missing columns)."""
+    from nlshray.pipelines.dedup import dedup_pages
+
+    pages = tiny_fixture["pages"]
+    cfg = tiny_fixture["cfg"]
+    empty = pages.slice(0, 0)
+    for force in (False, True):
+        res = dedup_pages(rd.from_arrow(empty), cfg, force_distributed=force)
+        assert to_arrow(res.clusters).num_rows == 0
+        assert to_arrow(res.pairs).num_rows == 0

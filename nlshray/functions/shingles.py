@@ -23,6 +23,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from nlshray.functions.nputil import lexsort2
+
 from nlshray.hashing import (
     _POLY,
     _seed_mix,
@@ -196,7 +198,7 @@ def segmented_unique(
     if flat.shape[0] == 0:
         return flat, np.zeros(n, dtype=np.int64)
     seg = np.repeat(np.arange(n, dtype=np.int64), lengths)
-    order = np.lexsort((flat, seg))
+    order = lexsort2(flat, seg)
     f = flat[order]
     s = seg[order]
     keep = np.empty(f.shape[0], dtype=bool)

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import numpy as np
 
+from nlshray.functions.nputil import lexsort2
 from nlshray.functions.shingles import tokenize
 from nlshray.hashing import hash_str_array, splitmix64
 
@@ -63,7 +64,7 @@ def simhash_batch(texts, seed: int = 0) -> np.ndarray:
     if th.shape[0] == 0:
         return out
     doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
-    order = np.lexsort((th, doc_of))
+    order = lexsort2(th, doc_of)
     th_s, doc_s = th[order], doc_of[order]
     new_run = np.concatenate(
         [[True], (th_s[1:] != th_s[:-1]) | (doc_s[1:] != doc_s[:-1])]

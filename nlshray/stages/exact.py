@@ -34,7 +34,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from nlshray.functions.nputil import lookup_sorted
+from nlshray.functions.nputil import lexsort2, lookup_sorted
 from nlshray.hashing import MASK63
 
 
@@ -91,7 +91,7 @@ def _group_partial(batch: pa.Table) -> pa.Table:
     th = batch["text_hash"].to_numpy()
     h2 = batch["text_hash2"].to_numpy()
     ids = batch["doc_id"].to_numpy()
-    order = np.lexsort((ids, th))
+    order = lexsort2(ids, th)
     th_s, ids_s, h2_s = th[order], ids[order], h2[order]
     starts = np.concatenate(
         [[0], np.flatnonzero(np.diff(th_s)) + 1]
@@ -161,7 +161,7 @@ def _merge_dup_groups(*parts):
     if th.shape[0] == 0:
         e = np.empty(0, np.int64)
         return e, e, e, e
-    order = np.lexsort((rep, th))
+    order = lexsort2(rep, th)
     th, rep, h2, eff = th[order], rep[order], h2[order], eff[order]
     starts = np.concatenate([[0], np.flatnonzero(np.diff(th)) + 1])
     tot = np.add.reduceat(eff, starts)
@@ -211,7 +211,7 @@ def exact_stage(
         rep = np.concatenate(rep_c) if rep_c else np.empty(0, np.int64)
         cop = np.concatenate(cop_c) if cop_c else np.empty(0, np.int64)
         h2 = np.concatenate(h2_c) if h2_c else np.empty(0, np.int64)
-        order = np.lexsort((rep, th))
+        order = lexsort2(rep, th)
         th, rep, cop, h2 = th[order], rep[order], cop[order], h2[order]
         starts = (
             np.concatenate([[0], np.flatnonzero(np.diff(th)) + 1])

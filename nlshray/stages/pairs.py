@@ -51,7 +51,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from nlshray.functions.nputil import isin_sorted
+from nlshray.functions.nputil import isin_sorted, lexsort2
 from nlshray.hashing import splitmix64
 
 # hot-key sets larger than this fall back to a hash join instead of a
@@ -159,7 +159,7 @@ def _emit_bucket_pairs(
             np.empty(0, np.int64),
             np.empty(0, np.int64),
         )
-    order = np.lexsort((ids, bh))
+    order = lexsort2(ids, bh)
     bh_s, ids_s = bh[order], ids[order]
     starts = np.concatenate(
         [[0], np.flatnonzero(np.diff(bh_s)) + 1, [bh_s.shape[0]]]

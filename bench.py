@@ -105,6 +105,22 @@ def _cpu_capacity(n: int, secs: float = 1.5) -> float:
         return sum(p.map(_burn, [secs] * n)) / secs
 
 
+def _metrics_sink(num_cpus: int, label: str):
+    """Default-on JSONL metrics stream for every bench dedup run
+    (``NLSHRAY_METRICS_PATH`` overrides; appends, one meta line per
+    run delimits runs). Makes the skew accounting — hot buckets,
+    caps, forgone pairs — visible in every bench, not only
+    collect_stats runs."""
+    from nlshray.state.metrics import JsonlSink
+
+    path = os.environ.get(
+        "NLSHRAY_METRICS_PATH", os.path.join(FIXTURE_DIR, "metrics.jsonl")
+    )
+    sink = JsonlSink(path, run_name=f"bench-{label}-{num_cpus}cpu")
+    sink.meta({"bench": label, "num_cpus": num_cpus})
+    return sink
+
+
 def run_dedup_only(num_cpus: int, pages_path: str) -> dict:
     """Headline dedup job alone over an arbitrary pages parquet path."""
     cpu_capacity = _cpu_capacity(num_cpus)  # before ray.init: no contention
@@ -125,6 +141,7 @@ def run_dedup_only(num_cpus: int, pages_path: str) -> dict:
     from nlshray.config import DedupConfig
     from nlshray.pipelines.dedup import dedup_pages
 
+    sink = _metrics_sink(num_cpus, "dedup_only")
     force_dist = os.environ.get("NLSHRAY_FORCE_DISTRIBUTED", "0") == "1"
     n_rows = rd.read_parquet(pages_path).count()  # size (metadata only)
     # REALLY warm the page cache: parquet count() reads only footers, so
@@ -149,11 +166,19 @@ def run_dedup_only(num_cpus: int, pages_path: str) -> dict:
     # back-to-back).
     nparts = max(8, min(16, num_cpus * 2))
     nblocks = num_cpus * 2
+    # NLSHRAY_MAX_DRIVER_PAIRS=0 forces distributed label-propagation
+    # clustering (the 10^12-pair regime's plan) so it gets measured at
+    # bench scale, not only in limit=0 unit tests
+    mdp = os.environ.get("NLSHRAY_MAX_DRIVER_PAIRS")
+    cfg = (
+        DedupConfig(max_driver_pairs=int(mdp)) if mdp is not None else DedupConfig()
+    )
     res = dedup_pages(
         rd.read_parquet(pages_path, override_num_blocks=nblocks),
-        DedupConfig(),
+        cfg,
         num_partitions=nparts,
         force_distributed=force_dist,
+        sink=sink,
     )
     n_labelled = res.clusters.count()
     sec = time.perf_counter() - t0
@@ -214,11 +239,12 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
     # noise — identical runs vary up to ~3.6x with neighbor load)
     timings: dict[str, float] = {}
     dedup_sec = float("inf")
+    sink = _metrics_sink(num_cpus, "bench")
     for _ in range(max(1, BENCH_REPEATS)):
         t0 = time.perf_counter()
         # ~2 blocks/cpu: parallelism without per-task scheduling drag
         pages = rd.read_parquet(fixture_path, override_num_blocks=num_cpus * 2)
-        res = dedup_pages(pages, cfg, num_partitions=nparts)
+        res = dedup_pages(pages, cfg, num_partitions=nparts, sink=sink)
         n_labelled = res.clusters.count()  # forces the full DAG
         sec = time.perf_counter() - t0
         assert n_labelled == BENCH_N_PAGES, n_labelled
@@ -307,11 +333,39 @@ def run_scaling() -> dict:
     }
 
 
+def run_cluster_scaling() -> dict:
+    """VERDICT r2 #8: the force-distributed clustering plan (min-label
+    propagation, the 10^12-pair regime) measured at bench scale — the
+    headline dedup job with ``max_driver_pairs=0`` so cluster assignment
+    runs its distributed branch instead of the driver union-find."""
+    pages_path = _ensure_scaling_fixture()
+    env = dict(
+        os.environ,
+        RAY_GRAFT_CPUS="32",
+        NLSHRAY_PAGES_PATH=pages_path,
+        NLSHRAY_FORCE_DISTRIBUTED="1",
+        NLSHRAY_MAX_DRIVER_PAIRS="0",
+    )
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--dedup-only"],
+        env=env,
+        capture_output=True,
+        text=True,
+        check=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    ).stdout
+    r = json.loads(out.strip().splitlines()[-1])
+    r["metric"] = "dedup wall time (force-distributed clustering)"
+    return r
+
+
 if __name__ == "__main__":
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--cluster-scaling" in sys.argv:
+        print(json.dumps(run_cluster_scaling()))
     elif "--dedup-only" in sys.argv:
         print(json.dumps(run_dedup_only(ncpu, os.environ["NLSHRAY_PAGES_PATH"])))
     else:

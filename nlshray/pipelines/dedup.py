@@ -19,6 +19,7 @@ backpressure instead of living on one GPU.
 
 from __future__ import annotations
 
+import time
 from dataclasses import dataclass, field
 from functools import partial
 from typing import Any
@@ -41,6 +42,7 @@ from nlshray.stages.verify import (
     gather_sets_and_edges,
     verify_stage,
 )
+from nlshray.state.metrics import NullSink
 
 # pair-doc sets up to this size use the fused one-scan gather (shingle
 # sets + exact edges together); matches verify's exact-all fast path
@@ -73,6 +75,7 @@ def dedup_docs(
     num_partitions: int | None = None,
     collect_stats: bool = False,
     force_distributed: bool = False,
+    sink=None,
 ) -> DedupResult:
     """Near-dup pipeline over a docs table (doc_id:int64, text:string, ...).
 
@@ -84,9 +87,26 @@ def dedup_docs(
     ``force_distributed=True`` disables the driver-merge fast paths so
     every wide step runs its shuffle-based scale plan (what a multi-node
     cluster executes; used by ``bench.py --scaling``).
+
+    ``sink``: optional metrics sink (``nlshray.state.metrics`` duck
+    type). Each pipeline barrier emits a stage event — wall seconds plus
+    the numbers already in hand at that barrier (rep counts, candidate /
+    confirmed pair counts, skew accounting incl. forgone pairs) — so
+    every run leaves an inspectable metrics stream, not only
+    ``collect_stats=True`` runs.
     """
     cfg = cfg or DedupConfig()
     nparts = num_partitions or default_partitions()
+    sink = sink or NullSink()
+    sink.meta(
+        {
+            "pipeline": "dedup_docs",
+            "config_hash": cfg.config_hash(),
+            "num_partitions": nparts,
+            "force_distributed": force_distributed,
+        }
+    )
+    t0 = time.perf_counter()
 
     # exact_stage pins the hashed corpus internally; the rep-attach map on
     # top is cheap, so docs_rep stays lazy for its three consumers
@@ -95,10 +115,14 @@ def dedup_docs(
         num_partitions=nparts,
         driver_merge_limit=0 if force_distributed else 5_000_000,
     )
+    sink.emit("exact", {}, time.perf_counter() - t0)
+    t0 = time.perf_counter()
     reps = reps_only(docs_rep)
     sigs = sign_stage(reps, cfg).materialize()
     bands = band_stage(sigs, cfg)
     n_reps = sigs.count()  # free: sigs is materialized
+    sink.emit("sign", {"n_reps": n_reps}, time.perf_counter() - t0)
+    t0 = time.perf_counter()
     cand, pair_stats = candidate_pairs_stage(
         bands,
         cfg,
@@ -122,6 +146,19 @@ def dedup_docs(
     emap = exact_map(docs_rep)
 
     pair_ids = collect_pair_ids(cand)
+    sink.emit(
+        "pairs",
+        {
+            "n_candidate_pairs": cand.count(),
+            "n_pair_docs": int(pair_ids.shape[0]),
+            "hot_buckets": pair_stats.n_buckets_hot,
+            "max_bucket": pair_stats.max_bucket,
+            "capped_buckets": pair_stats.n_capped_buckets,
+            "pairs_forgone": pair_stats.pairs_forgone,
+        },
+        time.perf_counter() - t0,
+    )
+    t0 = time.perf_counter()
     if not force_distributed and pair_ids.shape[0] <= _FUSED_GATHER_LIMIT:
         # One scan serves both pair verification (shingle sets) and
         # clustering (exact-dup edges) — the auto path whenever the pair
@@ -134,6 +171,12 @@ def dedup_docs(
             cand, sigs, reps, cfg, num_partitions=nparts,
             pair_ids=pair_ids, sets_flat=sets,
         ).materialize()
+        sink.emit(
+            "verify",
+            {"n_confirmed_pairs": confirmed.count(), "plan": "fused_exact"},
+            time.perf_counter() - t0,
+        )
+        t0 = time.perf_counter()
         clusters = cluster_stage(
             confirmed, emap, cfg, exact_edges=(edge_l, edge_r),
             num_partitions=nparts,
@@ -143,7 +186,14 @@ def dedup_docs(
             cand, sigs, reps, cfg, num_partitions=nparts, pair_ids=pair_ids,
             allow_small_path=not force_distributed,
         ).materialize()
+        sink.emit(
+            "verify",
+            {"n_confirmed_pairs": confirmed.count(), "plan": "est+borderline"},
+            time.perf_counter() - t0,
+        )
+        t0 = time.perf_counter()
         clusters = cluster_stage(confirmed, emap, cfg, num_partitions=nparts)
+    sink.emit("cluster", {}, time.perf_counter() - t0)
 
     result = DedupResult(
         docs=docs_rep,
@@ -184,6 +234,7 @@ def dedup_pages(
     num_partitions: int | None = None,
     collect_stats: bool = False,
     force_distributed: bool = False,
+    sink=None,
 ) -> DedupResult:
     """Full pipeline from raw pages (url, warc_ts, html, lang[, text])."""
     cfg = cfg or DedupConfig()
@@ -194,6 +245,7 @@ def dedup_pages(
         num_partitions=num_partitions,
         collect_stats=collect_stats,
         force_distributed=force_distributed,
+        sink=sink,
     )
 
 

@@ -109,12 +109,16 @@ def dedup_docs(
     t0 = time.perf_counter()
 
     # exact_stage pins the hashed corpus internally; the rep-attach map on
-    # top is cheap, so docs_rep stays lazy for its three consumers
-    docs_rep = exact_stage(
+    # top is cheap, so docs_rep stays lazy for its three consumers. The
+    # pinned blocks come back too: verify's shingle-set gathers run as
+    # raw tasks straight off them (no rep-attach chain re-execution).
+    docs_rep, docs_h = exact_stage(
         docs,
         num_partitions=nparts,
         driver_merge_limit=0 if force_distributed else 5_000_000,
+        with_hashed=True,
     )
+    text_refs = docs_h.to_arrow_refs()
     sink.emit("exact", {}, time.perf_counter() - t0)
     t0 = time.perf_counter()
     reps = reps_only(docs_rep)
@@ -185,6 +189,7 @@ def dedup_docs(
         confirmed = verify_stage(
             cand, sigs, reps, cfg, num_partitions=nparts, pair_ids=pair_ids,
             allow_small_path=not force_distributed,
+            text_source_refs=text_refs,
         ).materialize()
         sink.emit(
             "verify",

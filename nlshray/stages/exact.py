@@ -181,6 +181,7 @@ def exact_stage(
     *,
     num_partitions: int = 32,
     driver_merge_limit: int = 5_000_000,
+    with_hashed: bool = False,
 ) -> ray.data.Dataset:
     """docs -> docs + (text_hash, rep_id, n_copies).
 
@@ -189,10 +190,18 @@ def exact_stage(
 
     Group discovery is a driver merge of per-block partials while the
     corpus is bounded (zero shuffles), else a two-round task shuffle.
+
+    ``with_hashed=True`` returns ``(docs_rep, docs_h)`` where ``docs_h``
+    is the internally materialized hashed corpus — downstream raw-task
+    gathers (e.g. verify's borderline shingle sets) run straight off its
+    blocks instead of re-executing the lazy rep-attach chain.
     """
     docs_h = docs.map_batches(
         _add_text_hash, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
+
+    def _ret(docs_rep):
+        return (docs_rep, docs_h) if with_hashed else docs_rep
 
     if driver_merge_limit > 0 and docs_h.count() <= driver_merge_limit:
         # per-block partials via raw Ray tasks over the materialized
@@ -224,12 +233,12 @@ def exact_stage(
         th_u, rep_u, h2_u = th[starts], rep[starts], h2[starts]
         dup = tot >= 2
         map_ref = ray.put((th_u[dup], rep_u[dup], tot[dup], h2_u[dup]))
-        return docs_h.map_batches(
+        return _ret(docs_h.map_batches(
             _attach_rep,
             fn_kwargs={"map_ref": map_ref},
             batch_format="pyarrow",
             zero_copy_batch=True,
-        )
+        ))
 
     # distributed group discovery: a manual two-round task shuffle over
     # the materialized blocks — (A) per block, pre-aggregate to
@@ -260,12 +269,12 @@ def exact_stage(
     h2_u = np.concatenate([b[3] for b in b_out])
     order = np.argsort(th_u)  # _attach_rep looks keys up via searchsorted
     map_ref = ray.put((th_u[order], rep_u[order], tot[order], h2_u[order]))
-    return docs_h.map_batches(
+    return _ret(docs_h.map_batches(
         _attach_rep,
         fn_kwargs={"map_ref": map_ref},
         batch_format="pyarrow",
         zero_copy_batch=True,
-    )
+    ))
 
 
 def reps_only(docs_rep: ray.data.Dataset) -> ray.data.Dataset:

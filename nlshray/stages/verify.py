@@ -262,13 +262,60 @@ def gather_sigs(
     return ray.put((keys[order], mat[order]))
 
 
+@ray.remote
+def _shingle_block(block: pa.Table, keys: np.ndarray, k: int):
+    """(ids, flat shingle values, lengths) of one text block's rows with
+    doc_id in the sorted ``keys`` — the per-block kernel of the raw-task
+    gather."""
+    empty = (
+        np.empty(0, np.int64),
+        np.empty(0, np.uint64),
+        np.empty(0, np.int64),
+    )
+    if block.num_rows == 0:
+        return empty
+    d = block["doc_id"].to_numpy()
+    mask = _membership(keys, d)
+    if not mask.any():
+        return empty
+    sub = block.filter(pa.array(mask))
+    vals, lens = _unique_flat_from_texts(sub["text"], k)
+    return (
+        sub["doc_id"].to_numpy().astype(np.int64, copy=False),
+        vals,
+        lens,
+    )
+
+
 def gather_shingle_sets(
-    reps: ray.data.Dataset, ids: np.ndarray, cfg: DedupConfig
+    reps: ray.data.Dataset,
+    ids: np.ndarray,
+    cfg: DedupConfig,
+    *,
+    source_refs: list | None = None,
 ) -> FlatSets:
     """Shingle sets for an id set, as a FlatSets triple: broadcast-filter
     the reps, compute per-doc unique shingle hashes IN THE WORKERS
     (shingling is the expensive part — doing it on the driver serializes
-    the pipeline), assemble the flat buffers on the driver."""
+    the pipeline), assemble the flat buffers on the driver.
+
+    ``source_refs``: optional materialized text-block refs (doc_id +
+    text columns; extra columns fine). When given, the gather runs as
+    raw Ray tasks over those blocks — zero streaming executions and no
+    re-execution of whatever lazy chain produced ``reps``."""
+    if source_refs is not None:
+        keys_ref = ray.put(np.sort(ids.astype(np.int64)))
+        outs = ray.get(
+            [
+                _shingle_block.remote(r, keys_ref, cfg.shingle_k)
+                for r in source_refs
+            ]
+        )
+        return _flat_from_chunks(
+            [o[0] for o in outs if o[0].shape[0]],
+            [o[1] for o in outs if o[0].shape[0]],
+            [o[2] for o in outs if o[0].shape[0]],
+        )
     ids_ref = ray.put(np.sort(ids.astype(np.int64)))
     k = cfg.shingle_k
 
@@ -358,6 +405,7 @@ def verify_stage(
     pair_ids: np.ndarray | None = None,
     sets_flat: FlatSets | None = None,
     allow_small_path: bool = True,
+    text_source_refs: list | None = None,
 ) -> ray.data.Dataset:
     """candidate pairs -> confirmed pairs (left_id, right_id, jaccard,
     n_bands, method).
@@ -366,6 +414,9 @@ def verify_stage(
     pipeline fuses their gathering with other scans).
     ``allow_small_path=False`` forces the distributed est+borderline
     plan regardless of size (scaling benchmarks; real clusters).
+    ``text_source_refs``: optional materialized (doc_id, text, ...)
+    block refs; shingle-set gathers then run as raw tasks over them
+    instead of re-executing the ``reps`` chain.
     """
     if pair_ids is None:
         pair_ids = collect_pair_ids(pairs)
@@ -379,7 +430,9 @@ def verify_stage(
         sets = (
             sets_flat
             if sets_flat is not None
-            else gather_shingle_sets(reps, pair_ids, cfg)
+            else gather_shingle_sets(
+                reps, pair_ids, cfg, source_refs=text_source_refs
+            )
         )
         lefts_c, rights_c, nb_c = [], [], []
         for b in pairs.select_columns(
@@ -502,7 +555,11 @@ def verify_stage(
     if bl_ids.shape[0] == 0:
         sets_ref = ray.put(empty_flat_sets())
     else:
-        sets_ref = ray.put(gather_shingle_sets(reps, bl_ids, cfg))
+        sets_ref = ray.put(
+            gather_shingle_sets(
+                reps, bl_ids, cfg, source_refs=text_source_refs
+            )
+        )
     return kept.map_batches(
         decide,
         fn_kwargs={"sets_ref": sets_ref},

@@ -723,6 +723,33 @@ def knn_neural(sf_dir: str):
     return _round(to_arrow(out), {"sim": 6})
 
 
+def knn_neural_trained(sf_dir: str):
+    """Neural-LSH k-NN with the SUPERVISED triplet-trained head — the
+    reference's actual end-to-end loop (precompute true kNN ->
+    triplet-train encoder+hash with Adam(amsgrad) -> checkpoint-gate on
+    recall-up/candidates-down -> bucket -> multi-probe -> exact re-rank;
+    ``/root/reference/nlsh/trainers/base.py:36-115``,
+    ``trainers/triplet.py:16-27``). Rows-only: the hash space is
+    model-defined. Recall vs brute force gated in ``tests/test_train.py``
+    / ``test_neural.py``; this entry exercises the trained head through
+    the same distributed serving path as ``knn_neural``."""
+    from nlshray.stages.train import fit_triplet_weights
+    from nlshray.stages.neural import neural_knn
+
+    emb, q, qids = _query_vectors(sf_dir)
+    corpus = np.array(
+        to_arrow(emb)["embedding"].to_pylist(), dtype=np.float64
+    )
+    weights = fit_triplet_weights(
+        corpus, bits=6, hidden=(32,), epochs=3, seed=CFG.seed
+    )
+    out = neural_knn(
+        emb, q, qids, k=10, bits=6, n_probes=8, seed=CFG.seed, dim=64,
+        weights=weights,
+    )
+    return _round(to_arrow(out), {"sim": 6})
+
+
 def knn_hnsw_graph(sf_dir: str):
     """HNSW graph-index top-10 — the reference's competitor baseline
     (hnswlib in ``trainers/hnsw.py:28-48``) rebuilt library-free and
@@ -801,6 +828,7 @@ QUERIES = {
     "knn_ivf": knn_ivf_probe,
     "knn_pq": knn_pq_adc,
     "knn_neural": knn_neural,
+    "knn_neural_trained": knn_neural_trained,
     "embedding_dup_pairs": embedding_dup_pairs,
 }
 

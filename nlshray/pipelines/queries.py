@@ -735,14 +735,23 @@ def knn_neural_trained(sf_dir: str):
     the same distributed serving path as ``knn_neural``."""
     from nlshray.stages.train import fit_triplet_weights
     from nlshray.stages.neural import neural_knn
+    from nlshray.state.indexstore import IndexStore, fingerprint_arrays
 
     emb, q, qids = _query_vectors(sf_dir)
     corpus = np.array(
         to_arrow(emb)["embedding"].to_pylist(), dtype=np.float64
     )
-    weights = fit_triplet_weights(
-        corpus, bits=6, hidden=(32,), epochs=3, seed=CFG.seed
-    )
+    # S5/S6 parity for the trained head: fit once per (corpus, params),
+    # persist npz via the IndexStore, reload on every later run
+    params = {"bits": 6, "hidden": (32,), "epochs": 3, "seed": CFG.seed}
+    store = IndexStore(_index_dir(sf_dir))
+    fp = fingerprint_arrays({"train": corpus}, params)
+    weights = store.load("triplet", fp)
+    if weights is None:
+        weights = fit_triplet_weights(
+            corpus, bits=6, hidden=(32,), epochs=3, seed=CFG.seed
+        )
+        store.save("triplet", fp, weights)
     out = neural_knn(
         emb, q, qids, k=10, bits=6, n_probes=8, seed=CFG.seed, dim=64,
         weights=weights,

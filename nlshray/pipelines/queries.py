@@ -430,7 +430,9 @@ def quality_scores(sf_dir: str):
 
 def minhash_signatures(sf_dir: str):
     """128-perm MinHash signatures; first 4 slots exposed as int64 columns
-    (rows-only check — deterministic but not SQL-expressible)."""
+    (63-bit-masked), DuckDB-oracled — the signature is a pure function of
+    the text bytes + config seed, and ``_build_minhash_oracle`` replays
+    the token-hash -> shingle-fold -> permutation-min chain in SQL."""
     docs = _pq(sf_dir, "documents", columns=["doc_id", "text"])
     sigs = sign_stage(docs, CFG)
 
@@ -841,6 +843,38 @@ QUERIES = {
     "embedding_dup_pairs": embedding_dup_pairs,
 }
 
+# shared SQL-builder pieces for the hash-recomputation oracles: the
+# engine's uint64 kernels (poly fold, splitmix64) reproduced in DuckDB
+# HUGEINT arithmetic. 64x64 multiplies are split into 32-bit halves (a
+# full product would overflow INT128).
+_M64 = 1 << 64
+_SQL_G, _SQL_C1, _SQL_C2 = (
+    0x9E3779B97F4A7C15,
+    0xBF58476D1CE4E5B9,
+    0x94D049BB133111EB,
+)
+_SQL_POLY = 0x100000001B3
+
+
+def _sql_mulmod(z: str, c: int) -> str:
+    return (
+        f"((((({z}) // 4294967296) * {c}) % {_M64}) * 4294967296"
+        f" + (({z}) % 4294967296) * {c}) % {_M64}"
+    )
+
+
+def _sql_splitmix(prefix: str, src: str, incol: str, carry: str) -> str:
+    """CTE chain applying splitmix64 to ``incol``; output column ``z``."""
+    cc = (", " + carry) if carry else ""
+    return f"""
+        {prefix}1 AS (SELECT doc_id{cc}, CAST((CAST({incol} AS HUGEINT) + {_SQL_G}) % {_M64} AS UBIGINT) AS z FROM {src}),
+        {prefix}2 AS (SELECT doc_id{cc}, xor(z, z >> 30) AS z FROM {prefix}1),
+        {prefix}3 AS (SELECT doc_id{cc}, CAST({_sql_mulmod('CAST(z AS HUGEINT)', _SQL_C1)} AS UBIGINT) AS z FROM {prefix}2),
+        {prefix}4 AS (SELECT doc_id{cc}, xor(z, z >> 27) AS z FROM {prefix}3),
+        {prefix}5 AS (SELECT doc_id{cc}, CAST({_sql_mulmod('CAST(z AS HUGEINT)', _SQL_C2)} AS UBIGINT) AS z FROM {prefix}4),
+        {prefix}6 AS (SELECT doc_id{cc}, xor(z, z >> 31) AS z FROM {prefix}5)"""
+
+
 def _build_simhash_oracle() -> str:
     """DuckDB SQL that recomputes the engine's 64-bit SimHash bit-exactly
     and self-joins at Hamming <= 3 (r2 verdict #3).
@@ -849,32 +883,14 @@ def _build_simhash_oracle() -> str:
     (``[^0-9a-z_]+`` split of the lowered text), per-token poly fold
     over the byte values (tokens are ASCII so ``unicode(char)`` IS the
     byte), two splitmix64 passes, frequency-weighted bit votes, sign
-    pack. mod-2^64 arithmetic runs in HUGEINT with 64x64 multiplies
-    split into 32-bit halves (a full product would overflow INT128).
-    The 4x16-bit banding in the Ray plan is exact at Hamming <= 3 by
-    pigeonhole, so the all-pairs SQL is semantically equal."""
+    pack. The 4x16-bit banding in the Ray plan is exact at Hamming <= 3
+    by pigeonhole, so the all-pairs SQL is semantically equal."""
     from nlshray.hashing import _seed_mix
 
     seedmix = int(_seed_mix(CFG.seed))
-    M = 1 << 64
-    G, C1, C2 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
-    POLY = 0x100000001B3
-
-    def mulmod(z: str, c: int) -> str:
-        return (
-            f"((((({z}) // 4294967296) * {c}) % {M}) * 4294967296"
-            f" + (({z}) % 4294967296) * {c}) % {M}"
-        )
-
-    def splitmix(prefix: str, src: str, incol: str, carry: str) -> str:
-        cc = (", " + carry) if carry else ""
-        return f"""
-        {prefix}1 AS (SELECT doc_id{cc}, CAST((CAST({incol} AS HUGEINT) + {G}) % {M} AS UBIGINT) AS z FROM {src}),
-        {prefix}2 AS (SELECT doc_id{cc}, xor(z, z >> 30) AS z FROM {prefix}1),
-        {prefix}3 AS (SELECT doc_id{cc}, CAST({mulmod('CAST(z AS HUGEINT)', C1)} AS UBIGINT) AS z FROM {prefix}2),
-        {prefix}4 AS (SELECT doc_id{cc}, xor(z, z >> 27) AS z FROM {prefix}3),
-        {prefix}5 AS (SELECT doc_id{cc}, CAST({mulmod('CAST(z AS HUGEINT)', C2)} AS UBIGINT) AS z FROM {prefix}4),
-        {prefix}6 AS (SELECT doc_id{cc}, xor(z, z >> 31) AS z FROM {prefix}5)"""
+    M = _M64
+    POLY = _SQL_POLY
+    splitmix = _sql_splitmix
 
     return f"""
         WITH toks AS (
@@ -928,8 +944,105 @@ def _build_simhash_oracle() -> str:
     """
 
 
+def _build_minhash_oracle() -> str:
+    """DuckDB SQL that recomputes the first four MinHash signature slots
+    bit-exactly (same determinism argument as ``_build_simhash_oracle``:
+    the signature is a pure function of the text bytes and the config
+    seed, so SQL can replay the whole kernel chain).
+
+    Chain replayed: ASCII tokenization with POSITION (list slicing, not
+    unnest — shingles are order-dependent), token hash
+    ``splitmix64(poly_fold(bytes) ^ seed_mix(0))``, k-token window fold
+    (docs shorter than k fold their whole token sequence; empty docs use
+    the sentinel shingle, whose per-perm signature is a constant folded
+    in via COALESCE), ``splitmix64`` shingle finalizer, then per
+    permutation j ``min(splitmix64(shingle ^ seed_j))``. Exposed slots
+    are masked to 63 bits exactly like the Ray query."""
+    import numpy as np
+
+    from nlshray.functions.minhash import perm_seeds
+    from nlshray.functions.shingles import _EMPTY_SENTINEL
+    from nlshray.hashing import _seed_mix, splitmix64
+
+    K = CFG.shingle_k
+    seeds = [int(s) for s in perm_seeds(CFG.num_perms, CFG.seed)[:4]]
+    seedmix = int(_seed_mix(0))  # sign_stage hashes tokens with seed=0
+    mask63 = (1 << 63) - 1
+    empty_sig = [
+        int(splitmix64(np.array([_EMPTY_SENTINEL ^ np.uint64(s)]))[0])
+        & mask63
+        for s in seeds
+    ]
+    fold_step = f"(({_sql_mulmod('acc', _SQL_POLY)}) + CAST(x AS HUGEINT)) % {_M64}"
+    sig_cols = ",\n               ".join(
+        f"CAST(CAST(MIN(CASE WHEN perm = {j} THEN z END) AS HUGEINT)"
+        f" % {1 << 63} AS BIGINT) AS sig_{j}"
+        for j in range(4)
+    )
+    empty_cols = ",\n           ".join(
+        f"COALESCE(p.sig_{j}, {empty_sig[j]}) AS sig_{j}" for j in range(4)
+    )
+    seed_values = ", ".join(
+        f"({j}, {s}::UBIGINT)" for j, s in enumerate(seeds)
+    )
+
+    return f"""
+        WITH tokarr AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '[^0-9a-z_]+'),
+                             t -> t <> '') AS toks
+          FROM documents
+        ),
+        tok AS (
+          SELECT doc_id, i.i AS pos, toks[i.i] AS tok
+          FROM tokarr, unnest(range(1, len(toks) + 1)) AS i(i)
+        ),
+        folded AS (
+          SELECT doc_id, pos,
+            list_reduce(
+              list_prepend(0::HUGEINT,
+                list_transform(regexp_split_to_array(tok, ''),
+                               c -> unicode(c)::HUGEINT)),
+              (acc, x) -> {fold_step}
+            ) AS raw
+          FROM tok
+        ),
+        seeded AS (SELECT doc_id, pos, xor(CAST(raw AS UBIGINT), {seedmix}::UBIGINT) AS x FROM folded),
+        {_sql_splitmix('t', 'seeded', 'x', 'pos').strip()},
+        ths AS (
+          SELECT doc_id, list(z ORDER BY pos) AS th, COUNT(*) AS n
+          FROM t6 GROUP BY doc_id
+        ),
+        wins AS (
+          SELECT doc_id,
+            list_reduce(
+              list_prepend(0::HUGEINT,
+                list_transform(th[w.w : least(w.w + {K} - 1, n)],
+                               x -> CAST(x AS HUGEINT))),
+              (acc, x) -> {fold_step}
+            ) AS raw
+          FROM ths, unnest(range(1, greatest(n - {K} + 1, 1) + 1)) AS w(w)
+        ),
+        {_sql_splitmix('h', 'wins', 'raw', '').strip()},
+        permed AS (
+          SELECT doc_id, s.perm, xor(z, s.seed) AS x
+          FROM h6, (VALUES {seed_values}) AS s(perm, seed)
+        ),
+        {_sql_splitmix('p', 'permed', 'x', 'perm').strip()},
+        mins AS (
+          SELECT doc_id,
+               {sig_cols}
+          FROM p6 GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+           {empty_cols}
+        FROM documents d LEFT JOIN mins p USING (doc_id)
+    """
+
+
 ORACLE_SQL = {
     "simhash_pairs": _build_simhash_oracle(),
+    "minhash_signatures": _build_minhash_oracle(),
     "q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                ROUND(SUM(l_quantity), 2)                         AS sum_qty,

@@ -157,14 +157,16 @@ def run_dedup_only(num_cpus: int, pages_path: str) -> dict:
             while f.read(1 << 24):
                 pass
     t0 = time.perf_counter()
-    # measured (3.2M pages, 32 cpus, same quiet window): 16 partitions /
-    # 64 blocks = 75.6 s vs 64 partitions / 256 blocks = 125.4 s — the
-    # multi-execution pipeline pays per-task dispatch + per-partition
-    # fixed cost on EVERY one of its ~10 executions, which dwarfs the
-    # straggler-smoothing a finer split buys on any single stage. Low
-    # task counts win at 8 cpus too (16 vs 64 blocks: 324 vs 430 s
-    # back-to-back).
-    nparts = max(8, min(16, num_cpus * 2))
+    # partition count: ~1.5x cpus. The round-2 measurement that "16
+    # partitions beat 64" predates the raw-task shuffle plans — those
+    # paid per-partition streaming-executor actors on every execution.
+    # The wide steps are now single raw-task rounds where a partition is
+    # ONE task, and the merge rounds need enough partitions to occupy
+    # every core (re-measured, 3.2M pages @ 32 cpus, back-to-back:
+    # pairs round P=16 -> 17-21 s, P=48 -> 3.7-10 s, P=64 -> 3.5-3.9 s).
+    # Block count stays ~2x cpus: blocks feed the streaming executor,
+    # where per-task dispatch cost IS still per-execution.
+    nparts = max(8, min(64, (num_cpus * 3) // 2))
     nblocks = num_cpus * 2
     # NLSHRAY_MAX_DRIVER_PAIRS=0 forces distributed label-propagation
     # clustering (the 10^12-pair regime's plan) so it gets measured at
@@ -218,7 +220,7 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
 
     fixture_path = _ensure_fixture()
     cfg = DedupConfig()
-    nparts = max(8, min(16, num_cpus * 2))
+    nparts = max(8, min(64, (num_cpus * 3) // 2))
 
     # warm the OS page cache so we measure compute+shuffle, not cold disk
     rd.read_parquet(fixture_path).count()

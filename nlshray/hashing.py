@@ -116,9 +116,19 @@ def poly_fold_ragged(
         # an 800k-doc materialize vs ~4 s tiled). Tiles stay L2-resident.
         s0 = 0
         while s0 < n:
-            s1 = s0 + 1
-            while s1 < n and ends[s1 - 1] - starts[s0] < _TILE_FOLD:
-                s1 += 1
+            # first segment whose end crosses the tile budget closes the
+            # tile (searchsorted, NOT a per-segment scan: segments are
+            # tokens here, and a python increment per token was ~3 s of
+            # the ~9 s token-hash cost on a 25k-doc block)
+            s1 = min(
+                int(
+                    np.searchsorted(
+                        ends, starts[s0] + _TILE_FOLD, side="left"
+                    )
+                )
+                + 1,
+                n,
+            )
             lo, hi = starts[s0], ends[s1 - 1]
             v = values[lo:hi].astype(_U64, copy=False)
             seg_ends = ends[s0:s1] - lo

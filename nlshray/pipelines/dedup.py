@@ -60,12 +60,14 @@ class DedupResult:
 
 
 def default_partitions() -> int:
-    """Shuffle partition count. Locally the fixed per-partition actor cost
-    dominates below ~1M rows, so this is capped low; on a real multi-node
-    cluster raise it to ~2x total cores (measured: 8-16 partitions beat
-    64 by >3x on single-node sf0.1)."""
+    """Shuffle partition count: ~1.5x cores. The wide steps run as raw
+    Ray task rounds (one task per partition, no per-partition actor
+    cost), so the merge rounds need at least one partition per core to
+    occupy the machine — measured on 3.2M pages at 32 cpus: the pairs
+    merge round at P=16 took 17-21 s vs 3.5-3.9 s at P=64. On a
+    multi-node cluster the same rule applies to TOTAL cores."""
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    return max(8, min(16, cpus * 2))
+    return max(8, min(64, (cpus * 3) // 2))
 
 
 def dedup_docs(

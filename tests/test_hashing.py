@@ -110,3 +110,37 @@ def test_hash_utf8_array_large_string_offsets():
 
     with pytest.raises(TypeError):
         hash_utf8_array(pa.array([1, 2, 3]))
+
+
+def test_poly_fold_ragged_tile_boundaries_match_reference_fold():
+    """Tiling must be invisible: segments longer than a tile, empty
+    segments at tile edges, and mixed sizes all fold exactly like the
+    per-segment reference loop."""
+    from nlshray.hashing import _POLY, _TILE_FOLD, poly_fold_ragged
+
+    rng = np.random.default_rng(7)
+    # mix: empties, tiny, mid, and two segments each larger than a tile
+    lengths = np.concatenate(
+        [
+            [0, 1, 0],
+            rng.integers(1, 40, size=500),
+            [_TILE_FOLD + 123],
+            [0],
+            rng.integers(1, 40, size=500),
+            [2 * _TILE_FOLD + 7, 0],
+        ]
+    ).astype(np.int64)
+    values = rng.integers(0, 256, size=int(lengths.sum())).astype(np.uint8)
+    got = poly_fold_ragged(values, lengths)
+
+    # reference: plain per-segment horner loop
+    exp = np.zeros(lengths.shape[0], dtype=np.uint64)
+    pos = 0
+    with np.errstate(over="ignore"):
+        for i, L in enumerate(lengths):
+            acc = np.uint64(0)
+            for v in values[pos : pos + L]:
+                acc = acc * _POLY + np.uint64(v)
+            exp[i] = acc
+            pos += L
+    assert np.array_equal(got, exp)

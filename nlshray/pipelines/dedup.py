@@ -192,7 +192,9 @@ def dedup_docs(
             cand, sigs, reps, cfg, num_partitions=nparts, pair_ids=pair_ids,
             allow_small_path=not force_distributed,
             text_source_refs=text_refs,
-        ).materialize()
+        )
+        if not isinstance(confirmed, ray.data.dataset.MaterializedDataset):
+            confirmed = confirmed.materialize()
         sink.emit(
             "verify",
             {"n_confirmed_pairs": confirmed.count(), "plan": "est+borderline"},

@@ -262,6 +262,88 @@ def gather_sigs(
     return ray.put((keys[order], mat[order]))
 
 
+_EMPTY_KEPT = pa.table(
+    {
+        "left_id": pa.array([], pa.int64()),
+        "right_id": pa.array([], pa.int64()),
+        "n_bands": pa.array([], pa.int64()),
+        "est_jaccard": pa.array([], pa.float64()),
+    }
+)
+
+
+def _decide_table(
+    t: pa.Table, fs: FlatSets, threshold: float, hi: float
+) -> pa.Table:
+    """Confident pairs keep the estimate; borderline pairs get exact
+    shingle Jaccard from the flat sets — one pass."""
+    est_j = t["est_jaccard"].to_numpy()
+    confident = est_j > hi
+    jac = est_j.astype(np.float64).copy()
+    if not confident.all():
+        idx = np.flatnonzero(~confident)
+        jac[idx] = flat_pair_jaccard(
+            fs,
+            t["left_id"].to_numpy()[idx],
+            t["right_id"].to_numpy()[idx],
+        )
+    keep = confident | (jac >= threshold)
+    method = np.where(confident, "est", "exact")
+    out = pa.table(
+        {
+            "left_id": t["left_id"],
+            "right_id": t["right_id"],
+            "jaccard": pa.array(jac),
+            "n_bands": t["n_bands"],
+            "method": pa.array(method.tolist(), pa.string()),
+        }
+    )
+    return out.filter(pa.array(keep))
+
+
+@ray.remote(num_returns=2)
+def _est_classify_block(
+    block: pa.Table, sig_bcast, num_perms: int, lo: float, hi: float
+):
+    """One pairs block -> (kept pairs with est_jaccard, borderline doc
+    ids). The est+classify+borderline-scan pass of the distributed plan
+    as a single raw task; ``sig_bcast`` is the broadcast (keys, matrix)
+    tuple (an ObjectRef argument, auto-dereferenced zero-copy)."""
+    if block.num_rows == 0:
+        return _EMPTY_KEPT, np.empty(0, np.int64)
+    keys, mat = sig_bcast
+    li = np.searchsorted(keys, block["left_id"].to_numpy())
+    ri = np.searchsorted(keys, block["right_id"].to_numpy())
+    est = (mat[li] == mat[ri]).mean(axis=1)
+    keep = est >= lo
+    kept = pa.table(
+        {
+            "left_id": block["left_id"],
+            "right_id": block["right_id"],
+            "n_bands": block["n_bands"],
+            "est_jaccard": pa.array(est),
+        }
+    ).filter(pa.array(keep))
+    bl = keep & (est <= hi)
+    bl_ids = np.unique(
+        np.concatenate(
+            [
+                block["left_id"].to_numpy()[bl],
+                block["right_id"].to_numpy()[bl],
+            ]
+        )
+    )
+    return kept, bl_ids
+
+
+@ray.remote
+def _decide_block(
+    kept: pa.Table, sets: FlatSets, threshold: float, hi: float
+) -> pa.Table:
+    """Decision pass over one kept block (``sets`` auto-dereferenced)."""
+    return _decide_table(kept, sets, threshold, hi)
+
+
 @ray.remote
 def _shingle_block(block: pa.Table, keys: np.ndarray, k: int):
     """(ids, flat shingle values, lengths) of one text block's rows with
@@ -461,9 +543,11 @@ def verify_stage(
         )
 
     # ---- distributed plan: ONE estimate+classify pass, then (only if
-    # borderline pairs exist) one shingle-set scan + a lazy decision map.
+    # borderline pairs exist) one shingle-set scan + a decision pass.
     # Round-1's version materialized est, borderline and the union
-    # separately (3 extra executor barriers on the serial floor).
+    # separately (3 extra executor barriers on the serial floor); the
+    # broadcast branch now runs BOTH passes as raw task rounds over the
+    # pinned pair blocks — zero streaming executions in this stage.
     #
     # The confident-accept boundary is max(exact_hi, threshold): accepting
     # on the estimate alone is only sound when the estimate is ABOVE the
@@ -480,33 +564,61 @@ def verify_stage(
         )
 
     if pair_ids.shape[0] <= _BROADCAST_LIMIT:
+        # pairs are tiny relative to the corpus: pin them (no-op when the
+        # pipeline already did) and run est+classify+borderline-id
+        # extraction as one task per block, the exact-Jaccard decision as
+        # a second round over the kept blocks.
+        if not isinstance(pairs, ray.data.dataset.MaterializedDataset):
+            pairs = pairs.materialize()
         sig_ref = gather_sigs(sigs, pair_ids, cfg)
-        est = pairs.map_batches(
-            _est_lookup_batch,
-            fn_kwargs={"sig_ref": sig_ref, "num_perms": cfg.num_perms},
-            batch_format="pyarrow",
-            zero_copy_batch=True,
+        outs = [
+            _est_classify_block.remote(
+                r, sig_ref, cfg.num_perms, cfg.exact_lo, hi
+            )
+            for r in pairs.to_arrow_refs()
+        ]
+        bl_arrays = ray.get([o[1] for o in outs])
+        bl_ids = (
+            np.unique(np.concatenate(bl_arrays))
+            if bl_arrays and sum(a.shape[0] for a in bl_arrays)
+            else np.empty(0, np.int64)
         )
-    else:
-        left_sigs = _rename(sigs, {"doc_id": "left_id", "sig": "sig_left"})
-        right_sigs = _rename(sigs, {"doc_id": "right_id", "sig": "sig_right"})
-        j = pairs.join(
-            left_sigs,
-            join_type="inner",
-            num_partitions=num_partitions,
-            on=("left_id",),
-        ).join(
-            right_sigs,
-            join_type="inner",
-            num_partitions=num_partitions,
-            on=("right_id",),
-        )
-        est = j.map_batches(
-            _est_join_batch,
-            fn_kwargs={"num_perms": cfg.num_perms},
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
+        if bl_ids.shape[0] == 0:
+            sets_ref = ray.put(empty_flat_sets())
+        else:
+            sets_ref = ray.put(
+                gather_shingle_sets(
+                    reps, bl_ids, cfg, source_refs=text_source_refs
+                )
+            )
+        final_refs = [
+            _decide_block.remote(o[0], sets_ref, cfg.threshold, hi)
+            for o in outs
+        ]
+        return ray.data.from_arrow_refs(final_refs)
+
+    # beyond the broadcast limit (the 10^12-doc regime): two streaming
+    # hash joins attach the signatures, then classify/decide as
+    # executor passes (pairs are no longer pinnable driver-side).
+    left_sigs = _rename(sigs, {"doc_id": "left_id", "sig": "sig_left"})
+    right_sigs = _rename(sigs, {"doc_id": "right_id", "sig": "sig_right"})
+    j = pairs.join(
+        left_sigs,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("left_id",),
+    ).join(
+        right_sigs,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("right_id",),
+    )
+    est = j.map_batches(
+        _est_join_batch,
+        fn_kwargs={"num_perms": cfg.num_perms},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
     kept = est.map_batches(
         classify, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()  # pairs-scale; the ONLY barrier this stage adds
@@ -526,31 +638,7 @@ def verify_stage(
     cols = ["left_id", "right_id", "jaccard", "n_bands", "method"]
 
     def decide(t: pa.Table, *, sets_ref) -> pa.Table:
-        """Confident pairs keep the estimate; borderline pairs get exact
-        shingle Jaccard from the broadcast flat sets — one pass."""
-        est_j = t["est_jaccard"].to_numpy()
-        confident = est_j > hi
-        jac = est_j.astype(np.float64).copy()
-        if not confident.all():
-            fs = ray.get(sets_ref)
-            idx = np.flatnonzero(~confident)
-            jac[idx] = flat_pair_jaccard(
-                fs,
-                t["left_id"].to_numpy()[idx],
-                t["right_id"].to_numpy()[idx],
-            )
-        keep = confident | (jac >= cfg.threshold)
-        method = np.where(confident, "est", "exact")
-        out = pa.table(
-            {
-                "left_id": t["left_id"],
-                "right_id": t["right_id"],
-                "jaccard": pa.array(jac),
-                "n_bands": t["n_bands"],
-                "method": pa.array(method.tolist(), pa.string()),
-            }
-        )
-        return out.filter(pa.array(keep))
+        return _decide_table(t, ray.get(sets_ref), cfg.threshold, hi)
 
     if bl_ids.shape[0] == 0:
         sets_ref = ray.put(empty_flat_sets())

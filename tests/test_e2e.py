@@ -183,3 +183,38 @@ def test_empty_and_dupfree_inputs(ray_session, tiny_fixture):
         res = dedup_pages(rd.from_arrow(empty), cfg, force_distributed=force)
         assert to_arrow(res.clusters).num_rows == 0
         assert to_arrow(res.pairs).num_rows == 0
+
+
+def test_force_distributed_equals_driver_plans(ray_session, tiny_result, tiny_fixture):
+    """The scale plans (raw-task shuffles for groups/pairs, est+borderline
+    raw-task verify rounds, broadcast-free gathers) must produce the SAME
+    clusters and confirmed pairs as the driver-merge fast paths — plan
+    choice is a physical detail, never a semantic one."""
+    from nlshray.pipelines.dedup import dedup_pages
+
+    res = dedup_pages(
+        rd.from_arrow(tiny_fixture["pages"]),
+        tiny_fixture["cfg"],
+        force_distributed=True,
+    )
+    got_clusters = to_arrow(res.clusters).to_pandas()
+    got_pairs = to_arrow(res.pairs).to_pandas()
+    exp_clusters = tiny_result["clusters"].to_pandas()
+    exp_pairs = tiny_result["pairs"].to_pandas()
+
+    key = ["doc_id", "cluster_id"]
+    assert sorted(map(tuple, got_clusters[key].values.tolist())) == sorted(
+        map(tuple, exp_clusters[key].values.tolist())
+    )
+    pkey = ["left_id", "right_id"]
+    got_p = got_pairs.sort_values(pkey).reset_index(drop=True)
+    exp_p = exp_pairs.sort_values(pkey).reset_index(drop=True)
+    assert got_p[pkey].values.tolist() == exp_p[pkey].values.tolist()
+    # jaccard agrees wherever both plans verified exactly (the driver
+    # fast path exact-verifies everything; the distributed plan may
+    # confident-accept on the estimate, which only rounds UP past hi)
+    both_exact = (got_p["method"] == "exact").values
+    assert np.allclose(
+        got_p["jaccard"].values[both_exact],
+        exp_p["jaccard"].values[both_exact],
+    )

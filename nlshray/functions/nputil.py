@@ -41,3 +41,58 @@ def lexsort2(secondary: np.ndarray, primary: np.ndarray) -> np.ndarray:
     """
     o1 = np.argsort(secondary, kind="stable")
     return o1[np.argsort(primary[o1], kind="stable")]
+
+
+def segmented_arange(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Concatenated ``arange(start_i, start_i + len_i)`` per segment.
+
+    Built with one boundary scatter + one cumsum instead of
+    ``np.repeat`` — repeat allocates (and first-touches) 3x the output
+    and runs ~12M elem/s on this class of host, where the cumsum form is
+    two linear passes over the single output buffer. Zero-length
+    segments contribute nothing.
+    """
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, np.int64)
+    nz = lens > 0
+    s = starts[nz].astype(np.int64, copy=False)
+    L = lens[nz].astype(np.int64, copy=False)
+    out = np.ones(total, dtype=np.int64)
+    out[0] = s[0]
+    if s.shape[0] > 1:
+        bounds = np.cumsum(L)[:-1]
+        out[bounds] = s[1:] - s[:-1] - L[:-1] + 1
+    return np.cumsum(out)
+
+
+def segment_ids(lens: np.ndarray) -> np.ndarray:
+    """Segment index per element of the concatenated ragged array
+    (the ``np.repeat(arange(n), lens)`` result, without the repeat).
+
+    Zero-length segments are handled: consecutive boundaries landing on
+    the same element accumulate, so their ids are skipped exactly as
+    repeat would."""
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, np.int64)
+    marks = np.zeros(total, dtype=np.int64)
+    ends = np.cumsum(lens)[:-1]
+    ends = ends[ends < total]
+    np.add.at(marks, ends, 1)
+    return np.cumsum(marks)
+
+
+def segmented_rev_arange(lens: np.ndarray) -> np.ndarray:
+    """Concatenated ``[len_i - 1, ..., 1, 0]`` per segment (descending),
+    same cumsum construction as ``segmented_arange``."""
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, np.int64)
+    L = lens[lens > 0].astype(np.int64, copy=False)
+    out = np.full(total, -1, dtype=np.int64)
+    out[0] = L[0] - 1
+    if L.shape[0] > 1:
+        bounds = np.cumsum(L)[:-1]
+        out[bounds] = L[1:] - 1
+    return np.cumsum(out)

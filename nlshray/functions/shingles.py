@@ -23,7 +23,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from nlshray.functions.nputil import lexsort2
+from nlshray.functions.nputil import lexsort2, segment_ids, segmented_arange
 
 from nlshray.hashing import (
     _POLY,
@@ -92,14 +92,9 @@ def batch_token_hashes(texts, seed: int = 0) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _segmented_positions(seg_starts: np.ndarray, seg_lens: np.ndarray) -> np.ndarray:
-    """Concatenated ``arange(start, start+len)`` per segment, vectorized."""
-    total = int(seg_lens.sum())
-    if total == 0:
-        return np.empty(0, np.int64)
-    base = np.repeat(seg_starts, seg_lens)
-    offsets = np.cumsum(seg_lens) - seg_lens
-    within = np.arange(total, dtype=np.int64) - np.repeat(offsets, seg_lens)
-    return base + within
+    """Concatenated ``arange(start, start+len)`` per segment (boundary
+    scatter + cumsum — see ``nputil.segmented_arange``)."""
+    return segmented_arange(seg_starts, seg_lens)
 
 
 def batch_shingle_hashes(
@@ -197,7 +192,7 @@ def segmented_unique(
     n = lengths.shape[0]
     if flat.shape[0] == 0:
         return flat, np.zeros(n, dtype=np.int64)
-    seg = np.repeat(np.arange(n, dtype=np.int64), lengths)
+    seg = segment_ids(lengths)
     order = lexsort2(flat, seg)
     f = flat[order]
     s = seg[order]

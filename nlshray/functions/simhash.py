@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from nlshray.functions.nputil import lexsort2
+from nlshray.functions.nputil import lexsort2, segment_ids
 from nlshray.functions.shingles import tokenize
 from nlshray.hashing import hash_str_array, splitmix64
 
@@ -63,7 +63,7 @@ def simhash_batch(texts, seed: int = 0) -> np.ndarray:
     out = np.zeros(n_docs, dtype=np.uint64)
     if th.shape[0] == 0:
         return out
-    doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+    doc_of = segment_ids(counts)
     order = lexsort2(th, doc_of)
     th_s, doc_s = th[order], doc_of[order]
     new_run = np.concatenate(

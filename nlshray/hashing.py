@@ -22,6 +22,8 @@ import hashlib
 
 import numpy as np
 
+from nlshray.functions.nputil import segmented_rev_arange
+
 _U64 = np.uint64
 # splitmix64 finalizer constants (public domain, Steele et al.)
 _C1 = _U64(0xBF58476D1CE4E5B9)
@@ -133,12 +135,10 @@ def poly_fold_ragged(
             v = values[lo:hi].astype(_U64, copy=False)
             seg_ends = ends[s0:s1] - lo
             seg_lens = lengths[s0:s1]
-            # exponent of element j in its segment: seg_end - 1 - j
-            exp = (
-                np.repeat(seg_ends, seg_lens)
-                - 1
-                - np.arange(hi - lo, dtype=np.int64)
-            )
+            # exponent of element j in its segment: descending
+            # [len-1 .. 0] ranges (cumsum form; np.repeat here cost
+            # ~2x the fold itself on token-scale batches)
+            exp = segmented_rev_arange(seg_lens)
             contrib = v * pows[exp]
             cs = np.concatenate([[_U64(0)], np.cumsum(contrib, dtype=_U64)])
             out[s0:s1] = cs[seg_ends] - cs[seg_ends - seg_lens]

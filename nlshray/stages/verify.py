@@ -55,19 +55,28 @@ _EXACT_ALL_LIMIT = 300_000
 
 
 # ---------------------------------------------------------------------
-# flat shingle-set container: (ids, values, ends)
+# flat shingle-set container: (ids, values, starts, lens)
 #   ids:    sorted int64 doc ids, one per document
-#   values: uint64 flat buffer; doc i's sorted-unique shingle hashes are
-#           values[ends[i-1]:ends[i]] (ends[-1] == len(values))
+#   values: uint64 flat buffer in ARRIVAL order — never reordered; doc
+#           i's sorted-unique shingle hashes are
+#           values[starts[i] : starts[i] + lens[i]]
+#
+# Only the per-doc metadata (ids/starts/lens) is sorted by id; the
+# multi-hundred-MB payload stays where the chunks landed. The previous
+# layout physically reordered the payload into id order (a take-index
+# build + a full gather = ~3 payload-sized fresh allocations), which on
+# this host's slow first-touch page supply dominated the whole verify
+# stage.
 # ---------------------------------------------------------------------
 
-FlatSets = tuple  # (np.ndarray, np.ndarray, np.ndarray)
+FlatSets = tuple  # (ids, values, starts, lens) np.ndarrays
 
 
 def empty_flat_sets() -> FlatSets:
     return (
         np.empty(0, np.int64),
         np.empty(0, np.uint64),
+        np.empty(0, np.int64),
         np.empty(0, np.int64),
     )
 
@@ -88,43 +97,27 @@ def _list_array(vals: np.ndarray, lengths: np.ndarray) -> pa.ListArray:
     )
 
 
-def _segment_take(
-    lens: np.ndarray, order: np.ndarray
-) -> np.ndarray:
-    """Flat-buffer gather indices that reorder ragged segments into
-    ``order`` — vectorized (repeat/cumsum), no per-segment python."""
-    starts = np.cumsum(lens) - lens
-    sel = lens[order]
-    total = int(sel.sum())
-    if total == 0:
-        return np.empty(0, np.int64)
-    base = np.repeat(starts[order], sel)
-    offsets = np.cumsum(sel) - sel
-    within = np.arange(total, dtype=np.int64) - np.repeat(offsets, sel)
-    return base + within
-
-
 def _flat_from_chunks(id_chunks, val_chunks, len_chunks) -> FlatSets:
     """Assemble a FlatSets from per-batch (ids, flat values, lengths)
-    chunks arriving in any order — one argsort + one vectorized gather."""
+    chunks arriving in any order — only the per-doc METADATA is sorted;
+    the payload is concatenated once and never reordered."""
     if not id_chunks:
         return empty_flat_sets()
     ids = np.concatenate(id_chunks).astype(np.int64, copy=False)
     vals = np.concatenate(val_chunks).astype(np.uint64, copy=False)
     lens = np.concatenate(len_chunks).astype(np.int64, copy=False)
+    starts = np.cumsum(lens) - lens
     order = np.argsort(ids, kind="stable")
-    take = _segment_take(lens, order)
-    return ids[order], vals[take], np.cumsum(lens[order])
+    return ids[order], vals, starts[order], lens[order]
 
 
 def flat_sets_get(fs: FlatSets, doc_id: int) -> np.ndarray:
     """One doc's sorted-unique shingle set (tests/debug helper)."""
-    ids, vals, ends = fs
+    ids, vals, starts, lens = fs
     i = int(np.searchsorted(ids, doc_id))
     if i >= ids.shape[0] or ids[i] != doc_id:
         raise KeyError(doc_id)
-    lo = ends[i - 1] if i else 0
-    return vals[lo : ends[i]]
+    return vals[starts[i] : starts[i] + lens[i]]
 
 
 def flat_pair_jaccard(
@@ -134,7 +127,7 @@ def flat_pair_jaccard(
 
     Per-pair set intersection runs in numpy's C ``intersect1d`` on the
     pre-sorted unique segments; the python loop only slices views."""
-    ids, vals, ends = fs
+    ids, vals, starts, lens = fs
     li = np.searchsorted(ids, lefts)
     ri = np.searchsorted(ids, rights)
     if lefts.shape[0] and not (
@@ -145,8 +138,8 @@ def flat_pair_jaccard(
     out = np.empty(lefts.shape[0], dtype=np.float64)
     for j in range(lefts.shape[0]):
         a_i, b_i = li[j], ri[j]
-        a = vals[(ends[a_i - 1] if a_i else 0) : ends[a_i]]
-        b = vals[(ends[b_i - 1] if b_i else 0) : ends[b_i]]
+        a = vals[starts[a_i] : starts[a_i] + lens[a_i]]
+        b = vals[starts[b_i] : starts[b_i] + lens[b_i]]
         inter = np.intersect1d(a, b, assume_unique=True).shape[0]
         union = a.shape[0] + b.shape[0] - inter
         out[j] = inter / union if union else 1.0

@@ -128,9 +128,14 @@ def _prewarm(num_cpus: int) -> float:
     @ray.remote(num_cpus=1)
     def _touch() -> int:
         import numpy as np
+        import pyarrow as pa
 
-        b = np.ones(3 << 27, np.uint8)  # 384 MB per worker heap
+        b = np.ones(3 << 27, np.uint8)  # 384 MB per worker glibc heap
         b[::4096] = 1
+        # Arrow allocates through its own (jemalloc) pool, not glibc —
+        # extract/sign task buffers live there; touch it separately
+        buf = pa.allocate_buffer(3 << 27, resizable=False)
+        np.frombuffer(buf, np.uint8)[::4096] = 1
         return int(b[0])
 
     ray.get([_touch.remote() for _ in range(num_cpus)])

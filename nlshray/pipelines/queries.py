@@ -423,7 +423,9 @@ def lang_summary(sf_dir: str):
 
 
 def quality_scores(sf_dir: str):
-    """Quality/lang-ID/fingerprint features (rows-only; no SQL analog)."""
+    """Quality/lang-ID/fingerprint features — fully DuckDB-oracled
+    (``_build_quality_scores_oracle`` replays the stopword argmax and
+    the 8-gram rolling-min fingerprint in SQL)."""
     docs = _pq(sf_dir, "documents", columns=["doc_id", "text"])
     return textstats_stage(docs)
 
@@ -449,7 +451,10 @@ def minhash_signatures(sf_dir: str):
 
 
 def near_dup_pairs(sf_dir: str):
-    """Confirmed MinHash/LSH near-dup pairs over documents (rows-only)."""
+    """Confirmed MinHash/LSH near-dup pairs over documents at the real
+    threshold (0.8) — DuckDB-oracled: ``_build_near_dup_pairs_oracle``
+    replays the whole tokenize -> shingle -> 128-perm MinHash -> band ->
+    candidate -> exact-Jaccard chain in SQL."""
     docs = _pq(sf_dir, "documents", columns=["doc_id", "text"])
     res = dedup_docs(docs, CFG, num_partitions=NPARTS)
     return _round(
@@ -459,7 +464,9 @@ def near_dup_pairs(sf_dir: str):
 
 
 def near_dup_clusters(sf_dir: str):
-    """Full dedup clustering over documents (rows-only)."""
+    """Full dedup clustering over documents at threshold 0.8 —
+    DuckDB-oracled end-to-end (kernel-chain replay + recursive min-label
+    components, ``_build_near_dup_clusters_oracle``)."""
     docs = _pq(sf_dir, "documents", columns=["doc_id", "text"])
     res = dedup_docs(docs, CFG, num_partitions=NPARTS)
     return to_arrow(res.clusters)
@@ -500,11 +507,25 @@ def quality_scores_sql(sf_dir: str):
 
 
 def sampled_docs(sf_dir: str, fraction: float = 0.2):
-    """Seeded corpus sampling (T2: ``Dataset.random_sample(seed=)``) —
-    rows-only (the sample is engine-RNG-defined, not SQL-reproducible);
-    determinism is pinned by a registry test."""
+    """Seeded corpus sampling (T2 analog of the reference's seeded
+    train-row sampling). Hash-based rather than RNG-based: a doc is in
+    the sample iff ``splitmix64(doc_id ^ seed_mix(seed)) < frac * 2^64``
+    — a pure function of (doc_id, seed, fraction), so the sample is
+    identical at ANY parallelism/partitioning, composable with resume
+    (a re-run re-selects the same rows), and DuckDB-oracle-able.
+    ``Dataset.random_sample(seed=)`` would tie the sample to Ray's
+    block RNG stream (parallelism-dependent at scale)."""
+    from nlshray.hashing import _seed_mix, splitmix64
+
+    thr = np.uint64(int(fraction * float(2**64)))
+    mix = _seed_mix(CFG.seed)
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy().astype(np.uint64)
+        return t.filter(pa.array(splitmix64(ids ^ mix) < thr))
+
     docs = _pq(sf_dir, "documents", columns=["doc_id", "n_chars"])
-    return docs.random_sample(fraction, seed=CFG.seed)
+    return docs.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
 
 
 # ngram_jaccard_pairs routes by corpus size (VERDICT r1 #5): up to this
@@ -1040,9 +1061,302 @@ def _build_minhash_oracle() -> str:
     """
 
 
+def _near_dup_chain_sql() -> str:
+    """Shared CTE chain for the threshold-0.8 near-dup oracles: replays
+    the ENTIRE engine pipeline in DuckDB — exact-dup collapse (rep = min
+    doc_id per identical text), ASCII tokenization, token poly-fold +
+    splitmix, k-window shingle fold, the full 128-permutation MinHash
+    signature, 16x8 LSH band keys (band fold + splitmix + band-index
+    xor), candidate pairs from shared band keys, and exact shingle-set
+    Jaccard. Ends with relations:
+
+    * ``rep(doc_id, text, rep_id)`` — exact-dup map over all docs,
+    * ``shset(doc_id, z)``          — per-rep sorted-unique shingle sets,
+    * ``conf(left_id, right_id, jac)`` — confirmed pairs (exact J >= thr).
+
+    Sound because at driver-check scale the engine's verify fast path
+    exact-verifies EVERY candidate (``verify.py`` `_EXACT_ALL_LIMIT`),
+    and no LSH bucket can exceed ``group_cap`` (=512) with <= 512 reps,
+    so skew capping never alters the pair set. Same determinism argument
+    as ``_build_minhash_oracle`` — every value is a pure function of the
+    text bytes and the config seed."""
+    import numpy as np
+
+    from nlshray.functions.minhash import perm_seeds
+    from nlshray.functions.shingles import _EMPTY_SENTINEL
+    from nlshray.hashing import _seed_mix, splitmix64
+
+    K = CFG.shingle_k
+    R = CFG.rows_per_band
+    seeds = [int(s) for s in perm_seeds(CFG.num_perms, CFG.seed)]
+    seedmix = int(_seed_mix(0))  # sign_stage hashes tokens with seed=0
+    sentinel = int(_EMPTY_SENTINEL)
+    band_consts = [
+        int(v) for v in splitmix64(np.arange(CFG.bands, dtype=np.uint64))
+    ]
+    fold_step = f"(({_sql_mulmod('acc', _SQL_POLY)}) + CAST(x AS HUGEINT)) % {_M64}"
+    seed_values = ", ".join(
+        f"({j}, {s}::UBIGINT)" for j, s in enumerate(seeds)
+    )
+    band_values = ", ".join(
+        f"({b}, {c}::UBIGINT)" for b, c in enumerate(band_consts)
+    )
+
+    return f"""
+        rep AS (
+          SELECT doc_id, text,
+                 MIN(doc_id) OVER (PARTITION BY text) AS rep_id
+          FROM documents
+        ),
+        reps AS (SELECT doc_id, text FROM rep WHERE doc_id = rep_id),
+        tokarr AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '[^0-9a-z_]+'),
+                             t -> t <> '') AS toks
+          FROM reps
+        ),
+        tok AS (
+          SELECT doc_id, i.i AS pos, toks[i.i] AS tok
+          FROM tokarr, unnest(range(1, len(toks) + 1)) AS i(i)
+        ),
+        folded AS (
+          SELECT doc_id, pos,
+            list_reduce(
+              list_prepend(0::HUGEINT,
+                list_transform(regexp_split_to_array(tok, ''),
+                               c -> unicode(c)::HUGEINT)),
+              (acc, x) -> {fold_step}
+            ) AS raw
+          FROM tok
+        ),
+        seeded AS (SELECT doc_id, pos, xor(CAST(raw AS UBIGINT), {seedmix}::UBIGINT) AS x FROM folded),
+        {_sql_splitmix('t', 'seeded', 'x', 'pos').strip()},
+        ths AS (
+          SELECT doc_id, list(z ORDER BY pos) AS th, COUNT(*) AS n
+          FROM t6 GROUP BY doc_id
+        ),
+        wins AS (
+          SELECT doc_id,
+            list_reduce(
+              list_prepend(0::HUGEINT,
+                list_transform(th[w.w : least(w.w + {K} - 1, n)],
+                               x -> CAST(x AS HUGEINT))),
+              (acc, x) -> {fold_step}
+            ) AS raw
+          FROM ths, unnest(range(1, greatest(n - {K} + 1, 1) + 1)) AS w(w)
+        ),
+        {_sql_splitmix('h', 'wins', 'raw', '').strip()},
+        shset AS (
+          SELECT DISTINCT doc_id, z FROM h6
+          UNION ALL
+          SELECT r.doc_id, {sentinel}::UBIGINT AS z
+          FROM reps r WHERE r.doc_id NOT IN (SELECT doc_id FROM ths)
+        ),
+        permed AS (
+          SELECT doc_id, s.perm, xor(z, s.seed) AS x
+          FROM shset, (VALUES {seed_values}) AS s(perm, seed)
+        ),
+        {_sql_splitmix('p', 'permed', 'x', 'perm').strip()},
+        sigl AS (
+          SELECT doc_id, list(CAST(slot AS HUGEINT) ORDER BY perm) AS sig
+          FROM (SELECT doc_id, perm, MIN(z) AS slot FROM p6 GROUP BY doc_id, perm)
+          GROUP BY doc_id
+        ),
+        bandraw AS (
+          SELECT doc_id, b.b AS band,
+            list_reduce(
+              list_prepend(0::HUGEINT, sig[b.b * {R} + 1 : b.b * {R} + {R}]),
+              (acc, x) -> {fold_step}
+            ) AS raw
+          FROM sigl, (SELECT unnest(range({CFG.bands})) AS b) AS b
+        ),
+        {_sql_splitmix('q', 'bandraw', 'raw', 'band').strip()},
+        bkey AS (
+          SELECT doc_id, q6.band, xor(z, bc.c) AS key
+          FROM q6 JOIN (VALUES {band_values}) AS bc(band, c) ON bc.band = q6.band
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+          FROM bkey a JOIN bkey b
+            ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        ),
+        ssz AS (SELECT doc_id, COUNT(*) AS sz FROM shset GROUP BY doc_id),
+        pj AS (
+          SELECT c.left_id, c.right_id, COUNT(*) AS i
+          FROM cand c
+          JOIN shset x ON x.doc_id = c.left_id
+          JOIN shset y ON y.doc_id = c.right_id AND y.z = x.z
+          GROUP BY c.left_id, c.right_id
+        ),
+        conf AS (
+          SELECT p.left_id, p.right_id,
+                 (p.i * 1.0) / (a.sz + b.sz - p.i) AS jac
+          FROM pj p
+          JOIN ssz a ON a.doc_id = p.left_id
+          JOIN ssz b ON b.doc_id = p.right_id
+          WHERE (p.i * 1.0) / (a.sz + b.sz - p.i) >= {CFG.threshold}
+        )"""
+
+
+def _build_quality_scores_oracle() -> str:
+    """Full-column oracle for ``quality_scores`` — the SQL core of
+    ``quality_scores_sql`` plus the three previously rows-only columns:
+
+    * ``n_ws_tokens``: ASCII ``\\S+`` run count,
+    * ``lang_guess``: stopword-profile argmax (first-language-wins ties,
+      0.02 floor — the exact scalar rule in ``detect_lang``),
+    * ``fingerprint``: min ``splitmix64`` over 8-byte rolling poly folds
+      of the text, zero-padded under 8 bytes (``doc_fingerprint``).
+
+    Byte caveat: the engine folds utf-8 BYTES; this replay folds
+    codepoints (``unicode(c)``), identical for ASCII corpora — which the
+    driver fixture is (verified: octet_length == length for every doc).
+    """
+    from nlshray.functions.textstats import _LANG_STOPWORDS
+
+    fold_step = f"(({_sql_mulmod('acc', _SQL_POLY)}) + CAST(x AS HUGEINT)) % {_M64}"
+    lang_fracs = []
+    for lang, stops in _LANG_STOPWORDS.items():
+        lst = ", ".join(f"'{w}'" for w in sorted(stops))
+        lang_fracs.append(
+            f"CASE WHEN length(ts) = 0 THEN 0.0 ELSE "
+            f"length(list_filter(ts, t -> list_contains([{lst}], t)))"
+            f" * 1.0 / length(ts) END AS {lang}_frac"
+        )
+    lang_cols = ",\n            ".join(lang_fracs)
+    first, second, third = list(_LANG_STOPWORDS)  # dict order = tie order
+
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, text,
+                 list_filter(regexp_split_to_array(lower(text), '[^0-9a-z_]+'),
+                             x -> x != '') AS ts
+          FROM documents
+        ),
+        feat AS (
+          SELECT doc_id, text,
+            length(text) AS n_chars,
+            length(ts) AS n_tokens,
+            length(list_filter(regexp_split_to_array(text, '\\s+'),
+                               x -> x != '')) AS n_ws_tokens,
+            length(regexp_extract_all(text, '[0-9a-zA-Z_]+|[^0-9a-zA-Z_\\s]'))
+              AS n_pieces,
+            CASE WHEN length(ts) = 0 THEN 0.0
+                 ELSE list_sum(list_transform(ts, t -> length(t))) / length(ts)
+            END AS mean_token_len,
+            CASE WHEN length(text) = 0 THEN 0.0
+                 ELSE length(regexp_extract_all(text, '[^0-9a-zA-Z_\\s]'))
+                      / length(text)
+            END AS punct_ratio,
+            CASE WHEN length(text) = 0 THEN 0.0
+                 ELSE length(regexp_extract_all(text, '[0-9]')) / length(text)
+            END AS digit_ratio,
+            {lang_cols}
+          FROM toks
+        ),
+        bl AS (
+          SELECT doc_id,
+                 list_resize(
+                   list_transform(
+                     list_filter(regexp_split_to_array(text, ''), c -> c <> ''),
+                     c -> unicode(c)::HUGEINT),
+                   greatest(length(text), 8), 0::HUGEINT) AS bs
+          FROM documents
+        ),
+        fwin AS (
+          SELECT doc_id,
+            list_reduce(list_prepend(0::HUGEINT, bs[w.w : w.w + 7]),
+                        (acc, x) -> {fold_step}) AS raw
+          FROM bl, unnest(range(1, len(bs) - 7 + 1)) AS w(w)
+        ),
+        {_sql_splitmix('f', 'fwin', 'raw', '').strip()},
+        fp AS (
+          SELECT doc_id,
+                 CAST(CAST(MIN(z) AS HUGEINT) % {1 << 63} AS BIGINT)
+                   AS fingerprint
+          FROM f6 GROUP BY doc_id
+        )
+        SELECT f.doc_id, f.n_chars, f.n_tokens, f.n_ws_tokens, f.n_pieces,
+               f.mean_token_len, f.punct_ratio, f.{first}_frac AS stop_ratio,
+               f.digit_ratio,
+               1.0
+               * (CASE WHEN f.n_tokens < 20 OR f.n_tokens > 100000
+                       THEN 0.3 ELSE 1.0 END)
+               * (CASE WHEN f.mean_token_len < 3.0 OR f.mean_token_len > 12.0
+                       THEN 0.5 ELSE 1.0 END)
+               * (CASE WHEN f.punct_ratio > 0.2 THEN 0.5 ELSE 1.0 END)
+               * (CASE WHEN f.digit_ratio > 0.3 THEN 0.5 ELSE 1.0 END)
+               * (CASE WHEN f.{first}_frac < 0.05 THEN 0.7 ELSE 1.0 END)
+               AS quality,
+               CASE WHEN greatest(f.{first}_frac, f.{second}_frac,
+                                  f.{third}_frac) < 0.02 THEN 'und'
+                    WHEN f.{first}_frac >= f.{second}_frac
+                     AND f.{first}_frac >= f.{third}_frac THEN '{first}'
+                    WHEN f.{second}_frac >= f.{third}_frac THEN '{second}'
+                    ELSE '{third}' END AS lang_guess,
+               p.fingerprint
+        FROM feat f JOIN fp p USING (doc_id)
+    """
+
+
+def _build_sampled_docs_oracle(fraction: float = 0.2) -> str:
+    """Replays the hash-based seeded sample: keep doc iff
+    ``splitmix64(doc_id ^ seed_mix(seed)) < fraction * 2^64``."""
+    from nlshray.hashing import _seed_mix
+
+    mix = int(_seed_mix(CFG.seed))
+    thr = int(np.uint64(int(fraction * float(2**64))))
+    return f"""
+        WITH seeded AS (
+          SELECT doc_id, n_chars,
+                 xor(CAST(doc_id AS UBIGINT), {mix}::UBIGINT) AS x
+          FROM documents
+        ),
+        {_sql_splitmix('s', 'seeded', 'x', 'n_chars').strip()}
+        SELECT doc_id, n_chars FROM s6 WHERE z < {thr}::UBIGINT
+    """
+
+
+def _build_near_dup_pairs_oracle() -> str:
+    """Confirmed near-dup pairs at the real threshold (0.8) — the
+    flagship pipeline's pair output, bit-exact from first principles."""
+    return f"""
+        WITH {_near_dup_chain_sql().strip()}
+        SELECT left_id, right_id, ROUND(jac, 6) AS jaccard FROM conf
+    """
+
+
+def _build_near_dup_clusters_oracle() -> str:
+    """Full dedup clustering at threshold 0.8: connected components over
+    confirmed pairs + exact-dup edges via a recursive min-label CTE
+    (label = min doc_id of the component, the engine's canonical rule —
+    ``stages/cluster.py``)."""
+    return f"""
+        WITH RECURSIVE {_near_dup_chain_sql().strip()},
+        alledge AS (
+          SELECT left_id AS u, right_id AS v FROM conf
+          UNION ALL
+          SELECT doc_id AS u, rep_id AS v FROM rep WHERE doc_id <> rep_id
+        ),
+        sym AS (
+          SELECT u, v FROM alledge UNION SELECT v AS u, u AS v FROM alledge
+        ),
+        reach(doc_id, r) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT s.v, reach.r FROM reach JOIN sym s ON s.u = reach.doc_id
+        )
+        SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id
+    """
+
+
 ORACLE_SQL = {
     "simhash_pairs": _build_simhash_oracle(),
     "minhash_signatures": _build_minhash_oracle(),
+    "near_dup_pairs": _build_near_dup_pairs_oracle(),
+    "near_dup_clusters": _build_near_dup_clusters_oracle(),
+    "sampled_docs": _build_sampled_docs_oracle(),
+    "quality_scores": _build_quality_scores_oracle(),
     "q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                ROUND(SUM(l_quantity), 2)                         AS sum_qty,
@@ -1279,8 +1593,7 @@ ORACLE_SQL = {
                AS quality
         FROM feat
     """,
-    # quality_scores (fingerprint column), minhash_signatures,
-    # near_dup_pairs, near_dup_clusters (thr 0.8), simhash_pairs,
-    # knn_cosine_lsh, sampled_docs: engine-specific (hash-seeded,
-    # approximate or RNG-defined) -> rows-only driver check by design.
+    # substring_dups and the approximate kNN members (knn_cosine_lsh /
+    # hnsw / ivf / pq / neural): recall-gated or model-defined by
+    # design -> rows-only driver check.
 }

@@ -1254,13 +1254,15 @@ def _build_quality_scores_oracle() -> str:
             {lang_cols}
           FROM toks
         ),
+        -- zero-pad under 8 bytes via constant-list concat + slice
+        -- (list_resize growth with a column-valued size crashes duckdb 1.0)
         bl AS (
           SELECT doc_id,
-                 list_resize(
-                   list_transform(
-                     list_filter(regexp_split_to_array(text, ''), c -> c <> ''),
-                     c -> unicode(c)::HUGEINT),
-                   greatest(length(text), 8), 0::HUGEINT) AS bs
+                 (list_transform(
+                    list_filter(regexp_split_to_array(text, ''), c -> c <> ''),
+                    c -> unicode(c)::HUGEINT)
+                  || [{", ".join(["0::HUGEINT"] * 8)}]
+                 )[1 : greatest(length(text), 8)] AS bs
           FROM documents
         ),
         fwin AS (
@@ -1296,6 +1298,73 @@ def _build_quality_scores_oracle() -> str:
                     ELSE '{third}' END AS lang_guess,
                p.fingerprint
         FROM feat f JOIN fp p USING (doc_id)
+    """
+
+
+def _build_substring_dups_oracle(
+    window: int = 50, winnow_w: int = 16, min_shared: int = 2
+) -> str:
+    """Replays the winnowed-fingerprint substring dedup in SQL:
+    rolling ``window``-byte poly folds + splitmix per position, MOSS
+    winnowing (first-min argmin of each ``winnow_w`` position window ==
+    ``list_position(slice, list_min(slice))``), candidate pairs sharing
+    a selected fingerprint (63-bit masked like ``band_hash``), confirmed
+    when >= ``min_shared`` DISTINCT window hashes are shared. The
+    engine's final byte-compare only rejects hash-collision false
+    positives (~2^-64), so the SQL equals it on real corpora; ASCII
+    caveat as in ``_build_quality_scores_oracle``."""
+    fold_step = f"(({_sql_mulmod('acc', _SQL_POLY)}) + CAST(x AS HUGEINT)) % {_M64}"
+    return f"""
+        -- zero-pad under {window} bytes via constant-list concat + slice
+        -- (list_resize growth with a column-valued size crashes duckdb 1.0)
+        WITH bl AS (
+          SELECT doc_id,
+                 (list_transform(
+                    list_filter(regexp_split_to_array(text, ''), c -> c <> ''),
+                    c -> unicode(c)::HUGEINT)
+                  || [{", ".join(["0::HUGEINT"] * window)}]
+                 )[1 : greatest(length(text), {window})] AS bs
+          FROM documents
+        ),
+        rwin AS (
+          SELECT doc_id, w.w AS pos,
+            list_reduce(list_prepend(0::HUGEINT, bs[w.w : w.w + {window - 1}]),
+                        (acc, x) -> {fold_step}) AS raw
+          FROM bl, unnest(range(1, len(bs) - {window - 1} + 1)) AS w(w)
+        ),
+        {_sql_splitmix('r', 'rwin', 'raw', 'pos').strip()},
+        hl AS (
+          SELECT doc_id, list(z ORDER BY pos) AS h, COUNT(*) AS n
+          FROM r6 GROUP BY doc_id
+        ),
+        selpos AS (
+          SELECT DISTINCT doc_id,
+            s.s + list_position(h[s.s + 1 : least(s.s + {winnow_w}, n)],
+                                list_min(h[s.s + 1 : least(s.s + {winnow_w}, n)]))
+              AS pos
+          FROM hl, unnest(range(0, greatest(n - {winnow_w - 1}, 1))) AS s(s)
+        ),
+        fps AS (
+          SELECT DISTINCT sp.doc_id,
+                 CAST(CAST(h[sp.pos] AS HUGEINT) % {1 << 63} AS BIGINT) AS fp
+          FROM selpos sp JOIN hl USING (doc_id)
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+          FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        ),
+        wset AS (SELECT DISTINCT doc_id, z FROM r6),
+        shared AS (
+          SELECT c.left_id, c.right_id, COUNT(*) AS n_shared
+          FROM cand c
+          JOIN wset x ON x.doc_id = c.left_id
+          JOIN wset y ON y.doc_id = c.right_id AND y.z = x.z
+          GROUP BY c.left_id, c.right_id
+        )
+        SELECT left_id, right_id,
+               n_shared AS n_shared_windows,
+               CAST({window} AS BIGINT) AS match_len_checked
+        FROM shared WHERE n_shared >= {min_shared}
     """
 
 
@@ -1357,6 +1426,7 @@ ORACLE_SQL = {
     "near_dup_clusters": _build_near_dup_clusters_oracle(),
     "sampled_docs": _build_sampled_docs_oracle(),
     "quality_scores": _build_quality_scores_oracle(),
+    "substring_dups": _build_substring_dups_oracle(),
     "q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                ROUND(SUM(l_quantity), 2)                         AS sum_qty,

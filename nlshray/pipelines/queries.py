@@ -528,6 +528,28 @@ def sampled_docs(sf_dir: str, fraction: float = 0.2):
     return docs.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def novel_docs_incremental(sf_dir: str):
+    """Incremental (new-vs-seen) exact dedup — the daily-crawl filter
+    (``stages/incremental.py``): seen = even-doc_id half of the corpus,
+    new = odd half; returns the new docs whose text is NOT in seen.
+    Broadcast plan at this scale; the bloom + hash-partition scale plan
+    is equality-tested against it (``test_incremental``). DuckDB oracle:
+    a NOT EXISTS anti-join on text."""
+    from nlshray.stages.incremental import novel_docs
+
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+
+    def half(parity: int):
+        def f(t: pa.Table) -> pa.Table:
+            return t.filter(pa.array(t["doc_id"].to_numpy() % 2 == parity))
+
+        return f
+
+    seen = docs.map_batches(half(0), batch_format="pyarrow", zero_copy_batch=True)
+    new = docs.map_batches(half(1), batch_format="pyarrow", zero_copy_batch=True)
+    return novel_docs(new, seen).select_columns(["doc_id", "n_chars"])
+
+
 # ngram_jaccard_pairs routes by corpus size (VERDICT r1 #5): up to this
 # many docs the exact all-pairs broadcast member runs; beyond it the
 # LSH-banded + exact-verify member takes over (precision 1.0 by exact
@@ -851,6 +873,7 @@ QUERIES = {
     "near_dup_clusters_t1": near_dup_clusters_t1,
     "quality_scores_sql": quality_scores_sql,
     "sampled_docs": sampled_docs,
+    "novel_docs_incremental": novel_docs_incremental,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "substring_dups": substring_dups,
     "simhash_pairs": simhash_pairs,
@@ -1407,7 +1430,9 @@ def _build_near_dup_clusters_oracle() -> str:
           UNION ALL
           SELECT doc_id AS u, rep_id AS v FROM rep WHERE doc_id <> rep_id
         ),
-        sym AS (
+        -- MATERIALIZED: without it the recursive member re-evaluates the
+        -- whole kernel-replay chain behind ``conf`` on EVERY iteration
+        sym AS MATERIALIZED (
           SELECT u, v FROM alledge UNION SELECT v AS u, u AS v FROM alledge
         ),
         reach(doc_id, r) AS (
@@ -1427,6 +1452,13 @@ ORACLE_SQL = {
     "sampled_docs": _build_sampled_docs_oracle(),
     "quality_scores": _build_quality_scores_oracle(),
     "substring_dups": _build_substring_dups_oracle(),
+    "novel_docs_incremental": """
+        SELECT d.doc_id, d.n_chars
+        FROM documents d
+        WHERE d.doc_id % 2 = 1 AND NOT EXISTS (
+          SELECT 1 FROM documents s
+          WHERE s.doc_id % 2 = 0 AND s.text = d.text)
+    """,
     "q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                ROUND(SUM(l_quantity), 2)                         AS sum_qty,

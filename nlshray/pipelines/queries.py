@@ -550,6 +550,28 @@ def novel_docs_incremental(sf_dir: str):
     return novel_docs(new, seen).select_columns(["doc_id", "n_chars"])
 
 
+def top_docs_per_lang(sf_dir: str, k: int = 3):
+    """Grouped top-k without a global sort (``stages/topk.py``): the k
+    longest docs per language, deterministic tie-break on doc_id.
+    Partial top-k per block + one coalesced combine — two streaming
+    passes, no shuffle. DuckDB oracle: ROW_NUMBER ... QUALIFY."""
+    from nlshray.stages.topk import grouped_topk
+
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    return grouped_topk(docs, "lang", "n_chars", k)
+
+
+def stratified_sample_by_lang(sf_dir: str, fraction: float = 0.2):
+    """Stratified sampling with exact per-language quotas
+    (``stages/topk.py``): the ceil(frac x group_size) docs with the
+    smallest ``splitmix64(doc_id ^ seed)`` per lang — a pure function of
+    (ids, seed, fraction), parallelism-independent and SQL-replayed."""
+    from nlshray.stages.topk import stratified_sample
+
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    return stratified_sample(docs, "lang", fraction, seed=CFG.seed)
+
+
 # ngram_jaccard_pairs routes by corpus size (VERDICT r1 #5): up to this
 # many docs the exact all-pairs broadcast member runs; beyond it the
 # LSH-banded + exact-verify member takes over (precision 1.0 by exact
@@ -874,6 +896,8 @@ QUERIES = {
     "quality_scores_sql": quality_scores_sql,
     "sampled_docs": sampled_docs,
     "novel_docs_incremental": novel_docs_incremental,
+    "top_docs_per_lang": top_docs_per_lang,
+    "stratified_sample_by_lang": stratified_sample_by_lang,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "substring_dups": substring_dups,
     "simhash_pairs": simhash_pairs,
@@ -1409,6 +1433,26 @@ def _build_sampled_docs_oracle(fraction: float = 0.2) -> str:
     """
 
 
+def _build_stratified_oracle(fraction: float = 0.2) -> str:
+    """Replays the exact-quota stratified sample: per lang, the
+    ceil(frac x count) docs with the smallest splitmix64(doc_id ^ seed),
+    ties on doc_id."""
+    from nlshray.hashing import _seed_mix
+
+    mix = int(_seed_mix(CFG.seed))
+    return f"""
+        WITH seeded AS (
+          SELECT doc_id, lang, n_chars,
+                 xor(CAST(doc_id AS UBIGINT), {mix}::UBIGINT) AS x
+          FROM documents
+        ),
+        {_sql_splitmix('s', 'seeded', 'x', 'lang, n_chars').strip()}
+        SELECT doc_id, lang, n_chars FROM s6
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY lang ORDER BY z, doc_id)
+                <= CEIL({fraction} * COUNT(*) OVER (PARTITION BY lang))
+    """
+
+
 def _build_near_dup_pairs_oracle() -> str:
     """Confirmed near-dup pairs at the real threshold (0.8) — the
     flagship pipeline's pair output, bit-exact from first principles."""
@@ -1450,6 +1494,12 @@ ORACLE_SQL = {
     "near_dup_pairs": _build_near_dup_pairs_oracle(),
     "near_dup_clusters": _build_near_dup_clusters_oracle(),
     "sampled_docs": _build_sampled_docs_oracle(),
+    "stratified_sample_by_lang": _build_stratified_oracle(),
+    "top_docs_per_lang": """
+        SELECT doc_id, lang, n_chars FROM documents
+        QUALIFY ROW_NUMBER() OVER (
+          PARTITION BY lang ORDER BY n_chars DESC, doc_id) <= 3
+    """,
     "quality_scores": _build_quality_scores_oracle(),
     "substring_dups": _build_substring_dups_oracle(),
     "novel_docs_incremental": """

@@ -1,0 +1,165 @@
+"""Grouped top-k and stratified sampling — combiner-style wide ops.
+
+Neither needs a global sort or a groupby shuffle: a per-block partial
+(top-k per group inside ``map_batches`` — the 'pre-aggregate inside
+map_batches' pattern) leaves at most ``k x n_groups`` rows per block,
+and a single coalesced final combine applies the same kernel once.
+Correct because top-k is a semigroup: topk(A ∪ B) = topk(topk(A) ∪
+topk(B)). At 10^12 docs with few strata this is two streaming passes
+and zero all-to-all shuffles (contrast ``Dataset.sort`` which moves
+every row).
+
+Stratified sampling selects an exact per-group quota — the
+``ceil(fraction x group_size)`` docs with the smallest
+``splitmix64(doc_id ^ seed)`` — so the sample is a pure function of
+(ids, seed, fraction): parallelism-independent, resumable, and
+SQL-replayable (unlike ``Dataset.random_sample`` whose RNG stream is
+block-dependent). Group sizes come from the same partial pass.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from nlshray.hashing import _seed_mix, splitmix64
+
+
+def _group_codes(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Dense integer codes for a (string) group column."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    enc = arr.dictionary_encode()
+    return np.asarray(enc.indices, dtype=np.int64)
+
+
+def _rank_in_group(
+    codes: np.ndarray, order_key: np.ndarray, tie: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """(sorted row order, rank within group) under
+    (group, order_key ASC, tie ASC) — three stable argsorts."""
+    o = np.argsort(tie, kind="stable")
+    o = o[np.argsort(order_key[o], kind="stable")]
+    o = o[np.argsort(codes[o], kind="stable")]
+    c = codes[o]
+    starts = (
+        np.concatenate([[0], np.flatnonzero(np.diff(c)) + 1])
+        if c.shape[0]
+        else np.empty(0, np.int64)
+    )
+    rank = np.arange(c.shape[0], dtype=np.int64)
+    if c.shape[0]:
+        rank -= np.repeat(starts, np.diff(np.concatenate([starts, [c.shape[0]]])))
+    return o, rank
+
+
+def _topk_kernel(
+    t: pa.Table,
+    *,
+    group_col: str,
+    order_col: str,
+    k: int,
+    ascending: bool,
+    tie_col: str,
+) -> pa.Table:
+    if t.num_rows == 0:
+        return t
+    codes = _group_codes(t[group_col])
+    key = t[order_col].to_numpy().astype(np.float64)
+    if not ascending:
+        key = -key
+    o, rank = _rank_in_group(codes, key, t[tie_col].to_numpy())
+    keep_rows = o[rank < k]
+    return t.take(pa.array(np.sort(keep_rows)))
+
+
+def grouped_topk(
+    ds: ray.data.Dataset,
+    group_col: str,
+    order_col: str,
+    k: int,
+    *,
+    ascending: bool = False,
+    tie_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Top-k rows per group under (order_col, tie_col) — deterministic."""
+    kw = dict(
+        group_col=group_col,
+        order_col=order_col,
+        k=k,
+        ascending=ascending,
+        tie_col=tie_col,
+    )
+    partial = ds.map_batches(
+        _topk_kernel, fn_kwargs=kw, batch_format="pyarrow", zero_copy_batch=True
+    )
+    # partials are <= k x n_groups per block: coalesce and combine once
+    return partial.repartition(1).map_batches(
+        _topk_kernel, fn_kwargs=kw, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def _hash_order(ids: np.ndarray, seed: int) -> np.ndarray:
+    # stays uint64: a float64 cast could collapse near-equal keys and
+    # reorder vs the exact-integer order the SQL oracle uses
+    return splitmix64(ids.astype(np.uint64) ^ _seed_mix(seed))
+
+
+def stratified_sample(
+    ds: ray.data.Dataset,
+    group_col: str,
+    fraction: float,
+    *,
+    seed: int = 42,
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Exactly ``ceil(fraction x group_size)`` rows per group — the ones
+    with the smallest ``splitmix64(id ^ seed)``.
+
+    Pass 1 (tiny): per-block partial group counts -> driver combine ->
+    per-group quotas. Pass 2: grouped top-quota by hash order (partial +
+    one combine). Group count is assumed small (strata like language /
+    domain / shard — the stratification use case).
+    """
+
+    def counts(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {group_col: pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        codes = _group_codes(t[group_col])
+        enc = t[group_col].combine_chunks().dictionary_encode()
+        n = np.bincount(codes, minlength=len(enc.dictionary))
+        return pa.table(
+            {group_col: enc.dictionary, "n": pa.array(n.astype(np.int64))}
+        )
+
+    agg: dict[str, int] = {}
+    for b in ds.select_columns([group_col]).map_batches(
+        counts, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+        for g, n in zip(b[group_col].to_pylist(), b["n"].to_pylist()):
+            agg[g] = agg.get(g, 0) + int(n)
+    quota = {g: int(np.ceil(fraction * n)) for g, n in agg.items()}
+
+    def sample_kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        codes = _group_codes(t[group_col])
+        enc = t[group_col].combine_chunks().dictionary_encode()
+        ks = np.array(
+            [quota.get(g, 0) for g in enc.dictionary.to_pylist()], np.int64
+        )
+        key = _hash_order(t[id_col].to_numpy(), seed)
+        o, rank = _rank_in_group(codes, key, t[id_col].to_numpy())
+        keep_rows = o[rank < ks[codes[o]]]
+        return t.take(pa.array(np.sort(keep_rows)))
+
+    partial = ds.map_batches(
+        sample_kernel, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return partial.repartition(1).map_batches(
+        sample_kernel, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -572,6 +572,17 @@ def stratified_sample_by_lang(sf_dir: str, fraction: float = 0.2):
     return stratified_sample(docs, "lang", fraction, seed=CFG.seed)
 
 
+def length_quantiles_by_lang(sf_dir: str):
+    """Exact per-language doc-length quantiles WITHOUT a sort
+    (``stages/quantiles.py``): per-block (lang, n_chars, count)
+    histogram partials -> one CDF combine; quantile_disc semantics.
+    DuckDB oracle: quantile_disc per group."""
+    from nlshray.stages.quantiles import grouped_quantiles
+
+    docs = _pq(sf_dir, "documents", columns=["lang", "n_chars"])
+    return grouped_quantiles(docs, "lang", "n_chars", [0.25, 0.5, 0.75, 0.95, 0.99])
+
+
 # ngram_jaccard_pairs routes by corpus size (VERDICT r1 #5): up to this
 # many docs the exact all-pairs broadcast member runs; beyond it the
 # LSH-banded + exact-verify member takes over (precision 1.0 by exact
@@ -898,6 +909,7 @@ QUERIES = {
     "novel_docs_incremental": novel_docs_incremental,
     "top_docs_per_lang": top_docs_per_lang,
     "stratified_sample_by_lang": stratified_sample_by_lang,
+    "length_quantiles_by_lang": length_quantiles_by_lang,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "substring_dups": substring_dups,
     "simhash_pairs": simhash_pairs,
@@ -1499,6 +1511,16 @@ ORACLE_SQL = {
         SELECT doc_id, lang, n_chars FROM documents
         QUALIFY ROW_NUMBER() OVER (
           PARTITION BY lang ORDER BY n_chars DESC, doc_id) <= 3
+    """,
+    "length_quantiles_by_lang": """
+        SELECT lang,
+               quantile_disc(n_chars, 0.25) AS q_25,
+               quantile_disc(n_chars, 0.50) AS q_50,
+               quantile_disc(n_chars, 0.75) AS q_75,
+               quantile_disc(n_chars, 0.95) AS q_95,
+               quantile_disc(n_chars, 0.99) AS q_99,
+               COUNT(*) AS n_rows
+        FROM documents GROUP BY lang
     """,
     "quality_scores": _build_quality_scores_oracle(),
     "substring_dups": _build_substring_dups_oracle(),

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from nlshray.hashing import splitmix64
+from nlshray.hashing import splitmix64, splitmix64_xor_into
 
 
 def perm_seeds(num_perms: int, seed: int) -> np.ndarray:
@@ -56,17 +56,26 @@ def sign_concat(
     ends = np.cumsum(lengths)
     starts = ends - lengths
 
+    # scratch reused across every tile x permutation: the allocating form
+    # (splitmix64(tile ^ seed)) creates ~5 tile-sized temporaries per
+    # perm — ~25 GB of allocator/first-touch traffic per 25k-doc block
+    mixed = np.empty(_TILE_SHINGLES, dtype=np.uint64)
+    tmp = np.empty(_TILE_SHINGLES, dtype=np.uint64)
     d0 = 0
     while d0 < n_docs:
         d1 = d0 + 1
         while d1 < n_docs and ends[d1 - 1] - starts[d0] < _TILE_SHINGLES:
             d1 += 1
         tile = flat[starts[d0] : ends[d1 - 1]]
+        m = tile.shape[0]
+        if m > mixed.shape[0]:  # single doc longer than the tile budget
+            mixed = np.empty(m, dtype=np.uint64)
+            tmp = np.empty(m, dtype=np.uint64)
         tstarts = (starts[d0:d1] - starts[d0]).astype(np.int64)
-        with np.errstate(over="ignore"):
-            for j in range(n_perms):
-                mixed = splitmix64(tile ^ seeds[j])
-                sigs[d0:d1, j] = np.minimum.reduceat(mixed, tstarts)
+        mv, tv = mixed[:m], tmp[:m]
+        for j in range(n_perms):
+            splitmix64_xor_into(tile, seeds[j], mv, tv)
+            sigs[d0:d1, j] = np.minimum.reduceat(mv, tstarts)
         d0 = d1
     return sigs
 

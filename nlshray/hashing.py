@@ -64,6 +64,32 @@ def splitmix64(x: np.ndarray) -> np.ndarray:
         return z
 
 
+def splitmix64_xor_into(
+    x: np.ndarray, seed: np.uint64, out: np.ndarray, tmp: np.ndarray
+) -> np.ndarray:
+    """``splitmix64(x ^ seed)`` with ZERO allocations — ``out`` and
+    ``tmp`` are caller-provided uint64 scratch of x's shape.
+
+    Bit-identical to ``splitmix64(x ^ seed)`` (same wraparound ops in
+    the same order). Exists for the MinHash perm loop: the allocating
+    form creates ~5 tile-sized temporaries per permutation x tile —
+    tens of GB of allocator/first-touch traffic per block — while this
+    variant keeps the working set at exactly 3 cache-hot buffers.
+    """
+    with np.errstate(over="ignore"):
+        np.bitwise_xor(x, seed, out=out)
+        out += _GOLDEN
+        np.right_shift(out, _U64(30), out=tmp)
+        out ^= tmp
+        out *= _C1
+        np.right_shift(out, _U64(27), out=tmp)
+        out ^= tmp
+        out *= _C2
+        np.right_shift(out, _U64(31), out=tmp)
+        out ^= tmp
+    return out
+
+
 def hash_bytes_u64(data: bytes, seed: int = 0) -> int:
     """Stable 64-bit hash of a byte string (blake2b, 8-byte digest).
 

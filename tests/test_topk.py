@@ -69,3 +69,31 @@ def test_stratified_exact_quota(ray_session):
         )
     )
     assert out.equals(out2)
+
+
+def test_grouped_quantiles_exact_vs_numpy(ray_session):
+    """quantile_disc semantics: smallest value whose cumulative count
+    reaches ceil(q*n), per group — checked against a direct sort."""
+    from nlshray.stages.quantiles import grouped_quantiles
+
+    t = _tbl(400, seed=3)
+    qs = [0.25, 0.5, 0.75, 0.99]
+    got = grouped_quantiles(rd.from_arrow(t), "lang", "n_chars", qs).to_pandas()
+    df = t.to_pandas()
+    for _, row in got.iterrows():
+        vals = np.sort(df.loc[df["lang"] == row["lang"], "n_chars"].values)
+        assert row["n_rows"] == vals.shape[0]
+        for q in qs:
+            want = vals[max(int(np.ceil(q * vals.shape[0])), 1) - 1]
+            assert row[f"q_{int(round(q * 100))}"] == want, (row["lang"], q)
+
+
+def test_grouped_quantiles_parallelism_independent(ray_session):
+    from nlshray.stages.quantiles import grouped_quantiles
+
+    t = _tbl(300, seed=11)
+    a = grouped_quantiles(rd.from_arrow(t), "lang", "n_chars", [0.5, 0.9])
+    b = grouped_quantiles(
+        rd.from_arrow(t).repartition(13), "lang", "n_chars", [0.5, 0.9]
+    )
+    assert a.equals(b)

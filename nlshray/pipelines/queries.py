@@ -265,35 +265,15 @@ def events_hourly(sf_dir: str):
 
 def events_sessionize(sf_dir: str, gap_minutes: int = 30):
     """Gap-based sessionization per user (session window semantics,
-    ray_guide 'streaming-shaped workloads': sort within group, window
-    with pandas). A new session starts when the gap to the previous
-    event exceeds ``gap_minutes``."""
-    import pandas as pd
+    §2.9). A new session starts when the gap to the previous event
+    exceeds ``gap_minutes``. Segmented-numpy kernel in
+    ``stages/window.py`` — no pandas (VERDICT r3 #4)."""
+    from nlshray.stages.window import session_window
 
     ds = _pq(sf_dir, "events", columns=["user_id", "ts", "value"])
-    gap_us = gap_minutes * 60_000_000
-
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
-        us = g["ts"].astype("int64")
-        new = (us.diff().fillna(gap_us + 1) > gap_us).astype("int64")
-        sid = new.cumsum()
-        out = (
-            g.assign(session=sid, ts_us=us)
-            .groupby("session")
-            .agg(
-                user_id=("user_id", "first"),
-                session_start=("ts_us", "min"),
-                n_events=("ts_us", "size"),
-                sum_value=("value", "sum"),
-            )
-            .reset_index(drop=True)
-        )
-        out["sum_value"] = out["sum_value"].round(4)
-        return out
-
-    return ds.groupby("user_id", num_partitions=NPARTS).map_groups(
-        sessions, batch_format="pandas"
+    return session_window(
+        ds, key="user_id", ts="ts", value="value",
+        gap_seconds=gap_minutes * 60, num_partitions=NPARTS,
     )
 
 
@@ -581,6 +561,35 @@ def length_quantiles_by_lang(sf_dir: str):
 
     docs = _pq(sf_dir, "documents", columns=["lang", "n_chars"])
     return grouped_quantiles(docs, "lang", "n_chars", [0.25, 0.5, 0.75, 0.95, 0.99])
+
+
+def score_quantiles_by_lang(sf_dir: str):
+    """Exact per-language quantiles of the FLOAT quality score — the
+    unbounded-domain member of the quantile family (VERDICT r3 #3):
+    order-preserving float64->uint64 bucketing pre-map locates the
+    straddling bucket per (lang, q), one targeted second pass gathers
+    only those buckets and reads the exact value off the in-bucket
+    rank. Answers are copied input values -> bit-exact vs DuckDB
+    ``quantile_disc`` over the same SQL-replayed score."""
+    from nlshray.stages.quantiles import grouped_quantiles_float
+
+    docs = _pq(sf_dir, "documents", columns=["text", "lang"])
+    # the score is a pure function of text, so lang rides along in the
+    # same batch — no join needed to pair (lang, quality)
+    from nlshray.functions.textstats import batch_textstats
+
+    def score(t: pa.Table) -> pa.Table:
+        f = batch_textstats(t["text"])
+        return pa.table(
+            {"lang": t["lang"], "quality": pa.array(f["quality"], pa.float64())}
+        )
+
+    lang_scores = docs.map_batches(
+        score, batch_format="pyarrow", batch_size=1024, zero_copy_batch=True
+    )
+    return grouped_quantiles_float(
+        lang_scores, "lang", "quality", [0.25, 0.5, 0.75, 0.9]
+    )
 
 
 # ngram_jaccard_pairs routes by corpus size (VERDICT r1 #5): up to this
@@ -910,6 +919,7 @@ QUERIES = {
     "top_docs_per_lang": top_docs_per_lang,
     "stratified_sample_by_lang": stratified_sample_by_lang,
     "length_quantiles_by_lang": length_quantiles_by_lang,
+    "score_quantiles_by_lang": score_quantiles_by_lang,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "substring_dups": substring_dups,
     "simhash_pairs": simhash_pairs,
@@ -1771,3 +1781,21 @@ ORACLE_SQL = {
     # hnsw / ivf / pq / neural): recall-gated or model-defined by
     # design -> rows-only driver check.
 }
+
+# float-quantile oracle: quantile_disc over the SAME SQL-replayed score
+# the quality_scores_sql oracle proves bit-exact per doc — quantile_disc
+# copies an input value, so the grouped result is hash-exact too.
+ORACLE_SQL["score_quantiles_by_lang"] = f"""
+    WITH scored AS (
+      SELECT sq.doc_id, sq.quality, d.lang
+      FROM ({ORACLE_SQL["quality_scores_sql"]}) sq
+      JOIN documents d USING (doc_id)
+    )
+    SELECT lang,
+           quantile_disc(quality, 0.25) AS q_25,
+           quantile_disc(quality, 0.50) AS q_50,
+           quantile_disc(quality, 0.75) AS q_75,
+           quantile_disc(quality, 0.90) AS q_90,
+           COUNT(*) AS n_rows
+    FROM scored GROUP BY lang
+"""

@@ -80,6 +80,8 @@ def test_grouped_quantiles_exact_vs_numpy(ray_session):
     qs = [0.25, 0.5, 0.75, 0.99]
     got = grouped_quantiles(rd.from_arrow(t), "lang", "n_chars", qs).to_pandas()
     df = t.to_pandas()
+    # guard against a vacuous pass: every group must be present exactly once
+    assert sorted(got["lang"]) == sorted(df["lang"].unique())
     for _, row in got.iterrows():
         vals = np.sort(df.loc[df["lang"] == row["lang"], "n_chars"].values)
         assert row["n_rows"] == vals.shape[0]
@@ -95,5 +97,47 @@ def test_grouped_quantiles_parallelism_independent(ray_session):
     a = grouped_quantiles(rd.from_arrow(t), "lang", "n_chars", [0.5, 0.9])
     b = grouped_quantiles(
         rd.from_arrow(t).repartition(13), "lang", "n_chars", [0.5, 0.9]
+    )
+    assert a.equals(b)
+
+
+def _float_tbl(n=5000, seed=7):
+    rng = np.random.default_rng(seed)
+    langs = rng.choice(["en", "de", "fr"], n)
+    # heavy ties (30% exactly 0.5) + negatives: the straddling bucket
+    # then holds many rows and the in-bucket rank must still be exact
+    vals = np.where(rng.random(n) < 0.3, 0.5, rng.random(n) * 3 - 1)
+    return pa.table({"lang": pa.array(langs), "score": pa.array(vals)})
+
+
+def test_grouped_quantiles_float_exact_vs_numpy(ray_session):
+    """float-domain member (VERDICT r3 #3): bucketing pre-map + targeted
+    refine pass must reproduce quantile_disc exactly, including q=0/1,
+    ties, and negative values."""
+    from nlshray.stages.quantiles import grouped_quantiles_float
+
+    t = _float_tbl()
+    qs = [0.0, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]
+    got = grouped_quantiles_float(
+        rd.from_arrow(t).repartition(7), "lang", "score", qs
+    ).to_pandas()
+    langs = t["lang"].to_numpy(zero_copy_only=False)
+    vals = t["score"].to_numpy()
+    assert sorted(got["lang"]) == sorted(np.unique(langs))
+    for _, row in got.iterrows():
+        v = np.sort(vals[langs == row["lang"]])
+        assert row["n_rows"] == v.shape[0]
+        for q in qs:
+            want = v[max(int(np.ceil(q * v.shape[0])), 1) - 1]
+            assert row[f"q_{int(round(q * 100))}"] == want, (row["lang"], q)
+
+
+def test_grouped_quantiles_float_parallelism_independent(ray_session):
+    from nlshray.stages.quantiles import grouped_quantiles_float
+
+    t = _float_tbl(1200, seed=13)
+    a = grouped_quantiles_float(rd.from_arrow(t), "lang", "score", [0.5, 0.9])
+    b = grouped_quantiles_float(
+        rd.from_arrow(t).repartition(11), "lang", "score", [0.5, 0.9]
     )
     assert a.equals(b)

@@ -320,30 +320,49 @@ def generate_pages_sharded(
     """
     import ray
 
-    @ray.remote
-    def _shard(i: int, rows: int) -> pa.Table:
-        return generate_pages(rows, seed=seed + i * 1009, pos_offset=i * shard_size)
-
-    shards = []
+    plan = []
     off = 0
     i = 0
     while off < n:
         rows = min(shard_size, n - off)
-        shards.append(_shard.remote(i, rows))
+        plan.append((i, rows))
         off += rows
         i += 1
-    tables = ray.get(shards)
+
     if out_path is None:
-        return pa.concat_tables(tables)
+
+        @ray.remote
+        def _shard(i: int, rows: int) -> pa.Table:
+            return generate_pages(
+                rows, seed=seed + i * 1009, pos_offset=i * shard_size
+            )
+
+        return pa.concat_tables(ray.get([_shard.remote(i, r) for i, r in plan]))
+
+    # directory mode: each task writes its own parquet shard — no driver
+    # gather (a 12.8M-page corpus gathered to the driver is ~36 GB of
+    # object store + spill), parallel writes, resumable per shard
     import os
 
-    import pyarrow.parquet as pq
-
     os.makedirs(out_path, exist_ok=True)
-    for j, t in enumerate(tables):
-        pq.write_table(
-            t, os.path.join(out_path, f"shard_{j:04d}.parquet"), row_group_size=8192
-        )
+
+    @ray.remote
+    def _write_shard(i: int, rows: int) -> str:
+        import pyarrow.parquet as pq
+
+        t = generate_pages(rows, seed=seed + i * 1009, pos_offset=i * shard_size)
+        dest = os.path.join(out_path, f"shard_{i:04d}.parquet")
+        pq.write_table(t, dest + ".tmp", row_group_size=8192)
+        os.rename(dest + ".tmp", dest)
+        return dest
+
+    ray.get(
+        [
+            _write_shard.remote(i, r)
+            for i, r in plan
+            if not os.path.exists(os.path.join(out_path, f"shard_{i:04d}.parquet"))
+        ]
+    )
     return out_path
 
 

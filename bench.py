@@ -167,11 +167,20 @@ def run_dedup_only(num_cpus: int, pages_path: str) -> dict:
     cpu_capacity = _cpu_capacity(num_cpus)  # before ray.init: no contention
     import ray
 
+    # NLSHRAY_OBJ_STORE_GB: plasma sizing for corpora bigger than the
+    # default 25.6 GiB store (42.9% heuristic). A 12.8M-page corpus pins
+    # ~25 GB of extracted docs + ~11 GB of signatures; a real 128-GB
+    # node would run plasma at ~50% of RAM, so the scaling campaign sets
+    # this to 55 to measure CPU scaling, not spill I/O (disclosed in
+    # BASELINE.md). Beyond-RAM corpora use the parquet text store
+    # (dedup_docs text_store_dir) instead of a bigger pin.
+    obj_gb = float(os.environ.get("NLSHRAY_OBJ_STORE_GB", "0"))
     ray.init(
         address="local",
         num_cpus=num_cpus,
         include_dashboard=False,
         logging_level="ERROR",
+        object_store_memory=int(obj_gb * 2**30) if obj_gb else None,
     )
     from ray.data import DataContext
 
@@ -214,14 +223,31 @@ def run_dedup_only(num_cpus: int, pages_path: str) -> dict:
     # clustering (the 10^12-pair regime's plan) so it gets measured at
     # bench scale, not only in limit=0 unit tests
     mdp = os.environ.get("NLSHRAY_MAX_DRIVER_PAIRS")
-    cfg = (
-        DedupConfig(max_driver_pairs=int(mdp)) if mdp is not None else DedupConfig()
-    )
+    cfg_kw: dict = {}
+    if mdp is not None:
+        cfg_kw["max_driver_pairs"] = int(mdp)
+    # NLSHRAY_SIGNER=oph: one-permutation-hashing signature kernel (the
+    # 100-TB sign plan); default stays the oracle-replayable MinHash
+    sgn = os.environ.get("NLSHRAY_SIGNER")
+    if sgn:
+        cfg_kw["signer"] = sgn
+    cfg = DedupConfig(**cfg_kw)
+    # NLSHRAY_TEXT_STORE=1: corpus-beyond-plasma mode — the hashed corpus
+    # is persisted as Parquet (inside the timed region; it's part of the
+    # job) and never pinned; borderline gathers are row-group-pruned reads
+    text_store = None
+    if os.environ.get("NLSHRAY_TEXT_STORE", "0") == "1":
+        import shutil
+
+        text_store = os.path.join(FIXTURE_DIR, f"textstore_{num_cpus}")
+        shutil.rmtree(text_store, ignore_errors=True)
+        os.makedirs(text_store, exist_ok=True)
     res = dedup_pages(
         rd.read_parquet(pages_path, override_num_blocks=nblocks),
         cfg,
         num_partitions=nparts,
         force_distributed=force_dist,
+        text_store_dir=text_store,
         sink=sink,
     )
     n_labelled = res.clusters.count()
@@ -379,6 +405,69 @@ def run_scaling() -> dict:
     }
 
 
+def run_incremental_bloom() -> dict:
+    """VERDICT r3 #5: the 10^12-regime bloom plan of incremental
+    (new-vs-seen) dedup measured at bench scale — new=800k pages vs
+    seen=3.2M pages of the scaling corpus, broadcast disabled — with the
+    plan's fp-rate accounting (bloom positives vs exact-check rescues)."""
+    pages_path = _ensure_scaling_fixture()
+    files = sorted(
+        os.path.join(pages_path, f) for f in os.listdir(pages_path)
+    )
+    if len(files) < 80:
+        raise SystemExit("scaling fixture too small for the 3.2M/800k split")
+    seen_files, new_files = files[:64], files[64:80]
+
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=32,
+        include_dashboard=False,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import ray.data as rd
+
+    from nlshray.stages.extract import extract_stage
+    from nlshray.stages.incremental import novel_docs
+
+    cols = ["url", "warc_ts", "html", "lang"]
+    seen = extract_stage(rd.read_parquet(seen_files).select_columns(cols))
+    new = extract_stage(rd.read_parquet(new_files).select_columns(cols))
+    prewarm_sec = _prewarm(32)
+    stats: dict = {}
+    t0 = time.perf_counter()
+    out = novel_docs(
+        new, seen, force_bloom=True, num_partitions=48, stats_out=stats
+    )
+    n_novel = out.count()
+    sec = time.perf_counter() - t0
+    n_new = 800_000
+    ray.shutdown()
+    pos = stats.get("n_bloom_positives", 0)
+    fps = stats.get("n_false_positives", 0)
+    return {
+        "metric": "incremental dedup wall time (bloom plan, seen=3.2M new=800k)",
+        "value": round(sec, 3),
+        "unit": "sec",
+        "num_cpus": 32,
+        "n_seen_pairs": stats.get("n_seen_pairs"),
+        "n_new": n_new,
+        "n_novel": n_novel,
+        "new_docs_per_sec": round(n_new / sec, 1),
+        "bloom_m_bits": stats.get("m_bits"),
+        "bloom_k": stats.get("k"),
+        "n_bloom_positives": pos,
+        "n_false_positives": fps,
+        # fp rate among the genuinely-novel queries (the filter's load)
+        "fp_rate": round(fps / max(n_new - (pos - fps), 1), 6),
+        "prewarm_sec": round(prewarm_sec, 1),
+    }
+
+
 def run_cluster_scaling() -> dict:
     """VERDICT r2 #8: the force-distributed clustering plan (min-label
     propagation, the 10^12-pair regime) measured at bench scale — the
@@ -412,6 +501,8 @@ if __name__ == "__main__":
         print(json.dumps(run_scaling()))
     elif "--cluster-scaling" in sys.argv:
         print(json.dumps(run_cluster_scaling()))
+    elif "--incremental-bloom" in sys.argv:
+        print(json.dumps(run_incremental_bloom()))
     elif "--dedup-only" in sys.argv:
         print(json.dumps(run_dedup_only(ncpu, os.environ["NLSHRAY_PAGES_PATH"])))
     else:

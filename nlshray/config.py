@@ -23,6 +23,12 @@ class DedupConfig:
     # --- shingling / signatures ---
     shingle_k: int = 5            # word-shingle width
     num_perms: int = 128          # MinHash permutations (sig length)
+    # signature kernel: "minhash" = 128-pass permutation MinHash (the
+    # oracle-replayable default); "oph" = one-permutation hashing with
+    # rotation densification (ONE hash pass; the 100-TB sign-stage plan —
+    # same signature shape and slot-match Jaccard estimator, ~num_perms×
+    # less hash compute, slightly higher variance on short docs)
+    signer: str = "minhash"
     bands: int = 16               # LSH bands (b)
     rows_per_band: int = 8        # sig slots per band (r); b*r == num_perms
     threshold: float = 0.8        # Jaccard threshold for a confirmed dup pair
@@ -64,6 +70,8 @@ class DedupConfig:
                 f"bands*rows_per_band ({self.bands}*{self.rows_per_band}) "
                 f"must equal num_perms ({self.num_perms})"
             )
+        if self.signer not in ("minhash", "oph"):
+            raise ValueError(f"unknown signer {self.signer!r}")
 
     def config_hash(self) -> str:
         """Stable fingerprint used in checkpoint manifests.

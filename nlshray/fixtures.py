@@ -306,6 +306,25 @@ def compute_true_clusters(pages: pa.Table, true_pairs: pa.Table) -> pa.Table:
     )
 
 
+def generate_embeddings(
+    n: int, dim: int = 64, n_clusters: int = 0, seed: int = 42
+) -> "np.ndarray":
+    """Deterministic clustered embedding fixture (bench-scale head
+    evaluation): ``n_clusters`` Gaussian centroids on the unit sphere,
+    points = centroid + noise. Clustered geometry is what learned hash
+    heads exploit (the sf testdata embeddings are near-random, which
+    floors every head's recall identically — FIXTURES.md)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    n_clusters = n_clusters or max(8, n // 64)
+    cents = rng.standard_normal((n_clusters, dim))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    asg = rng.integers(0, n_clusters, n)
+    X = cents[asg] + 0.25 * rng.standard_normal((n, dim))
+    return X.astype(np.float64)
+
+
 def generate_pages_sharded(
     n: int, seed: int = 42, shard_size: int = 50_000, out_path: str | None = None
 ):

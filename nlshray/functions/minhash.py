@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from nlshray.hashing import splitmix64, splitmix64_xor_into
+from nlshray.hashing import _seed_mix, splitmix64, splitmix64_xor_into
 
 
 def perm_seeds(num_perms: int, seed: int) -> np.ndarray:
@@ -78,6 +78,73 @@ def sign_concat(
             sigs[d0:d1, j] = np.minimum.reduceat(mv, tstarts)
         d0 = d1
     return sigs
+
+
+def oph_sign_concat(
+    flat: np.ndarray, lengths: np.ndarray, num_perms: int, seed: int
+) -> np.ndarray:
+    """One-permutation MinHash with rotation densification — the scale
+    signer (public method: Li, Owen & Zhang, NIPS 2012; densification
+    Shrivastava & Li, ICML 2014).
+
+    ONE splitmix pass over the shingles instead of ``num_perms`` passes:
+    each shingle hash is remixed once, its top ``log2(num_perms)`` bits
+    pick a signature slot, and the slot keeps the per-document minimum.
+    Empty slots densify by circular borrow from the nearest non-empty
+    slot to the right, offset by ``C * distance`` so borrowed slots only
+    collide when both documents borrowed the same value over the same
+    distance. Output shape/semantics match ``sign_concat``: slot-match
+    fraction is an unbiased Jaccard estimate, so banding, pair
+    generation and the verify estimator consume OPH signatures
+    unchanged. Trade-off vs the 128-pass signer: ~num_perms× less hash
+    compute, slightly higher estimator variance for documents with few
+    shingles (slots behave like sampled-without-replacement bins).
+    """
+    from nlshray.functions.nputil import segment_ids
+
+    n_docs = lengths.shape[0]
+    P = int(num_perms)
+    if P & (P - 1) or P < 2:
+        raise ValueError(f"oph signer requires power-of-two num_perms, got {P}")
+    if n_docs == 0:
+        return np.empty((0, P), dtype=np.uint64)
+    flat = flat.astype(np.uint64, copy=False)
+    h = splitmix64(flat ^ _OPH_SALT ^ _seed_mix(seed))
+    doc = segment_ids(lengths.astype(np.int64, copy=False))
+    shift = np.uint64(64 - (P.bit_length() - 1))
+
+    # scatter-min into a (doc, bin) grid — keys arrive doc-grouped, so
+    # ufunc.at stays cache-local (measured ~40x faster than a lexsort)
+    key = doc * P + (h >> shift).astype(np.int64)
+    sig_flat = np.full(n_docs * P, np.uint64(0xFFFFFFFFFFFFFFFF), np.uint64)
+    np.minimum.at(sig_flat, key, h)
+    filled_flat = np.zeros(n_docs * P, dtype=np.bool_)
+    filled_flat[key] = True
+    sigs = sig_flat.reshape(n_docs, P)
+    filled = filled_flat.reshape(n_docs, P)
+
+    rows = np.flatnonzero(~filled.all(axis=1))
+    if rows.shape[0]:
+        orig = sigs[rows]
+        fil = filled[rows]
+        out = orig.copy()
+        need = ~fil
+        C = np.uint64(0x27D4EB2F165667C5)
+        with np.errstate(over="ignore"):  # uint64 wraparound is the point
+            for t in range(1, P):
+                if not need.any():
+                    break
+                take = need & np.roll(fil, -t, axis=1)
+                if take.any():
+                    out = np.where(
+                        take, np.roll(orig, -t, axis=1) + C * np.uint64(t), out
+                    )
+                    need &= ~take
+        sigs[rows] = out
+    return sigs
+
+
+_OPH_SALT = np.uint64(0x9E3779B97F4A7C15)
 
 
 def estimate_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> np.ndarray:

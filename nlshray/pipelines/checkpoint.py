@@ -121,8 +121,17 @@ def run_checkpointed(
         cand = rd.read_parquet(pairs_dir)
         sigs = rd.read_parquet(sigs_dir)
         docs_rep = rd.read_parquet(docs_dir)
+        # borderline shingle gathers read the persisted docs Parquet with
+        # row-group pruning (VERDICT r3 #6) — no corpus pin, no streaming
+        # re-execution of the docs read chain per gather
+        docs_files = sorted(
+            os.path.join(docs_dir, f)
+            for f in os.listdir(docs_dir)
+            if f.endswith(".parquet")
+        )
         confirmed = verify_stage(
-            cand, sigs, reps_only(docs_rep), cfg, num_partitions=nparts
+            cand, sigs, reps_only(docs_rep), cfg, num_partitions=nparts,
+            text_source_files=docs_files or None,
         )
         return confirmed, {}
 

@@ -77,6 +77,7 @@ def dedup_docs(
     num_partitions: int | None = None,
     collect_stats: bool = False,
     force_distributed: bool = False,
+    text_store_dir: str | None = None,
     sink=None,
 ) -> DedupResult:
     """Near-dup pipeline over a docs table (doc_id:int64, text:string, ...).
@@ -89,6 +90,14 @@ def dedup_docs(
     ``force_distributed=True`` disables the driver-merge fast paths so
     every wide step runs its shuffle-based scale plan (what a multi-node
     cluster executes; used by ``bench.py --scaling``).
+
+    ``text_store_dir``: corpus-beyond-plasma mode (VERDICT r3 #6). The
+    hashed corpus is written ONCE as Parquet under this directory
+    instead of being pinned in the object store; verify's borderline
+    shingle gathers become row-group-pruned Parquet reads
+    (``_shingle_file``) and every other consumer streams column-pruned
+    reads. Use when corpus text exceeds the node's plasma share (the
+    100-TB regime) — at plasma-resident sizes the pinned path is faster.
 
     ``sink``: optional metrics sink (``nlshray.state.metrics`` duck
     type). Each pipeline barrier emits a stage event — wall seconds plus
@@ -119,8 +128,21 @@ def dedup_docs(
         num_partitions=nparts,
         driver_merge_limit=0 if force_distributed else 5_000_000,
         with_hashed=True,
+        store_dir=text_store_dir,
     )
-    text_refs = docs_h.to_arrow_refs()
+    if text_store_dir is not None:
+        import os
+
+        docs_dir = os.path.join(text_store_dir, "docs_h")
+        text_refs = None
+        text_files = sorted(
+            os.path.join(docs_dir, f)
+            for f in os.listdir(docs_dir)
+            if f.endswith(".parquet")
+        )
+    else:
+        text_refs = docs_h.to_arrow_refs()
+        text_files = None
     sink.emit("exact", {}, time.perf_counter() - t0)
     t0 = time.perf_counter()
     reps = reps_only(docs_rep)
@@ -192,6 +214,7 @@ def dedup_docs(
             cand, sigs, reps, cfg, num_partitions=nparts, pair_ids=pair_ids,
             allow_small_path=not force_distributed,
             text_source_refs=text_refs,
+            text_source_files=text_files,
         )
         if not isinstance(confirmed, ray.data.dataset.MaterializedDataset):
             confirmed = confirmed.materialize()
@@ -243,6 +266,7 @@ def dedup_pages(
     num_partitions: int | None = None,
     collect_stats: bool = False,
     force_distributed: bool = False,
+    text_store_dir: str | None = None,
     sink=None,
 ) -> DedupResult:
     """Full pipeline from raw pages (url, warc_ts, html, lang[, text])."""
@@ -254,6 +278,7 @@ def dedup_pages(
         num_partitions=num_partitions,
         collect_stats=collect_stats,
         force_distributed=force_distributed,
+        text_store_dir=text_store_dir,
         sink=sink,
     )
 

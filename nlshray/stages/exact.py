@@ -182,6 +182,7 @@ def exact_stage(
     num_partitions: int = 32,
     driver_merge_limit: int = 5_000_000,
     with_hashed: bool = False,
+    store_dir: str | None = None,
 ) -> ray.data.Dataset:
     """docs -> docs + (text_hash, rep_id, n_copies).
 
@@ -195,20 +196,43 @@ def exact_stage(
     is the internally materialized hashed corpus — downstream raw-task
     gathers (e.g. verify's borderline shingle sets) run straight off its
     blocks instead of re-executing the lazy rep-attach chain.
+
+    ``store_dir``: corpus-beyond-plasma mode (VERDICT r3 #6). The hashed
+    corpus is written ONCE as Parquet under ``store_dir/docs_h`` instead
+    of being pinned in the object store; only the projected (doc_id,
+    text_hash, text_hash2) columns — ~24 bytes/doc — are materialized
+    for group discovery, and ``docs_h`` comes back as a lazy
+    column-pruned Parquet read. Text consumers (sign, verify's
+    borderline gathers) re-read from the store with row-group pruning.
     """
-    docs_h = docs.map_batches(
-        _add_text_hash, batch_format="pyarrow", zero_copy_batch=True
-    ).materialize()
+    if store_dir is not None:
+        import os
+
+        docs_dir = os.path.join(store_dir, "docs_h")
+        if os.path.isdir(docs_dir) and os.listdir(docs_dir):
+            raise ValueError(f"text store {docs_dir} is not empty")
+        docs.map_batches(
+            _add_text_hash, batch_format="pyarrow", zero_copy_batch=True
+        ).write_parquet(docs_dir)
+        docs_h = ray.data.read_parquet(docs_dir)
+        hash_src = docs_h.select_columns(
+            ["doc_id", "text_hash", "text_hash2"]
+        ).materialize()
+    else:
+        docs_h = docs.map_batches(
+            _add_text_hash, batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()
+        hash_src = docs_h
 
     def _ret(docs_rep):
         return (docs_rep, docs_h) if with_hashed else docs_rep
 
-    if driver_merge_limit > 0 and docs_h.count() <= driver_merge_limit:
+    if driver_merge_limit > 0 and hash_src.count() <= driver_merge_limit:
         # per-block partials via raw Ray tasks over the materialized
         # blocks — distributed pre-aggregation with no extra streaming
         # execution (the blocks are already pinned in the object store)
         partials = ray.get(
-            [_group_partial_block.remote(r) for r in docs_h.to_arrow_refs()]
+            [_group_partial_block.remote(r) for r in hash_src.to_arrow_refs()]
         )
         th_c, rep_c, cop_c, h2_c = [], [], [], []
         for b in partials:
@@ -253,7 +277,7 @@ def exact_stage(
     P = max(1, num_partitions)
     a_out = [
         _shard_partials.options(num_returns=P).remote(r, P)
-        for r in docs_h.to_arrow_refs()
+        for r in hash_src.to_arrow_refs()
     ]
     if P == 1:
         a_out = [[r] for r in a_out]

@@ -187,9 +187,10 @@ def _shard_new_positives(block: pa.Table, words_ref, k: int, P: int):
 
 
 @ray.remote
-def _novel_positive_ids(n_seen_parts: int, *parts) -> np.ndarray:
+def _novel_positive_ids(n_seen_parts: int, *parts) -> tuple[np.ndarray, int]:
     """Round B: one hash partition's exact membership check — returns
-    the doc ids of bloom FALSE positives (novel despite a positive).
+    (doc ids of bloom FALSE positives — novel despite a positive — and
+    the partition's total bloom-positive count, for fp-rate accounting).
     ``parts`` = the partition's seen shards followed by its new shards
     (flat varargs so Ray auto-dereferences the shard refs in-task)."""
     seen_parts, new_parts = parts[:n_seen_parts], parts[n_seen_parts:]
@@ -200,8 +201,9 @@ def _novel_positive_ids(n_seen_parts: int, *parts) -> np.ndarray:
     qh2 = np.concatenate([p[1] for p in new_parts])
     qd = np.concatenate([p[2] for p in new_parts])
     if qh.shape[0] == 0:
-        return np.empty(0, np.int64)
-    return qd[~_pair_membership(qh, qh2, H, H2)].astype(np.int64)
+        return np.empty(0, np.int64), 0
+    fps = qd[~_pair_membership(qh, qh2, H, H2)].astype(np.int64)
+    return fps, int(qh.shape[0])
 
 
 def novel_docs(
@@ -212,11 +214,18 @@ def novel_docs(
     bits_per_key: int = 16,
     num_partitions: int = 32,
     force_bloom: bool = False,
+    stats_out: dict | None = None,
 ) -> ray.data.Dataset:
     """Rows of ``new`` whose ``text`` does not appear in ``seen``.
 
     Plan selection: broadcast while the seen pair set is bounded
     (``force_bloom=True`` exercises the scale plan at any size).
+
+    ``stats_out``: optional dict filled with plan accounting — for the
+    bloom plan: seen-set size, filter geometry (m_bits, k), total
+    bloom positives among the new docs and how many of those were FALSE
+    positives (rescued by the exact partition check), i.e. the measured
+    fp rate the 10^12-regime plan pays.
     """
     seen_pairs = (
         seen.select_columns(["text"])
@@ -227,7 +236,12 @@ def novel_docs(
     )
     n_seen = seen_pairs.count()
 
+    if stats_out is not None:
+        stats_out["n_seen_pairs"] = n_seen
+
     if not force_bloom and n_seen <= broadcast_limit:
+        if stats_out is not None:
+            stats_out["plan"] = "broadcast"
         hc, h2c = [], []
         for b in seen_pairs.iter_batches(
             batch_size=1 << 20, batch_format="pyarrow"
@@ -292,10 +306,18 @@ def novel_docs(
         ]
     )
     novel_ids = (
-        np.unique(np.concatenate(novel_parts))
+        np.unique(np.concatenate([o[0] for o in novel_parts]))
         if novel_parts
         else np.empty(0, np.int64)
     )
+    if stats_out is not None:
+        stats_out.update(
+            plan="bloom",
+            m_bits=m_bits,
+            k=k,
+            n_bloom_positives=sum(o[1] for o in novel_parts),
+            n_false_positives=int(novel_ids.shape[0]),
+        )
     ids_ref = ray.put(novel_ids)
 
     def final(t: pa.Table) -> pa.Table:

@@ -368,6 +368,47 @@ def neural_knn(
     )
 
 
+def bucket_code_counts(
+    ds: ray.data.Dataset,
+    *,
+    bits: int = 12,
+    seed: int = 42,
+    weights_path: str | None = None,
+    weights: dict[str, np.ndarray] | None = None,
+    col: str = "embedding",
+    dim: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(sorted unique bucket codes, counts) of the corpus under a hash
+    head — per-batch ``np.unique`` partials combined once on the driver
+    (combiner pattern; ≤2^bits rows per partial, no shuffle). Codes match
+    ``neural_knn``'s corpus codes exactly (same forward pass, no mask),
+    so ``counts[searchsorted(codes, probe_set)]`` is the EXACT candidate
+    budget a probe set pays."""
+    hasher = NeuralBucketer(
+        dim, bits=bits, seed=seed, weights_path=weights_path, weights=weights
+    )
+    w_ref = ray.put(hasher.weights)
+
+    def partial(t: pa.Table) -> dict[str, np.ndarray]:
+        w = ray.get(w_ref)
+        m = _l2norm(vectors_from_batch(t[col], dim))
+        u, c = np.unique(pack_codes(forward_probs(m, w) > 0.5), return_counts=True)
+        return {"code": u, "count": c.astype(np.int64)}
+
+    codes_c, counts_c = [], []
+    for b in ds.select_columns([col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=4096
+    ).iter_batches(batch_format="numpy", batch_size=None):
+        codes_c.append(b["code"])
+        counts_c.append(b["count"])
+    allc = np.concatenate(codes_c) if codes_c else np.empty(0, np.int64)
+    alln = np.concatenate(counts_c) if counts_c else np.empty(0, np.int64)
+    codes, inv = np.unique(allc, return_inverse=True)
+    counts = np.zeros(codes.shape[0], np.int64)
+    np.add.at(counts, inv, alln)
+    return codes, counts
+
+
 def multiprobe_sweep(
     ds: ray.data.Dataset,
     queries: np.ndarray,
@@ -378,11 +419,42 @@ def multiprobe_sweep(
     **kwargs,
 ) -> list[dict]:
     """The reference's offline probe-count sweep (eval.py:148-196):
-    recall + mean candidate budget per n_probes setting."""
+    recall + candidate budget per n_probes setting. ``mean_candidates``
+    counts returned neighbors (≤k); ``mean_bucket_candidates`` is the
+    exact mean number of bucket-colliding corpus vectors per query — the
+    budget the reference's checkpoint gate holds flat while recall rises
+    (``nlsh/trainers/base.py:98-104``)."""
     from nlshray.metrics import recall_at_k
+
+    dim = kwargs.get("dim") or queries.shape[1]
+    hasher = NeuralBucketer(
+        dim,
+        bits=kwargs.get("bits", 12),
+        seed=kwargs.get("seed", 42),
+        weights_path=kwargs.get("weights_path"),
+        weights=kwargs.get("weights"),
+    )
+    codes, counts = bucket_code_counts(
+        ds,
+        weights=hasher.weights,
+        col=kwargs.get("col", "embedding"),
+        dim=dim,
+    )
+    qprobs = forward_probs(
+        _l2norm(np.asarray(queries, dtype=np.float64)), hasher.weights
+    )
 
     results = []
     for n in probe_counts:
+        probe_sets = sample_codes(qprobs, n, seed=kwargs.get("seed", 42) + 1)
+        per_q = [
+            int(
+                counts[
+                    np.searchsorted(codes, p[np.isin(p, codes, assume_unique=True)])
+                ].sum()
+            )
+            for p in probe_sets
+        ]
         out = neural_knn(ds, queries, query_ids, k=k, n_probes=n, **kwargs)
         rows: dict[int, list[int]] = {}
         for r in out.take_all():
@@ -398,6 +470,7 @@ def multiprobe_sweep(
                 "mean_candidates": float(
                     np.mean([len(v) for v in rows.values()]) if rows else 0.0
                 ),
+                "mean_bucket_candidates": float(np.mean(per_q)),
             }
         )
     return results

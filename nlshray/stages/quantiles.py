@@ -21,7 +21,6 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 
 import ray.data
 
@@ -234,11 +233,23 @@ def grouped_quantiles_float(
         )
         keep = np.zeros(t.num_rows, np.bool_)
         gcol = t[group_col]
-        for g, bks in need_buckets.items():
-            gm = pc.equal(gcol, g).to_numpy(zero_copy_only=False)
+        # loop only over the batch's DISTINCT groups (dictionary codes),
+        # skipping groups with no straddling bucket — O(distinct), not
+        # O(|needed groups| x batch)
+        garr = gcol
+        if isinstance(garr, pa.ChunkedArray):
+            garr = garr.combine_chunks()
+        enc = garr.dictionary_encode()
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        for gi, g in enumerate(enc.dictionary.to_pylist()):
+            bks = need_buckets.get(g)
+            if bks is None:
+                continue
             pos = np.searchsorted(bks, bkt)
-            inb = (pos < bks.shape[0]) & (bks[np.minimum(pos, bks.shape[0] - 1)] == bkt)
-            keep |= np.asarray(gm, bool) & inb
+            inb = (pos < bks.shape[0]) & (
+                bks[np.minimum(pos, bks.shape[0] - 1)] == bkt
+            )
+            keep |= (codes == gi) & inb
         rows = pa.array(np.flatnonzero(keep))
         return pa.table(
             {

@@ -25,7 +25,7 @@ import pyarrow as pa
 import ray.data
 
 from nlshray.config import DedupConfig
-from nlshray.functions.minhash import perm_seeds, sign_concat
+from nlshray.functions.minhash import oph_sign_concat, perm_seeds, sign_concat
 from nlshray.functions.shingles import batch_shingle_hashes
 
 
@@ -76,9 +76,15 @@ def _cached_seeds(num_perms: int, seed: int) -> np.ndarray:
     return perm_seeds(num_perms, seed)
 
 
-def sign_batch(batch: pa.Table, *, k: int, num_perms: int, seed: int) -> pa.Table:
+def sign_batch(
+    batch: pa.Table, *, k: int, num_perms: int, seed: int,
+    signer: str = "minhash",
+) -> pa.Table:
     flat, lengths = batch_shingle_hashes(batch["text"], k)
-    sigs = sign_concat(flat, lengths, _cached_seeds(num_perms, seed))
+    if signer == "oph":
+        sigs = oph_sign_concat(flat, lengths, num_perms, seed)
+    else:
+        sigs = sign_concat(flat, lengths, _cached_seeds(num_perms, seed))
     return pa.table({"doc_id": batch["doc_id"], "sig": numpy_to_sigs(sigs)})
 
 
@@ -86,13 +92,17 @@ def sign_stage(
     reps: ray.data.Dataset, cfg: DedupConfig
 ) -> ray.data.Dataset:
     """(doc_id, text, ...) -> (doc_id, sig). Projects early: only the two
-    needed columns enter the stage."""
+    needed columns enter the stage. ``cfg.signer`` picks the kernel:
+    permutation MinHash (default) or one-permutation hashing with
+    rotation densification (``oph`` — the 100-TB sign plan, one hash
+    pass instead of ``num_perms``)."""
     return reps.select_columns(["doc_id", "text"]).map_batches(
         sign_batch,
         fn_kwargs={
             "k": cfg.shingle_k,
             "num_perms": cfg.num_perms,
             "seed": cfg.seed,
+            "signer": cfg.signer,
         },
         batch_format="pyarrow",
         batch_size=cfg.sign_batch_size,

@@ -337,22 +337,23 @@ def _decide_block(
     return _decide_table(kept, sets, threshold, hi)
 
 
-@ray.remote
-def _shingle_block(block: pa.Table, keys: np.ndarray, k: int):
+_EMPTY_SHINGLE_OUT = (
+    np.empty(0, np.int64),
+    np.empty(0, np.uint64),
+    np.empty(0, np.int64),
+)
+
+
+def _shingle_table(block: pa.Table, keys: np.ndarray, k: int):
     """(ids, flat shingle values, lengths) of one text block's rows with
     doc_id in the sorted ``keys`` — the per-block kernel of the raw-task
     gather."""
-    empty = (
-        np.empty(0, np.int64),
-        np.empty(0, np.uint64),
-        np.empty(0, np.int64),
-    )
     if block.num_rows == 0:
-        return empty
+        return _EMPTY_SHINGLE_OUT
     d = block["doc_id"].to_numpy()
     mask = _membership(keys, d)
     if not mask.any():
-        return empty
+        return _EMPTY_SHINGLE_OUT
     sub = block.filter(pa.array(mask))
     vals, lens = _unique_flat_from_texts(sub["text"], k)
     return (
@@ -362,12 +363,45 @@ def _shingle_block(block: pa.Table, keys: np.ndarray, k: int):
     )
 
 
+_shingle_block = ray.remote(_shingle_table)
+
+
+@ray.remote
+def _shingle_file(path: str, keys: np.ndarray, k: int):
+    """Predicate-pushdown variant of the gather kernel (VERDICT r3 #6):
+    reads a persisted docs Parquet file instead of a pinned block. The
+    cheap ``doc_id`` column is read per row group first; only row groups
+    that actually contain wanted ids pay the ``text`` column read — so a
+    small borderline set touches a small fraction of the corpus bytes,
+    and the corpus text is never resident in the object store at all."""
+    import pyarrow.parquet as pq
+
+    f = pq.ParquetFile(path)
+    outs = []
+    for rg in range(f.num_row_groups):
+        ids = f.read_row_group(rg, columns=["doc_id"])["doc_id"].to_numpy()
+        if _membership(keys, ids).any():
+            outs.append(
+                _shingle_table(
+                    f.read_row_group(rg, columns=["doc_id", "text"]), keys, k
+                )
+            )
+    if not outs:
+        return _EMPTY_SHINGLE_OUT
+    return (
+        np.concatenate([o[0] for o in outs]),
+        np.concatenate([o[1] for o in outs]),
+        np.concatenate([o[2] for o in outs]),
+    )
+
+
 def gather_shingle_sets(
     reps: ray.data.Dataset,
     ids: np.ndarray,
     cfg: DedupConfig,
     *,
     source_refs: list | None = None,
+    source_files: list[str] | None = None,
 ) -> FlatSets:
     """Shingle sets for an id set, as a FlatSets triple: broadcast-filter
     the reps, compute per-doc unique shingle hashes IN THE WORKERS
@@ -377,7 +411,24 @@ def gather_shingle_sets(
     ``source_refs``: optional materialized text-block refs (doc_id +
     text columns; extra columns fine). When given, the gather runs as
     raw Ray tasks over those blocks — zero streaming executions and no
-    re-execution of whatever lazy chain produced ``reps``."""
+    re-execution of whatever lazy chain produced ``reps``.
+
+    ``source_files``: optional persisted docs Parquet paths (the
+    corpus-beyond-plasma text store). One raw task per file; row groups
+    without wanted ids never pay the text read (``_shingle_file``)."""
+    if source_files is not None:
+        keys_ref = ray.put(np.sort(ids.astype(np.int64)))
+        outs = ray.get(
+            [
+                _shingle_file.remote(p, keys_ref, cfg.shingle_k)
+                for p in source_files
+            ]
+        )
+        return _flat_from_chunks(
+            [o[0] for o in outs if o[0].shape[0]],
+            [o[1] for o in outs if o[0].shape[0]],
+            [o[2] for o in outs if o[0].shape[0]],
+        )
     if source_refs is not None:
         keys_ref = ray.put(np.sort(ids.astype(np.int64)))
         outs = ray.get(
@@ -481,6 +532,7 @@ def verify_stage(
     sets_flat: FlatSets | None = None,
     allow_small_path: bool = True,
     text_source_refs: list | None = None,
+    text_source_files: list[str] | None = None,
 ) -> ray.data.Dataset:
     """candidate pairs -> confirmed pairs (left_id, right_id, jaccard,
     n_bands, method).
@@ -492,6 +544,10 @@ def verify_stage(
     ``text_source_refs``: optional materialized (doc_id, text, ...)
     block refs; shingle-set gathers then run as raw tasks over them
     instead of re-executing the ``reps`` chain.
+    ``text_source_files``: optional persisted docs Parquet paths (the
+    corpus-beyond-plasma text store, VERDICT r3 #6); gathers become
+    row-group-pruned Parquet reads and the corpus text never occupies
+    the object store.
     """
     if pair_ids is None:
         pair_ids = collect_pair_ids(pairs)
@@ -506,7 +562,8 @@ def verify_stage(
             sets_flat
             if sets_flat is not None
             else gather_shingle_sets(
-                reps, pair_ids, cfg, source_refs=text_source_refs
+                reps, pair_ids, cfg, source_refs=text_source_refs,
+                source_files=text_source_files
             )
         )
         lefts_c, rights_c, nb_c = [], [], []
@@ -581,7 +638,8 @@ def verify_stage(
         else:
             sets_ref = ray.put(
                 gather_shingle_sets(
-                    reps, bl_ids, cfg, source_refs=text_source_refs
+                    reps, bl_ids, cfg, source_refs=text_source_refs,
+                source_files=text_source_files
                 )
             )
         final_refs = [
@@ -638,7 +696,8 @@ def verify_stage(
     else:
         sets_ref = ray.put(
             gather_shingle_sets(
-                reps, bl_ids, cfg, source_refs=text_source_refs
+                reps, bl_ids, cfg, source_refs=text_source_refs,
+                source_files=text_source_files
             )
         )
     return kept.map_batches(

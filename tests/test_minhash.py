@@ -93,3 +93,83 @@ def test_empty_batch():
         np.empty(0, np.uint64), np.empty(0, np.int64), SEEDS
     )
     assert sigs.shape == (0, 128)
+
+
+# ---------------------------------------------------------------- OPH
+
+from nlshray.functions.minhash import oph_sign_concat  # noqa: E402
+
+
+def test_oph_shape_determinism_and_seed():
+    rng = np.random.default_rng(3)
+    lengths = rng.integers(1, 400, size=50).astype(np.int64)
+    flat = rng.integers(1, 2**63, size=int(lengths.sum())).astype(np.uint64)
+    s1 = oph_sign_concat(flat, lengths, 128, 42)
+    s2 = oph_sign_concat(flat, lengths, 128, 42)
+    assert s1.shape == (50, 128) and s1.dtype == np.uint64
+    assert np.array_equal(s1, s2)
+    assert not np.array_equal(s1, oph_sign_concat(flat, lengths, 128, 43))
+
+
+def test_oph_densification_fills_every_slot():
+    """A one-shingle doc must densify all 128 slots deterministically and
+    identically for the same shingle (so exact dups still estimate 1.0)."""
+    one = np.array([12345], np.uint64)
+    s = oph_sign_concat(
+        np.concatenate([one, one]), np.array([1, 1]), 128, 42
+    )
+    assert np.array_equal(s[0], s[1])
+    assert estimate_jaccard(s[0:1], s[1:2])[0] == 1.0
+    # borrowed slots carry distance offsets: not all equal to the source
+    assert len(np.unique(s[0])) > 1
+
+
+def test_oph_multiset_equals_set():
+    base = np.arange(1, 300, dtype=np.uint64) * np.uint64(2654435761)
+    multi = np.concatenate([base, base[:50]])
+    s = oph_sign_concat(
+        np.concatenate([base, multi]),
+        np.array([base.shape[0], multi.shape[0]]),
+        128,
+        42,
+    )
+    assert np.array_equal(s[0], s[1])
+
+
+def test_oph_requires_power_of_two():
+    import pytest
+
+    with pytest.raises(ValueError):
+        oph_sign_concat(np.array([1], np.uint64), np.array([1]), 96, 42)
+
+
+def test_oph_estimator_matches_exact_jaccard():
+    """Same property gate as the 128-perm signer: |est - exact| small
+    w.h.p., and near-zero mean bias across trials."""
+    rng = np.random.default_rng(11)
+    errs = []
+    for _ in range(40):
+        n_shared = int(rng.integers(50, 400))
+        n_a = int(rng.integers(0, 120))
+        n_b = int(rng.integers(0, 120))
+        pool = rng.integers(1, 2**62, size=n_shared + n_a + n_b).astype(np.uint64)
+        shared, only_a, only_b = np.split(pool, [n_shared, n_shared + n_a])
+        a = np.unique(np.concatenate([shared, only_a]))
+        b = np.unique(np.concatenate([shared, only_b]))
+        inter = np.intersect1d(a, b).shape[0]
+        exact = inter / (a.shape[0] + b.shape[0] - inter)
+        sig = oph_sign_concat(
+            np.concatenate([a, b]),
+            np.array([a.shape[0], b.shape[0]]),
+            128,
+            42,
+        )
+        est = estimate_jaccard(sig[0:1], sig[1:2])[0]
+        errs.append(est - exact)
+        assert abs(est - exact) < 0.22, (exact, est)
+    assert abs(float(np.mean(errs))) < 0.03, np.mean(errs)
+
+
+def test_oph_empty_batch():
+    s = oph_sign_concat(np.empty(0, np.uint64), np.empty(0, np.int64), 128, 42)
+    assert s.shape == (0, 128)

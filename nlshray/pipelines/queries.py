@@ -410,6 +410,35 @@ def quality_scores(sf_dir: str):
     return textstats_stage(docs)
 
 
+def repetition_stats(sf_dir: str):
+    """Gopher-style repetition/boilerplate signals per doc (duplicate-
+    token fraction, top-1-gram fraction; Rae et al. 2021 §A1.1) —
+    DuckDB-oracled on actual token strings while the Ray kernel runs on
+    64-bit token hashes (a collision would fail the oracle)."""
+    from nlshray.stages.textstats import token_repetition_arrays
+
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        f = token_repetition_arrays(t["text"])
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": pa.array(f["n_tokens"]),
+                "n_distinct_tokens": pa.array(f["n_distinct_tokens"]),
+                "dup_token_frac": pa.array(
+                    _round_np(f["dup_token_frac"], 6)
+                ),
+                "top_token_frac": pa.array(
+                    _round_np(f["top_token_frac"], 6)
+                ),
+                "max_token_count": pa.array(f["max_token_count"]),
+            }
+        )
+
+    return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def minhash_signatures(sf_dir: str):
     """128-perm MinHash signatures; first 4 slots exposed as int64 columns
     (63-bit-masked), DuckDB-oracled — the signature is a pure function of
@@ -909,6 +938,7 @@ QUERIES = {
     "doc_stats": doc_stats,
     "lang_summary": lang_summary,
     "quality_scores": quality_scores,
+    "repetition_stats": repetition_stats,
     "minhash_signatures": minhash_signatures,
     "near_dup_pairs": near_dup_pairs,
     "near_dup_clusters": near_dup_clusters,
@@ -1657,6 +1687,37 @@ ORACLE_SQL = {
     "lang_summary": """
         SELECT lang, COUNT(*) AS n_docs, ROUND(AVG(n_chars), 4) AS avg_chars
         FROM documents GROUP BY lang
+    """,
+    "repetition_stats": """
+        WITH tokarr AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '[^0-9a-z_]+'),
+                             t -> t <> '') AS toks
+          FROM documents
+        ),
+        tok AS (
+          SELECT doc_id, u.tok FROM tokarr, unnest(toks) AS u(tok)
+        ),
+        per_tok AS (
+          SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok
+        ),
+        per AS (
+          SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                 CAST(count(*) AS BIGINT) AS n_distinct_tokens,
+                 CAST(max(c) AS BIGINT) AS max_token_count
+          FROM per_tok GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(p.n_tokens, 0) AS n_tokens,
+               coalesce(p.n_distinct_tokens, 0) AS n_distinct_tokens,
+               round(CASE WHEN p.n_tokens > 0
+                     THEN 1.0 - p.n_distinct_tokens / CAST(p.n_tokens AS DOUBLE)
+                     ELSE 0.0 END, 6) AS dup_token_frac,
+               round(CASE WHEN p.n_tokens > 0
+                     THEN p.max_token_count / CAST(p.n_tokens AS DOUBLE)
+                     ELSE 0.0 END, 6) AS top_token_frac,
+               coalesce(p.max_token_count, 0) AS max_token_count
+        FROM documents d LEFT JOIN per p USING (doc_id)
     """,
     "ngram_jaccard_pairs": """
         WITH toks AS (

@@ -61,3 +61,51 @@ def textstats_stage(
         zero_copy_batch=True,
         concurrency=concurrency,
     )
+
+
+def token_repetition_arrays(texts) -> dict[str, np.ndarray]:
+    """Gopher-style repetition signals per document, fully vectorized
+    (public rules: Rae et al. 2021 §A1.1 "repetitious" filters —
+    duplicate-token and top-1-gram fractions flag boilerplate/spam).
+
+    Returns per-doc ``n_tokens``, ``n_distinct_tokens``,
+    ``max_token_count`` (count of the most frequent token) and the two
+    derived fractions. Token identity rides on the 64-bit token hash
+    (same collision stance as the MinHash oracle chain: the SQL oracle
+    compares actual token strings, so a collision would be caught).
+    One sort per batch: token hashes arrive doc-grouped, so a stable
+    within-doc ordering by hash turns distinct/max-count into run-length
+    scans (no python per doc).
+    """
+    from nlshray.functions.nputil import lexsort2, segment_ids
+    from nlshray.functions.shingles import batch_token_hashes
+
+    flat, counts = batch_token_hashes(texts)
+    n_docs = counts.shape[0]
+    n_tok = counts.astype(np.int64, copy=False)
+    n_distinct = np.zeros(n_docs, np.int64)
+    max_run = np.zeros(n_docs, np.int64)
+    if flat.shape[0]:
+        doc = segment_ids(n_tok)
+        order = lexsort2(flat, doc)
+        hs, ds = flat[order], doc[order]
+        newrun = np.empty(hs.shape[0], np.bool_)
+        newrun[0] = True
+        newrun[1:] = (ds[1:] != ds[:-1]) | (hs[1:] != hs[:-1])
+        run_starts = np.flatnonzero(newrun)
+        run_doc = ds[run_starts]
+        run_len = np.diff(np.append(run_starts, hs.shape[0]))
+        n_distinct = np.bincount(run_doc, minlength=n_docs).astype(np.int64)
+        doc_first = np.flatnonzero(
+            np.append(True, run_doc[1:] != run_doc[:-1])
+        )
+        max_run[run_doc[doc_first]] = np.maximum.reduceat(run_len, doc_first)
+    denom = np.maximum(n_tok, 1).astype(np.float64)
+    has = n_tok > 0
+    return {
+        "n_tokens": n_tok,
+        "n_distinct_tokens": n_distinct,
+        "max_token_count": max_run,
+        "dup_token_frac": np.where(has, 1.0 - n_distinct / denom, 0.0),
+        "top_token_frac": np.where(has, max_run / denom, 0.0),
+    }

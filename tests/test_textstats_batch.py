@@ -81,3 +81,42 @@ def test_batch_matches_scalar_non_ascii():
         "日本語のテキスト 123 mixed",
     ]
     _assert_rows_equal(batch_textstats(texts), texts)
+
+
+def test_token_repetition_matches_scalar_counter():
+    """Repetition signals vs a collections.Counter reference on the
+    same tokenizer (Gopher §A1.1 duplicate-token / top-1-gram rules)."""
+    from collections import Counter
+
+    import numpy as np
+
+    from nlshray.functions.shingles import tokenize
+    from nlshray.stages.textstats import token_repetition_arrays
+
+    texts = [
+        "spam spam spam spam eggs",
+        "every token here is unique today",
+        "",
+        "    \t  ",
+        "a a a a a a a a",
+        "Mixed CASE mixed case MIXED case",
+        "x",
+    ]
+    f = token_repetition_arrays(texts)
+    for i, t in enumerate(texts):
+        c = Counter(tokenize(t))
+        n = sum(c.values())
+        assert f["n_tokens"][i] == n, (i, t)
+        assert f["n_distinct_tokens"][i] == len(c), (i, t)
+        assert f["max_token_count"][i] == (max(c.values()) if c else 0)
+        exp_dup = 1.0 - len(c) / n if n else 0.0
+        exp_top = max(c.values()) / n if c else 0.0
+        assert np.isclose(f["dup_token_frac"][i], exp_dup)
+        assert np.isclose(f["top_token_frac"][i], exp_top)
+
+
+def test_token_repetition_empty_batch():
+    from nlshray.stages.textstats import token_repetition_arrays
+
+    f = token_repetition_arrays([])
+    assert f["n_tokens"].shape == (0,)

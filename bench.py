@@ -89,6 +89,37 @@ def _burn(secs: float) -> int:
     return x
 
 
+def _copy_bw(secs: float) -> float:
+    import numpy as np
+
+    a = np.ones(1 << 26, np.float64)  # 512 MB
+    b = np.empty_like(a)
+    b[:] = a  # fault in
+    t0 = time.perf_counter()
+    n = 0
+    while time.perf_counter() - t0 < secs:
+        b[:] = a
+        n += 1
+    return n * a.nbytes * 2 / (time.perf_counter() - t0)
+
+
+def _dram_capacity(n: int, secs: float = 2.0) -> float:
+    """Concurrently measured aggregate DRAM copy bandwidth at n worker
+    processes (bytes/sec). The data-pipeline counterpart of
+    ``_cpu_capacity``: the engine's heavy stages (extract scan, sign,
+    arrow block materialization) are bandwidth-bound, and this shared
+    host's aggregate bandwidth grows SUBLINEARLY in process count
+    (measured 8 -> 32 procs: ~1.8-3.4x for 4x procs, window-dependent)
+    while a real N -> 4N NODE cluster multiplies bandwidth by 4 because
+    each node brings its own memory controllers. Recorded per scaling
+    leg so every ratio ships with the window's two ceilings (ALU and
+    DRAM) measured in-window."""
+    import multiprocessing as mp
+
+    with mp.get_context("spawn").Pool(n) as p:
+        return sum(p.map(_copy_bw, [secs] * n))
+
+
 def _cpu_capacity(n: int, secs: float = 1.5) -> float:
     """Concurrently measured host CPU capacity at n worker processes
     (loop iters/sec, arbitrary units). This sandbox shares physical
@@ -165,6 +196,7 @@ def _metrics_sink(num_cpus: int, label: str):
 def run_dedup_only(num_cpus: int, pages_path: str) -> dict:
     """Headline dedup job alone over an arbitrary pages parquet path."""
     cpu_capacity = _cpu_capacity(num_cpus)  # before ray.init: no contention
+    dram_bw = _dram_capacity(num_cpus)
     import ray
 
     # NLSHRAY_OBJ_STORE_GB: plasma sizing for corpora bigger than the
@@ -262,6 +294,7 @@ def run_dedup_only(num_cpus: int, pages_path: str) -> dict:
         "n_pages": n_rows,
         "docs_per_sec": round(n_rows / sec, 1),
         "cpu_capacity": round(cpu_capacity, 0),
+        "dram_gib_s": round(dram_bw / 2**30, 1),
         "prewarm_sec": round(prewarm_sec, 1),
     }
 
@@ -388,6 +421,11 @@ def run_scaling() -> dict:
     # multi-node cluster would not); both numbers + capacities reported
     cap_ratio = best_hi["cpu_capacity"] / best_lo["cpu_capacity"]
     eff_norm = (tp_hi / tp_lo) / cap_ratio
+    # DRAM ceiling: the engine's heavy stages are bandwidth-bound and
+    # this host's aggregate copy bandwidth grows sublinearly in procs —
+    # a real N -> 4N node cluster multiplies bandwidth by 4
+    dram_ratio = best_hi["dram_gib_s"] / max(best_lo["dram_gib_s"], 1e-9)
+    eff_dram = (tp_hi / tp_lo) / dram_ratio
     return {
         "metric": f"dedup scaling efficiency (num_cpus {lo} -> {hi})",
         "n_pages": best_lo["n_pages"],
@@ -399,9 +437,13 @@ def run_scaling() -> dict:
         f"all_sec_{hi}": [r["value"] for r in runs_hi],
         f"cpu_capacity_{lo}": best_lo["cpu_capacity"],
         f"cpu_capacity_{hi}": best_hi["cpu_capacity"],
+        f"dram_gib_s_{lo}": best_lo["dram_gib_s"],
+        f"dram_gib_s_{hi}": best_hi["dram_gib_s"],
         "host_capacity_ratio": round(cap_ratio, 3),
+        "host_dram_ratio": round(dram_ratio, 3),
         "scaling_efficiency": round(eff, 3),
         "scaling_efficiency_host_normalized": round(eff_norm, 3),
+        "scaling_efficiency_dram_normalized": round(eff_dram, 3),
     }
 
 

@@ -433,6 +433,13 @@ def repetition_stats(sf_dir: str):
                     _round_np(f["top_token_frac"], 6)
                 ),
                 "max_token_count": pa.array(f["max_token_count"]),
+                "n_bigrams": pa.array(f["n_bigrams"]),
+                "dup_bigram_frac": pa.array(
+                    _round_np(f["dup_bigram_frac"], 6)
+                ),
+                "top_bigram_frac": pa.array(
+                    _round_np(f["top_bigram_frac"], 6)
+                ),
             }
         )
 
@@ -1706,6 +1713,24 @@ ORACLE_SQL = {
                  CAST(count(*) AS BIGINT) AS n_distinct_tokens,
                  CAST(max(c) AS BIGINT) AS max_token_count
           FROM per_tok GROUP BY doc_id
+        ),
+        big AS (
+          SELECT doc_id, u.bg
+          FROM (
+            SELECT doc_id,
+                   list_transform(range(1, len(toks)),
+                                  i -> toks[i] || ' ' || toks[i + 1]) AS bgs
+            FROM tokarr
+          ), unnest(bgs) AS u(bg)
+        ),
+        per_bg AS (
+          SELECT doc_id, bg, count(*) AS c FROM big GROUP BY doc_id, bg
+        ),
+        perb AS (
+          SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+                 CAST(count(*) AS BIGINT) AS n_distinct_bigrams,
+                 CAST(max(c) AS BIGINT) AS max_bigram_count
+          FROM per_bg GROUP BY doc_id
         )
         SELECT d.doc_id,
                coalesce(p.n_tokens, 0) AS n_tokens,
@@ -1716,8 +1741,17 @@ ORACLE_SQL = {
                round(CASE WHEN p.n_tokens > 0
                      THEN p.max_token_count / CAST(p.n_tokens AS DOUBLE)
                      ELSE 0.0 END, 6) AS top_token_frac,
-               coalesce(p.max_token_count, 0) AS max_token_count
-        FROM documents d LEFT JOIN per p USING (doc_id)
+               coalesce(p.max_token_count, 0) AS max_token_count,
+               coalesce(b.n_bigrams, 0) AS n_bigrams,
+               round(CASE WHEN b.n_bigrams > 0
+                     THEN 1.0 - b.n_distinct_bigrams / CAST(b.n_bigrams AS DOUBLE)
+                     ELSE 0.0 END, 6) AS dup_bigram_frac,
+               round(CASE WHEN b.n_bigrams > 0
+                     THEN b.max_bigram_count / CAST(b.n_bigrams AS DOUBLE)
+                     ELSE 0.0 END, 6) AS top_bigram_frac
+        FROM documents d
+        LEFT JOIN per p USING (doc_id)
+        LEFT JOIN perb b USING (doc_id)
     """,
     "ngram_jaccard_pairs": """
         WITH toks AS (

@@ -77,18 +77,66 @@ def token_repetition_arrays(texts) -> dict[str, np.ndarray]:
     within-doc ordering by hash turns distinct/max-count into run-length
     scans (no python per doc).
     """
-    from nlshray.functions.nputil import lexsort2, segment_ids
     from nlshray.functions.shingles import batch_token_hashes
+    from nlshray.hashing import splitmix64
 
     flat, counts = batch_token_hashes(texts)
     n_docs = counts.shape[0]
     n_tok = counts.astype(np.int64, copy=False)
-    n_distinct = np.zeros(n_docs, np.int64)
-    max_run = np.zeros(n_docs, np.int64)
+    n_distinct, max_run = _segmented_value_stats(flat, n_tok, n_docs)
+
+    # order-preserving bigram hashes: positions i, i+1 within one doc
+    from nlshray.functions.nputil import segment_ids
+
+    n_bg = np.maximum(n_tok - 1, 0)
     if flat.shape[0]:
         doc = segment_ids(n_tok)
-        order = lexsort2(flat, doc)
-        hs, ds = flat[order], doc[order]
+        valid = np.flatnonzero(doc[:-1] == doc[1:]) if flat.shape[0] > 1 else (
+            np.empty(0, np.int64)
+        )
+        bg = splitmix64(
+            flat[valid] ^ splitmix64(flat[valid + 1] ^ _BIGRAM_SALT)
+        )
+    else:
+        bg = np.empty(0, np.uint64)
+    bg_distinct, bg_max = _segmented_value_stats(bg, n_bg, n_docs)
+
+    denom = np.maximum(n_tok, 1).astype(np.float64)
+    has = n_tok > 0
+    denom_bg = np.maximum(n_bg, 1).astype(np.float64)
+    has_bg = n_bg > 0
+    return {
+        "n_tokens": n_tok,
+        "n_distinct_tokens": n_distinct,
+        "max_token_count": max_run,
+        "dup_token_frac": np.where(has, 1.0 - n_distinct / denom, 0.0),
+        "top_token_frac": np.where(has, max_run / denom, 0.0),
+        "n_bigrams": n_bg,
+        "n_distinct_bigrams": bg_distinct,
+        "dup_bigram_frac": np.where(
+            has_bg, 1.0 - bg_distinct / denom_bg, 0.0
+        ),
+        "top_bigram_frac": np.where(has_bg, bg_max / denom_bg, 0.0),
+    }
+
+
+_BIGRAM_SALT = np.uint64(0xA24BAED4963EE407)
+
+
+def _segmented_value_stats(
+    vals: np.ndarray, seg_lens: np.ndarray, n_docs: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(per-segment distinct count, per-segment max multiplicity) of a
+    doc-grouped flat value array — one stable sort, then run-length
+    scans (no python per doc)."""
+    from nlshray.functions.nputil import lexsort2, segment_ids
+
+    n_distinct = np.zeros(n_docs, np.int64)
+    max_run = np.zeros(n_docs, np.int64)
+    if vals.shape[0]:
+        doc = segment_ids(seg_lens.astype(np.int64, copy=False))
+        order = lexsort2(vals, doc)
+        hs, ds = vals[order], doc[order]
         newrun = np.empty(hs.shape[0], np.bool_)
         newrun[0] = True
         newrun[1:] = (ds[1:] != ds[:-1]) | (hs[1:] != hs[:-1])
@@ -100,12 +148,4 @@ def token_repetition_arrays(texts) -> dict[str, np.ndarray]:
             np.append(True, run_doc[1:] != run_doc[:-1])
         )
         max_run[run_doc[doc_first]] = np.maximum.reduceat(run_len, doc_first)
-    denom = np.maximum(n_tok, 1).astype(np.float64)
-    has = n_tok > 0
-    return {
-        "n_tokens": n_tok,
-        "n_distinct_tokens": n_distinct,
-        "max_token_count": max_run,
-        "dup_token_frac": np.where(has, 1.0 - n_distinct / denom, 0.0),
-        "top_token_frac": np.where(has, max_run / denom, 0.0),
-    }
+    return n_distinct, max_run

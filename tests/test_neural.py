@@ -137,6 +137,12 @@ def test_trained_head_beats_random_at_equal_probes(ray_session):
     for t, r in zip(sw_t, sw_r):
         assert t["recall"] >= r["recall"], (t, r)
         assert t["mean_candidates"] <= r["mean_candidates"] * 1.25, (t, r)
+        # the reference gate's real budget: EXACT bucket-collision count
+        # (ITQ balances buckets, so the trained head never pays more
+        # scanned candidates than the skewed random partition)
+        assert (
+            t["mean_bucket_candidates"] <= r["mean_bucket_candidates"] * 1.25
+        ), (t, r)
     # strictly better somewhere, not merely equal
     assert max(t["recall"] - r["recall"] for t, r in zip(sw_t, sw_r)) > 0.05
 

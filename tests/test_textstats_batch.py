@@ -113,6 +113,15 @@ def test_token_repetition_matches_scalar_counter():
         exp_top = max(c.values()) / n if c else 0.0
         assert np.isclose(f["dup_token_frac"][i], exp_dup)
         assert np.isclose(f["top_token_frac"][i], exp_top)
+        toks = tokenize(t)
+        bc = Counter(zip(toks, toks[1:]))
+        nb = sum(bc.values())
+        assert f["n_bigrams"][i] == nb, (i, t)
+        assert f["n_distinct_bigrams"][i] == len(bc)
+        exp_bdup = 1.0 - len(bc) / nb if nb else 0.0
+        exp_btop = max(bc.values()) / nb if bc else 0.0
+        assert np.isclose(f["dup_bigram_frac"][i], exp_bdup)
+        assert np.isclose(f["top_bigram_frac"][i], exp_btop)
 
 
 def test_token_repetition_empty_batch():

@@ -90,17 +90,25 @@ def _burn(secs: float) -> int:
 
 
 def _copy_bw(secs: float) -> float:
+    """Best-single-copy bandwidth (bytes/s) of one worker. Min-time over
+    repeated copies, because this hypervisor's cold first-touch page
+    supply (20-95 MB/s) can poison a fresh process's first seconds even
+    after an explicit warmup pass — campaign L recorded an aggregate
+    1.2 GiB/s at 8 procs from exactly that; the best copy in a 3 s
+    window is immune to the cold stragglers."""
     import numpy as np
 
-    a = np.ones(1 << 26, np.float64)  # 512 MB
+    a = np.ones(1 << 25, np.float64)  # 256 MB
     b = np.empty_like(a)
     b[:] = a  # fault in
+    b[:] = a
+    best = float("inf")
     t0 = time.perf_counter()
-    n = 0
     while time.perf_counter() - t0 < secs:
+        t1 = time.perf_counter()
         b[:] = a
-        n += 1
-    return n * a.nbytes * 2 / (time.perf_counter() - t0)
+        best = min(best, time.perf_counter() - t1)
+    return a.nbytes * 2 / best
 
 
 def _dram_capacity(n: int, secs: float = 2.0) -> float:
@@ -426,6 +434,24 @@ def run_scaling() -> dict:
     # a real N -> 4N node cluster multiplies bandwidth by 4
     dram_ratio = best_hi["dram_gib_s"] / max(best_lo["dram_gib_s"], 1e-9)
     eff_dram = (tp_hi / tp_lo) / dram_ratio
+    # normalization is only meaningful with probes from the SAME repeat
+    # (probe windows drift over a campaign's ~30-60 min): per-repeat
+    # pairs disclosed, best-repeat normalized numbers reported alongside
+    # the best-wall ones
+    per_repeat = []
+    for a, b in zip(runs_lo, runs_hi):
+        tpr = (b["docs_per_sec"] / a["docs_per_sec"]) / (hi / lo)
+        capr = b["cpu_capacity"] / a["cpu_capacity"]
+        drr = b["dram_gib_s"] / max(a["dram_gib_s"], 1e-9)
+        per_repeat.append(
+            {
+                "raw_eff": round(tpr, 3),
+                "cap_ratio": round(capr, 3),
+                "dram_ratio": round(drr, 3),
+                "eff_norm": round(tpr * (hi / lo) / capr, 3),
+                "eff_dram": round(tpr * (hi / lo) / drr, 3),
+            }
+        )
     return {
         "metric": f"dedup scaling efficiency (num_cpus {lo} -> {hi})",
         "n_pages": best_lo["n_pages"],
@@ -444,6 +470,7 @@ def run_scaling() -> dict:
         "scaling_efficiency": round(eff, 3),
         "scaling_efficiency_host_normalized": round(eff_norm, 3),
         "scaling_efficiency_dram_normalized": round(eff_dram, 3),
+        "per_repeat": per_repeat,
     }
 
 

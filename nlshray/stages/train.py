@@ -137,6 +137,7 @@ def fit_triplet_weights(
     seed: int = 42,
     eval_every: int = 20,
     knn: np.ndarray | None = None,
+    init: dict | None = None,
 ) -> dict[str, np.ndarray]:
     """Train the hash head with the reference's supervised triplet loop.
 
@@ -145,6 +146,13 @@ def fit_triplet_weights(
     Optimizer: Adam with amsgrad (``base.py:58-63``). Checkpoint gate:
     keep the weights whose in-bucket recall improved while mean bucket
     size did not grow (``base.py:98-104``).
+
+    ``init``: optional npz-style weight dict to fine-tune FROM (e.g.
+    the ITQ head from ``fit_hash_weights``). The gate is then seeded
+    with the init weights' own recall/bucket-size, so the returned head
+    is never worse than the init on the train metric — the reference's
+    keep-only-if-improved checkpoint rule with the unsupervised head as
+    checkpoint zero.
 
     Returns the ``neural.py`` npz-style weight dict (save with
     ``save_weights``, serve with ``NeuralBucketer``).
@@ -156,28 +164,47 @@ def fit_triplet_weights(
     if knn is None:
         knn = self_knn(X, knn_k)
 
-    # init the same shapes init_weights draws, but from the trainer rng
-    sizes = [dim, *hidden]
-    W = {"stack": []}
-    for i in range(len(sizes) - 1):
-        # He init for ReLU; SIREN convention for sin: hidden layers
-        # uniform(+/- sqrt(6/fan)/omega0) so sin(30*pre) starts in its
-        # quasi-linear regime instead of saturated oscillation (Sitzmann
-        # et al. 2020 §3.2), first layer uniform(+/- 1/fan).
-        if activation == "relu":
-            scale = np.sqrt(2.0 / sizes[i])
-        elif i == 0:
-            scale = 1.0 / sizes[i]
-        else:
-            scale = np.sqrt(6.0 / sizes[i]) / 30.0
-        W["stack"].append(
-            [
-                rng.uniform(-1, 1, (sizes[i], sizes[i + 1])) * scale,
-                np.zeros(sizes[i + 1]),
+    if init is not None:
+        n_layers = int(np.asarray(init.get("n_layers", [0]))[0])
+        if n_layers:
+            activation = str(np.asarray(init["activation"])[0])
+        W = {
+            "stack": [
+                [
+                    np.asarray(init[f"W{i}"], np.float64).copy(),
+                    np.asarray(init[f"b{i}"], np.float64).copy(),
+                ]
+                for i in range(n_layers)
             ]
+        }
+        W["W_out"] = np.asarray(init["W_out"], np.float64).copy()
+        W["b_out"] = np.asarray(init["b_out"], np.float64).copy()
+        bits = W["W_out"].shape[1]
+    else:
+        # init the same shapes init_weights draws, but from the trainer rng
+        sizes = [dim, *hidden]
+        W = {"stack": []}
+        for i in range(len(sizes) - 1):
+            # He init for ReLU; SIREN convention for sin: hidden layers
+            # uniform(+/- sqrt(6/fan)/omega0) so sin(30*pre) starts in its
+            # quasi-linear regime instead of saturated oscillation (Sitzmann
+            # et al. 2020 §3.2), first layer uniform(+/- 1/fan).
+            if activation == "relu":
+                scale = np.sqrt(2.0 / sizes[i])
+            elif i == 0:
+                scale = 1.0 / sizes[i]
+            else:
+                scale = np.sqrt(6.0 / sizes[i]) / 30.0
+            W["stack"].append(
+                [
+                    rng.uniform(-1, 1, (sizes[i], sizes[i + 1])) * scale,
+                    np.zeros(sizes[i + 1]),
+                ]
+            )
+        W["W_out"] = rng.uniform(-1, 1, (sizes[-1], bits)) * np.sqrt(
+            6.0 / sizes[-1]
         )
-    W["W_out"] = rng.uniform(-1, 1, (sizes[-1], bits)) * np.sqrt(6.0 / sizes[-1])
-    W["b_out"] = np.zeros(bits)
+        W["b_out"] = np.zeros(bits)
 
     def params():
         for pair in W["stack"]:
@@ -193,9 +220,6 @@ def fit_triplet_weights(
     b1, b2, eps = 0.9, 0.999, 1e-8
     t = 0
 
-    best = None
-    best_recall, best_size = -1.0, float("inf")
-
     def snapshot():
         out = {
             "W_out": W["W_out"].copy(),
@@ -207,6 +231,15 @@ def fit_triplet_weights(
             out[f"W{i}"] = Wi.copy()
             out[f"b{i}"] = bi.copy()
         return out
+
+    best = None
+    best_recall, best_size = -1.0, float("inf")
+    if init is not None:
+        # checkpoint zero = the init head itself: training can only
+        # improve on it (the reference's keep-if-improved gate)
+        probs0, _, _, _ = _forward_cached(X, W, activation)
+        best_recall, best_size = _bucket_eval(probs0, knn)
+        best = snapshot()
 
     step = 0
     for _ in range(epochs):
@@ -250,6 +283,8 @@ def fit_triplet_weights(
 
     probs, _, _, _ = _forward_cached(X, W, activation)
     rec, qsize = _bucket_eval(probs, knn)
-    if rec > best_recall:
+    # final candidate obeys the same two-sided gate: recall up AND the
+    # candidate budget bounded (base.py:98-104 keeps neither-regressed)
+    if rec > best_recall and qsize <= max(best_size, 1.0) * 1.5:
         best = snapshot()
     return best if best is not None else snapshot()

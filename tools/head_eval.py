@@ -71,13 +71,32 @@ def main() -> None:
 
     t0 = time.perf_counter()
     sample = X[:10_000]
+    knn_s = self_knn(sample, K)
     trained = fit_triplet_weights(
-        sample, bits=BITS, hidden=(32,), epochs=3, seed=SEED,
-        knn=self_knn(sample, K),
+        sample, bits=BITS, hidden=(32,), epochs=3, seed=SEED, knn=knn_s,
     )
     train_sec = time.perf_counter() - t0
 
-    heads = {"random": None, "itq": itq, "triplet": trained}
+    # ITQ-initialized fine-tune: the reference's keep-if-improved gate
+    # with the unsupervised head as checkpoint zero — returned head is
+    # never worse than ITQ on the train metric
+    t0 = time.perf_counter()
+    # descale the ITQ logits 8x before fine-tuning: hard codes (and so
+    # checkpoint-zero metrics) are invariant to positive logit scale,
+    # but sigmoid(8z) saturates and starves the triplet gradients
+    itq_soft = {**itq, "W_out": itq["W_out"] / 8.0, "b_out": itq["b_out"] / 8.0}
+    tuned = fit_triplet_weights(
+        sample, bits=BITS, epochs=5, lr=1e-3, seed=SEED, knn=knn_s,
+        init=itq_soft,
+    )
+    tune_sec = time.perf_counter() - t0
+
+    heads = {
+        "random": None,
+        "itq": itq,
+        "triplet": trained,
+        "triplet_itq": tuned,
+    }
     report = {}
     for name, w in heads.items():
         report[name] = multiprobe_sweep(
@@ -92,6 +111,7 @@ def main() -> None:
                 "n": N, "dim": DIM, "bits": BITS, "k": K,
                 "itq_fit_sec": round(itq_sec, 1),
                 "triplet_fit_sec": round(train_sec, 1),
+                "triplet_itq_fit_sec": round(tune_sec, 1),
                 "sweep": report,
             }
         )

@@ -566,6 +566,30 @@ def novel_docs_incremental(sf_dir: str):
     return novel_docs(new, seen).select_columns(["doc_id", "n_chars"])
 
 
+def novel_docs_near_incremental(sf_dir: str):
+    """Incremental NEAR-dup filter (``stages/incremental.py``
+    ``novel_docs_near``): seen = even-doc_id half, new = odd half;
+    returns the new docs with NO seen doc at shingle-Jaccard >= 0.8
+    (exact text matches count as 1.0). The cross-snapshot MinHash/LSH
+    probe a daily crawl runs after the exact filter. DuckDB oracle:
+    the flagship kernel-replay chain (``_near_dup_chain_sql``) with the
+    confirmed-pair set restricted to cross-side text groups."""
+    from nlshray.stages.incremental import novel_docs_near
+
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+
+    def half(parity: int):
+        def f(t: pa.Table) -> pa.Table:
+            return t.filter(pa.array(t["doc_id"].to_numpy() % 2 == parity))
+
+        return f
+
+    seen = docs.map_batches(half(0), batch_format="pyarrow", zero_copy_batch=True)
+    new = docs.map_batches(half(1), batch_format="pyarrow", zero_copy_batch=True)
+    out = novel_docs_near(new, seen, CFG, num_partitions=NPARTS)
+    return out.select_columns(["doc_id", "n_chars"])
+
+
 def top_docs_per_lang(sf_dir: str, k: int = 3):
     """Grouped top-k without a global sort (``stages/topk.py``): the k
     longest docs per language, deterministic tie-break on doc_id.
@@ -953,6 +977,7 @@ QUERIES = {
     "quality_scores_sql": quality_scores_sql,
     "sampled_docs": sampled_docs,
     "novel_docs_incremental": novel_docs_incremental,
+    "novel_docs_near_incremental": novel_docs_near_incremental,
     "top_docs_per_lang": top_docs_per_lang,
     "stratified_sample_by_lang": stratified_sample_by_lang,
     "length_quantiles_by_lang": length_quantiles_by_lang,
@@ -1521,6 +1546,35 @@ def _build_near_dup_pairs_oracle() -> str:
     """
 
 
+def _build_novel_near_oracle() -> str:
+    """Incremental near-dup novelty: seen = even-doc_id docs, new = odd.
+    A new doc is NON-novel iff some seen doc shares its text group
+    (exact, J=1.0) or its text group's rep has a confirmed (exact
+    shingle-Jaccard >= threshold, discovered via shared LSH band)
+    pair with a seen doc's text-group rep. Reuses the flagship
+    kernel-replay chain; band keys and Jaccard are pure functions of
+    the text, so the engine's per-side rep choice and the oracle's
+    full-corpus rep choice decide identically."""
+    return f"""
+        WITH {_near_dup_chain_sql().strip()},
+        nonnovel AS (
+          SELECT DISTINCT n.doc_id
+          FROM rep n JOIN rep s
+            ON n.doc_id % 2 = 1 AND s.doc_id % 2 = 0
+           AND s.rep_id = n.rep_id
+          UNION
+          SELECT DISTINCT n.doc_id
+          FROM rep n, rep s, conf c
+          WHERE n.doc_id % 2 = 1 AND s.doc_id % 2 = 0
+            AND ((c.left_id = n.rep_id AND c.right_id = s.rep_id)
+              OR (c.left_id = s.rep_id AND c.right_id = n.rep_id))
+        )
+        SELECT doc_id, n_chars FROM documents
+        WHERE doc_id % 2 = 1
+          AND doc_id NOT IN (SELECT doc_id FROM nonnovel)
+    """
+
+
 def _build_near_dup_clusters_oracle() -> str:
     """Full dedup clustering at threshold 0.8: connected components over
     confirmed pairs + exact-dup edges via a recursive min-label CTE
@@ -1552,6 +1606,7 @@ ORACLE_SQL = {
     "minhash_signatures": _build_minhash_oracle(),
     "near_dup_pairs": _build_near_dup_pairs_oracle(),
     "near_dup_clusters": _build_near_dup_clusters_oracle(),
+    "novel_docs_near_incremental": _build_novel_near_oracle(),
     "sampled_docs": _build_sampled_docs_oracle(),
     "stratified_sample_by_lang": _build_stratified_oracle(),
     "top_docs_per_lang": """

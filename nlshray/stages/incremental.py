@@ -336,3 +336,262 @@ def novel_docs(
         return t.filter(pa.array(~pos | fp))
 
     return new.map_batches(final, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------
+# Incremental NEAR-dup: filter a NEW corpus against a SEEN corpus at
+# shingle-Jaccard >= threshold (the cross-snapshot MinHash/LSH probe a
+# daily crawl runs after the exact filter above). The seen side plays
+# the reference's static index role (/root/reference/nlsh/indexer.py:
+# 27-60 builds hash buckets once, queries probe them); here the "index"
+# is the seen reps' band rows, co-partitioned with the new side's by
+# band-hash — candidates are NEW x SEEN bucket collisions only (never
+# seen x seen: the seen corpus was already deduped when it was built).
+# ---------------------------------------------------------------------
+
+
+def _emit_cross_pairs(
+    bh_n: np.ndarray,
+    id_n: np.ndarray,
+    bh_s: np.ndarray,
+    id_s: np.ndarray,
+    cap: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+    """new x seen pairs from one partition's COMPLETE tagged band rows.
+
+    Python touches only buckets present on BOTH sides (a small
+    minority). Skew cap: each side's bucket membership is truncated to
+    its ``cap`` smallest rep ids (deterministic) with forgone-pair
+    accounting — mirrors ``pairs._emit_bucket_pairs``.
+
+    Returns (lefts[new], rights[seen], hot bucket sizes, pairs_forgone).
+    """
+    e = np.empty(0, np.int64)
+    if bh_n.shape[0] == 0 or bh_s.shape[0] == 0:
+        return e, e, e, 0
+    on = lexsort2(id_n, bh_n)
+    bh_n, id_n = bh_n[on], id_n[on]
+    os_ = lexsort2(id_s, bh_s)
+    bh_s, id_s = bh_s[os_], id_s[os_]
+    kn = bh_n[np.concatenate([[True], np.diff(bh_n) != 0])]
+    ks = bh_s[np.concatenate([[True], np.diff(bh_s) != 0])]
+    common = np.intersect1d(kn, ks)
+    if common.shape[0] == 0:
+        return e, e, e, 0
+    lo_n = np.searchsorted(bh_n, common, "left")
+    hi_n = np.searchsorted(bh_n, common, "right")
+    lo_s = np.searchsorted(bh_s, common, "left")
+    hi_s = np.searchsorted(bh_s, common, "right")
+    lefts, rights, sizes = [], [], []
+    forgone = 0
+    for j in range(common.shape[0]):
+        a = np.unique(id_n[lo_n[j] : hi_n[j]])
+        b = np.unique(id_s[lo_s[j] : hi_s[j]])
+        sizes.append(a.shape[0] + b.shape[0])
+        if a.shape[0] > cap or b.shape[0] > cap:
+            forgone += int(a.shape[0]) * int(b.shape[0]) - min(
+                int(a.shape[0]), cap
+            ) * min(int(b.shape[0]), cap)
+            a, b = a[:cap], b[:cap]
+        lefts.append(np.repeat(a, b.shape[0]))
+        rights.append(np.tile(b, a.shape[0]))
+    return (
+        np.concatenate(lefts),
+        np.concatenate(rights),
+        np.asarray(sizes, dtype=np.int64),
+        forgone,
+    )
+
+
+@ray.remote
+def _cross_pairs_part(n_new_chunks: int, cap: int, P2: int, *chunks):
+    """Round B (cross-side): one band-hash partition -> new x seen
+    candidate pairs, pre-split by pair-key hash for the round-C dedup
+    (same output shape as ``pairs._bucket_pairs_part``)."""
+    from nlshray.hashing import splitmix64
+
+    new_chunks = chunks[:n_new_chunks]
+    seen_chunks = chunks[n_new_chunks:]
+    e = np.empty(0, np.int64)
+    bh_n = np.concatenate([c[0] for c in new_chunks]) if new_chunks else e
+    id_n = np.concatenate([c[1] for c in new_chunks]) if new_chunks else e
+    bh_s = np.concatenate([c[0] for c in seen_chunks]) if seen_chunks else e
+    id_s = np.concatenate([c[1] for c in seen_chunks]) if seen_chunks else e
+    lefts, rights, sizes, forgone = _emit_cross_pairs(
+        bh_n, id_n, bh_s, id_s, cap
+    )
+    key = splitmix64(
+        (lefts.astype(np.uint64) << np.uint64(32)) ^ rights.astype(np.uint64)
+    )
+    part = (key % np.uint64(P2)).astype(np.int64)
+    order = np.argsort(part, kind="stable")
+    l_s, r_s, part_s = lefts[order], rights[order], part[order]
+    cuts = np.searchsorted(part_s, np.arange(1, P2))
+    l_parts = np.split(l_s, cuts)
+    r_parts = np.split(r_s, cuts)
+    out = [(sizes, forgone)] + [(l, r) for l, r in zip(l_parts, r_parts)]
+    return tuple(out)
+
+
+def cross_candidate_pairs(
+    sigs_new: ray.data.Dataset,
+    sigs_seen: ray.data.Dataset,
+    cfg,
+    *,
+    num_partitions: int = 32,
+):
+    """NEW x SEEN LSH candidate pairs (left_id=new rep, right_id=seen
+    rep, n_bands) as a raw-task shuffle: round A shards each side's
+    band rows by band-hash (banding folded in, as in the flagship's
+    scale plan), round B emits cross pairs per partition, round C
+    cross-band-dedups per pair-key partition. Only 18-byte band rows
+    and 16-byte pairs ever move."""
+    from functools import partial
+
+    from nlshray.stages.band import band_rows_of_block
+    from nlshray.stages.pairs import (
+        PairStats,
+        _dedup_pairs_part,
+        _empty_pairs,
+        _fill_stats,
+        _shard_rows,
+    )
+
+    stats = PairStats()
+    P = P2 = max(1, num_partitions)
+    source_fn = partial(
+        band_rows_of_block,
+        bands=cfg.bands,
+        r=cfg.rows_per_band,
+        num_perms=cfg.num_perms,
+    )
+    new_refs = sigs_new.to_arrow_refs()
+    seen_refs = sigs_seen.to_arrow_refs()
+    if not new_refs or not seen_refs:
+        return _empty_pairs(), stats
+    a_new = [
+        _shard_rows.options(num_returns=P).remote(r, source_fn, P)
+        for r in new_refs
+    ]
+    a_seen = [
+        _shard_rows.options(num_returns=P).remote(r, source_fn, P)
+        for r in seen_refs
+    ]
+    if P == 1:
+        a_new = [[r] for r in a_new]
+        a_seen = [[r] for r in a_seen]
+    cap = cfg.group_cap
+    b_out = [
+        _cross_pairs_part.options(num_returns=P2 + 1).remote(
+            len(a_new),
+            cap,
+            P2,
+            *[a_new[i][p] for i in range(len(a_new))],
+            *[a_seen[i][p] for i in range(len(a_seen))],
+        )
+        for p in range(P)
+    ]
+    c_refs = [
+        _dedup_pairs_part.remote(*[b_out[p][1 + q] for p in range(P)])
+        for q in range(P2)
+    ]
+    heads = ray.get([b_out[p][0] for p in range(P)])
+    sizes = (
+        np.concatenate([h[0] for h in heads])
+        if heads
+        else np.empty(0, np.int64)
+    )
+    stats.n_buckets_hot = int(sizes.shape[0])
+    _fill_stats(stats, sizes, cap, "star")
+    stats.pairs_forgone = sum(h[1] for h in heads)
+    return ray.data.from_arrow_refs(c_refs), stats
+
+
+def novel_docs_near(
+    new: ray.data.Dataset,
+    seen: ray.data.Dataset,
+    cfg=None,
+    *,
+    num_partitions: int = 32,
+    stats_out: dict | None = None,
+) -> ray.data.Dataset:
+    """Rows of ``new`` with NO doc in ``seen`` at shingle-set Jaccard
+    >= ``cfg.threshold`` (an exact text match counts as Jaccard 1.0).
+
+    Plan: exact filter (``novel_docs``) -> per-side exact-dup collapse
+    (sign only unique texts) -> MinHash sign both rep sets -> cross-side
+    band-bucket candidates (``cross_candidate_pairs``) -> the flagship's
+    ``verify_stage`` over the union (est + borderline-exact; symmetric
+    in the pair, so orientation is irrelevant) -> matched NEW rep ids
+    broadcast -> one filter pass. The matched-id broadcast is bounded by
+    the number of near-dup NEW docs (not by |seen|); at 10^12-seen scale
+    the seen side contributes only band rows to the shuffle and its text
+    is touched only for verify's borderline gathers.
+
+    Requires ``doc_id`` unique ACROSS both inputs (snapshot-prefixed ids
+    upstream; the two sides meet in one verify id-space).
+    """
+    from nlshray.config import DedupConfig
+    from nlshray.stages.exact import exact_stage, reps_only
+    from nlshray.stages.sign import sign_stage
+    from nlshray.stages.verify import verify_stage
+
+    cfg = cfg or DedupConfig()
+    P = num_partitions
+    new_x = novel_docs(
+        new, seen, num_partitions=P, stats_out=stats_out
+    ).materialize()
+    if new_x.count() == 0:
+        return new_x
+
+    new_rep = exact_stage(new_x, num_partitions=P)
+    seen_rep = exact_stage(seen, num_partitions=P)
+    reps_n = reps_only(new_rep).select_columns(["doc_id", "text"])
+    reps_s = reps_only(seen_rep).select_columns(["doc_id", "text"])
+    sigs_n = sign_stage(reps_n, cfg).materialize()
+    sigs_s = sign_stage(reps_s, cfg).materialize()
+
+    cand, pair_stats = cross_candidate_pairs(
+        sigs_n, sigs_s, cfg, num_partitions=P
+    )
+    if not isinstance(cand, ray.data.dataset.MaterializedDataset):
+        cand = cand.materialize()
+    if stats_out is not None:
+        stats_out["n_cross_candidates"] = cand.count()
+        stats_out["pairs_forgone"] = pair_stats.pairs_forgone
+
+    if cand.count() == 0:
+        matched = np.empty(0, np.int64)
+    else:
+        confirmed = verify_stage(
+            cand,
+            sigs_n.union(sigs_s),
+            reps_n.union(reps_s),
+            cfg,
+            num_partitions=P,
+        )
+        mc = []
+        for b in confirmed.select_columns(["left_id"]).iter_batches(
+            batch_size=1 << 20, batch_format="pyarrow"
+        ):
+            mc.append(np.asarray(b["left_id"]))
+        matched = (
+            np.unique(np.concatenate(mc)) if mc else np.empty(0, np.int64)
+        )
+    if stats_out is not None:
+        stats_out["n_matched_new_reps"] = int(matched.shape[0])
+
+    keep_cols = new.schema().names
+    matched_ref = ray.put(matched)
+
+    def filt(t: pa.Table) -> pa.Table:
+        m = ray.get(matched_ref)
+        rep = t["rep_id"].to_numpy()
+        idx = np.searchsorted(m, rep)
+        idx = np.minimum(idx, max(m.shape[0] - 1, 0))
+        hit = m[idx] == rep if m.shape[0] else np.zeros(rep.shape[0], bool)
+        return t.filter(pa.array(~hit)).select(keep_cols)
+
+    return new_rep.map_batches(
+        filt, batch_format="pyarrow", zero_copy_batch=True
+    )

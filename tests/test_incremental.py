@@ -97,3 +97,102 @@ def test_pair_membership_collision_run():
         H2,
     )
     assert hit.tolist() == [True, True, False, False]
+
+
+def _para(words: list[str]) -> str:
+    return " ".join(words)
+
+
+def test_novel_docs_near_vs_brute(ray_session):
+    """Cross-snapshot near-dup filter == brute-force shingle Jaccard."""
+    from nlshray.config import DedupConfig
+    from nlshray.functions.shingles import doc_shingle_hashes, exact_jaccard
+    from nlshray.stages.incremental import novel_docs_near
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(60)]
+    base = [
+        _para(list(rng.choice(vocab, size=120))) for _ in range(30)
+    ]
+    # seen: 30 base docs. new: near-dups of some (1-2 word edits), an
+    # exact copy, and fresh docs
+    seen_texts = base
+    new_texts = []
+    for i in range(10):  # near-dups of base[i]
+        w = base[i].split()
+        w[5] = "edited"
+        new_texts.append(_para(w))
+    new_texts.append(base[20])  # exact copy
+    for _ in range(10):  # fresh
+        new_texts.append(_para(list(rng.choice(vocab, size=120))))
+    seen = _docs(seen_texts, 0)
+    new = _docs(new_texts, 1000)
+
+    cfg = DedupConfig()
+    stats: dict = {}
+    out = novel_docs_near(
+        rd.from_arrow(new), rd.from_arrow(seen), cfg,
+        num_partitions=4, stats_out=stats,
+    )
+    got = set(_sorted_ids(out))
+
+    seen_set = set(seen_texts)
+    ssets = [doc_shingle_hashes(t, cfg.shingle_k, unique=True) for t in seen_set]
+    truth = set()
+    for d, t in zip(new["doc_id"].to_pylist(), new["text"].to_pylist()):
+        if t in seen_set:
+            continue
+        st = doc_shingle_hashes(t, cfg.shingle_k, unique=True)
+        if not any(exact_jaccard(st, s) >= cfg.threshold for s in ssets):
+            truth.add(d)
+    # the engine may only miss via an LSH band miss (recall), never drop
+    # a genuinely novel doc (precision of the drop decision is exact)
+    assert truth - got == set()
+    assert got == truth  # at this scale banding catches every true pair
+    assert stats["n_matched_new_reps"] >= 10
+    # output schema is the input's
+    assert out.schema().names == ["doc_id", "text"]
+
+
+def test_novel_docs_near_parallelism_independent(ray_session):
+    from nlshray.config import DedupConfig
+    from nlshray.stages.incremental import novel_docs_near
+
+    rng = np.random.default_rng(5)
+    vocab = [f"t{i}" for i in range(40)]
+    seen = _docs([_para(list(rng.choice(vocab, 90))) for _ in range(20)], 0)
+    new_t = []
+    for i in range(8):
+        w = seen["text"][i].as_py().split()
+        w[3] = "x"
+        new_t.append(_para(w))
+    new_t += [_para(list(rng.choice(vocab, 90))) for _ in range(8)]
+    new = _docs(new_t, 500)
+    cfg = DedupConfig()
+    a = _sorted_ids(
+        novel_docs_near(rd.from_arrow(new), rd.from_arrow(seen), cfg, num_partitions=2)
+    )
+    b = _sorted_ids(
+        novel_docs_near(
+            rd.from_arrow(new).repartition(7),
+            rd.from_arrow(seen).repartition(3),
+            cfg,
+            num_partitions=9,
+        )
+    )
+    assert a == b
+
+
+def test_novel_docs_near_empty_sides(ray_session):
+    from nlshray.config import DedupConfig
+    from nlshray.stages.incremental import novel_docs_near
+
+    cfg = DedupConfig()
+    new = _docs(["alpha beta gamma", "delta epsilon"], 0)
+    empty = _docs([], 100)
+    # empty seen: everything is novel
+    out = novel_docs_near(rd.from_arrow(new), rd.from_arrow(empty), cfg)
+    assert _sorted_ids(out) == [0, 1]
+    # empty new: nothing comes back
+    out2 = novel_docs_near(rd.from_arrow(empty), rd.from_arrow(new), cfg)
+    assert _sorted_ids(out2) == []

@@ -410,6 +410,60 @@ def quality_scores(sf_dir: str):
     return textstats_stage(docs)
 
 
+def source_summary(sf_dir: str):
+    """Corpus-composition report per source — what a data curator runs
+    before mixing training data: doc/token/char volumes and the count
+    of quality-flagged docs per provenance. Combiner-style: each batch
+    pre-aggregates its per-source partials inside ``map_batches`` (the
+    quality kernel runs exactly once per doc), so the groupby shuffles
+    only a few rows per (block, source). Integer partials sum exactly
+    at any parallelism; the one ratio is derived after the aggregate."""
+    from nlshray.functions.textstats import batch_textstats
+
+    docs = _pq(
+        sf_dir, "documents", columns=["text", "source", "n_chars"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        f = batch_textstats(t["text"])
+        src = np.asarray(t["source"].to_pylist(), dtype=object)
+        srcs, inv = np.unique(src, return_inverse=True)
+        k = srcs.shape[0]
+
+        def isum(v) -> np.ndarray:
+            out = np.zeros(k, np.int64)
+            np.add.at(out, inv, v.astype(np.int64))
+            return out
+
+        return pa.table(
+            {
+                "source": pa.array(list(srcs), pa.string()),
+                "n_docs": pa.array(np.bincount(inv, minlength=k).astype(np.int64)),
+                "total_tokens": pa.array(isum(f["n_tokens"])),
+                "total_chars": pa.array(isum(t["n_chars"].to_numpy())),
+                "n_low_quality": pa.array(isum(f["quality"] < 1.0)),
+            }
+        )
+
+    partials = docs.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    agg = partials.groupby("source", num_partitions=8).aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("total_tokens", alias_name="total_tokens"),
+        Sum("total_chars", alias_name="total_chars"),
+        Sum("n_low_quality", alias_name="n_low_quality"),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        avg = t["total_chars"].to_numpy() / np.maximum(
+            t["n_docs"].to_numpy(), 1
+        )
+        return t.append_column("avg_chars", pa.array(_round_np(avg, 4)))
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def repetition_stats(sf_dir: str):
     """Gopher-style repetition/boilerplate signals per doc (duplicate-
     token fraction, top-1-gram fraction; Rae et al. 2021 §A1.1) —
@@ -975,6 +1029,7 @@ QUERIES = {
     "near_dup_clusters": near_dup_clusters,
     "near_dup_clusters_t1": near_dup_clusters_t1,
     "quality_scores_sql": quality_scores_sql,
+    "source_summary": source_summary,
     "sampled_docs": sampled_docs,
     "novel_docs_incremental": novel_docs_incremental,
     "novel_docs_near_incremental": novel_docs_near_incremental,
@@ -1949,3 +2004,21 @@ ORACLE_SQL["score_quantiles_by_lang"] = f"""
            COUNT(*) AS n_rows
     FROM scored GROUP BY lang
 """
+
+
+# source_summary: integer-sum aggregates over the bit-exact per-doc
+# quality/token replay; the one float column is derived post-aggregate
+# with the same rounding as the engine.
+ORACLE_SQL["source_summary"] = f"""
+    WITH q AS ({ORACLE_SQL["quality_scores_sql"]})
+    SELECT d.source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(q.n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(d.n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(CASE WHEN q.quality < 1.0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_low_quality,
+           ROUND(SUM(d.n_chars) * 1.0 / COUNT(*), 4) AS avg_chars
+    FROM documents d JOIN q USING (doc_id)
+    GROUP BY d.source
+"""
+

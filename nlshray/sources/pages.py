@@ -73,3 +73,78 @@ def write_partitioned(
     """Directory-of-parts sink: never one giant file, so a rerun can
     skip finished partitions (ray_guide 'Sources & sinks')."""
     ds.write_parquet(out_dir, min_rows_per_file=min_rows_per_file)
+
+
+# ---------------------------------------------------------------------
+# Non-parquet sources: web corpora arrive as JSONL dumps (one object
+# per line) and tabular sidecars as CSV. Arrow's readers infer types;
+# the helpers below normalize to the engine's schemas so every
+# downstream pipeline runs identically regardless of the wire format.
+# JSON/CSV cannot push column pruning into the read the way parquet
+# does — the prune happens right after, and the docstrings say so, so
+# a 100-TB user knows to convert to parquet first for scan-heavy work.
+# ---------------------------------------------------------------------
+
+
+def _cast_like(ds: rd.Dataset, types: dict[str, pa.DataType]) -> rd.Dataset:
+    """Cast named columns to the engine's canonical types (no-op when
+    the inferred type already matches)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        for name, typ in types.items():
+            if name in t.column_names and t.schema.field(name).type != typ:
+                i = t.column_names.index(name)
+                t = t.set_column(i, name, t[name].cast(typ))
+        return t
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def read_docs_json(paths, *, columns: list[str] | None = None) -> rd.Dataset:
+    """Read a documents table from JSONL (one JSON object per line;
+    ``.gz``/``.zst`` handled by Arrow). Columns are pruned AFTER the
+    read — JSON has no column projection; convert to parquet for
+    scan-heavy 100-TB work."""
+    ds = rd.read_json(paths)
+    cols = columns or ["doc_id", "text"]
+    return _cast_like(
+        ds.select_columns(cols),
+        {"doc_id": pa.int64(), "text": pa.string(), "n_chars": pa.int64()},
+    )
+
+
+def read_pages_json(
+    paths, *, columns: list[str] | None = None
+) -> rd.Dataset:
+    """Read a pages table from JSONL; same pruning caveat as
+    ``read_docs_json``. Wire encoding: ``warc_ts`` as epoch
+    microseconds (or an ISO string — both cast), ``html`` as utf-8
+    text; both are normalized to the engine's parquet schema
+    (timestamp[us] / binary)."""
+    ds = rd.read_json(paths)
+    cols = columns or ["url", "warc_ts", "html", "lang"]
+    return _cast_like(
+        ds.select_columns(cols),
+        {
+            "url": pa.string(),
+            "warc_ts": pa.timestamp("us"),
+            "html": pa.binary(),
+            "lang": pa.string(),
+        },
+    )
+
+
+def read_docs_csv(paths, *, columns: list[str] | None = None) -> rd.Dataset:
+    """Read a documents table from CSV (header row required)."""
+    ds = rd.read_csv(paths)
+    cols = columns or ["doc_id", "text"]
+    return _cast_like(
+        ds.select_columns(cols),
+        {"doc_id": pa.int64(), "text": pa.string(), "n_chars": pa.int64()},
+    )
+
+
+def write_jsonl(ds: rd.Dataset, out_dir: str) -> None:
+    """Directory-of-parts JSONL sink (interchange with non-Arrow
+    consumers; parquet remains the engine's native format)."""
+    ds.write_json(out_dir)

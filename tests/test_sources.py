@@ -1,0 +1,119 @@
+"""Source-format parity: JSONL / CSV reads feed the engine identically
+to parquet (the wire format must never change results)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+import ray.data as rd
+
+from nlshray.sources.pages import (
+    read_docs_csv,
+    read_docs_json,
+    read_pages_json,
+    write_jsonl,
+)
+
+
+def _docs_table(n=40):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = [" ".join(rng.choice(vocab, 25)) for _ in range(n)]
+    texts[5] = texts[0]  # an exact dup to exercise downstream
+    return pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+
+
+def _sorted_rows(ds, cols):
+    t = pa.concat_tables(ray.get(ds.to_arrow_refs())).select(cols)
+    return sorted(map(tuple, t.to_pydict().values() and zip(*[t[c].to_pylist() for c in cols])))
+
+
+def test_jsonl_csv_parquet_parity(ray_session, tmp_path):
+    tbl = _docs_table()
+    pq_path = str(tmp_path / "docs.parquet")
+    pq.write_table(tbl, pq_path)
+    jl_path = str(tmp_path / "docs.jsonl")
+    with open(jl_path, "w") as f:
+        for row in tbl.to_pylist():
+            f.write(json.dumps(row) + "\n")
+    csv_path = str(tmp_path / "docs.csv")
+    import pyarrow.csv as pacsv
+
+    pacsv.write_csv(tbl, csv_path)
+
+    cols = ["doc_id", "text", "n_chars"]
+    want = _sorted_rows(rd.read_parquet(pq_path, columns=cols), cols)
+    got_j = _sorted_rows(read_docs_json(jl_path, columns=cols), cols)
+    got_c = _sorted_rows(read_docs_csv(csv_path, columns=cols), cols)
+    assert got_j == want
+    assert got_c == want
+
+    # schema types normalized to the engine's canonical ones
+    sj = read_docs_json(jl_path, columns=cols).schema()
+    assert dict(zip(sj.names, sj.types))["doc_id"] == pa.int64()
+
+
+def test_jsonl_feeds_dedup_identically(ray_session, tmp_path):
+    from nlshray.config import DedupConfig
+    from nlshray.pipelines.dedup import dedup_docs, to_arrow
+
+    tbl = _docs_table()
+    jl_path = str(tmp_path / "docs.jsonl")
+    with open(jl_path, "w") as f:
+        for row in tbl.to_pylist():
+            f.write(json.dumps(row) + "\n")
+    cfg = DedupConfig()
+    res_pq = dedup_docs(rd.from_arrow(tbl), cfg, num_partitions=4)
+    res_jl = dedup_docs(
+        read_docs_json(jl_path, columns=["doc_id", "text", "n_chars"]),
+        cfg,
+        num_partitions=4,
+    )
+    key = lambda t: sorted(
+        zip(t["doc_id"].to_pylist(), t["cluster_id"].to_pylist())
+    )
+    assert key(to_arrow(res_jl.clusters)) == key(to_arrow(res_pq.clusters))
+
+
+def test_write_jsonl_roundtrip(ray_session, tmp_path):
+    tbl = _docs_table(12)
+    out = str(tmp_path / "sink")
+    os.makedirs(out, exist_ok=True)
+    write_jsonl(rd.from_arrow(tbl), out)
+    back = read_docs_json(
+        [os.path.join(out, f) for f in sorted(os.listdir(out))],
+        columns=["doc_id", "text", "n_chars"],
+    )
+    cols = ["doc_id", "text", "n_chars"]
+    assert _sorted_rows(back, cols) == _sorted_rows(rd.from_arrow(tbl), cols)
+
+
+def test_pages_jsonl_extracts(ray_session, tmp_path):
+    from nlshray.fixtures import generate_pages
+    from nlshray.stages.extract import extract_stage
+
+    pages = generate_pages(60, seed=9)
+    jl = str(tmp_path / "pages.jsonl")
+    with open(jl, "w") as f:
+        for row in pages.select(["url", "warc_ts", "html", "lang"]).to_pylist():
+            # wire encoding: warc_ts as epoch micros, html as utf-8 text
+            row["warc_ts"] = int(row["warc_ts"].timestamp() * 1_000_000)
+            row["html"] = row["html"].decode("utf-8")
+            f.write(json.dumps(row) + "\n")
+    docs = extract_stage(read_pages_json(jl))
+    got = pa.concat_tables(ray.get(docs.to_arrow_refs()))
+    assert got.num_rows == 60
+    assert "text" in got.column_names

@@ -518,6 +518,111 @@ def run_scaling() -> dict:
     }
 
 
+def run_incremental_near() -> dict:
+    """The cross-snapshot NEAR-dup probe (``novel_docs_near``) at bench
+    scale — new=800k pages vs seen=3.2M, same split as the bloom bench
+    (400k-doc exact overlap exercises the exact phase; near-dup pairs
+    within the fixture exercise the LSH cross probe)."""
+    pages_path = _ensure_scaling_fixture()
+    files = sorted(
+        os.path.join(pages_path, f) for f in os.listdir(pages_path)
+    )
+    if len(files) < 80:
+        raise SystemExit("scaling fixture too small for the 3.2M/800k split")
+    # new = 400k fresh shards + 400k PERTURBED copies of seen shards
+    # (one appended token: J ~ 0.99 >> threshold) so the probe's verify
+    # and matched-broadcast stages carry real near-dup load — the
+    # exact-overlap case is what --incremental-bloom already measures
+    seen_files, fresh_files, pert_files = (
+        files[:64],
+        files[64:72],
+        files[48:56],
+    )
+
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=32,
+        include_dashboard=False,
+        logging_level="ERROR",
+        object_store_memory=int(55 * 2**30),
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import pyarrow as pa
+    import ray.data as rd
+
+    from nlshray.config import DedupConfig
+    from nlshray.stages.extract import extract_stage
+    from nlshray.stages.incremental import novel_docs_near
+
+    cols = ["url", "warc_ts", "html", "lang"]
+    seen = extract_stage(rd.read_parquet(seen_files).select_columns(cols))
+
+    def perturb(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        import numpy as np
+
+        i = t.column_names.index("text")
+        t = t.set_column(
+            i, "text", pc.binary_join_element_wise(t["text"], " zq", "")
+        )
+        j = t.column_names.index("doc_id")
+        ids = t["doc_id"].to_numpy() | np.int64(1 << 61)  # disjoint id space
+        return t.set_column(j, "doc_id", pa.array(ids))
+
+    new = extract_stage(
+        rd.read_parquet(fresh_files).select_columns(cols)
+    ).union(
+        extract_stage(
+            rd.read_parquet(pert_files).select_columns(cols)
+        ).map_batches(perturb, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    prewarm_sec = _prewarm(32)
+    cfg = DedupConfig()
+    stats: dict = {}
+    # daily-run shape: build the seen index ONCE (timed separately),
+    # then the probe — the recurring cost — never touches seen text
+    import shutil
+
+    from nlshray.stages.incremental import build_seen_index
+
+    idx = os.path.join(FIXTURE_DIR, "seen_index_3200000")
+    t0 = time.perf_counter()
+    if not os.path.exists(os.path.join(idx, "manifest.json")):
+        shutil.rmtree(idx, ignore_errors=True)
+        build_seen_index(seen, cfg, idx, num_partitions=48)
+        build_sec = time.perf_counter() - t0
+    else:
+        build_sec = 0.0  # reused from a previous bench run (resume-shaped)
+    t0 = time.perf_counter()
+    out = novel_docs_near(
+        new, cfg=cfg, seen_index_dir=idx, num_partitions=48,
+        stats_out=stats,
+    )
+    n_novel = out.count()
+    probe_sec = time.perf_counter() - t0
+    n_new = 800_000
+    ray.shutdown()
+    return {
+        "metric": "incremental NEAR-dup probe wall time (seen=3.2M new=800k)",
+        "value": round(probe_sec, 3),
+        "unit": "sec",
+        "num_cpus": 32,
+        "n_new": n_new,
+        "n_novel": n_novel,
+        "new_docs_per_sec": round(n_new / probe_sec, 1),
+        "index_build_sec": round(build_sec, 3),
+        "n_cross_candidates": stats.get("n_cross_candidates"),
+        "n_matched_new_reps": stats.get("n_matched_new_reps"),
+        "pairs_forgone": stats.get("pairs_forgone"),
+        "prewarm_sec": round(prewarm_sec, 1),
+    }
+
+
 def run_incremental_bloom() -> dict:
     """VERDICT r3 #5: the 10^12-regime bloom plan of incremental
     (new-vs-seen) dedup measured at bench scale — new=800k pages vs
@@ -619,6 +724,8 @@ if __name__ == "__main__":
         print(json.dumps(run_cluster_scaling()))
     elif "--incremental-bloom" in sys.argv:
         print(json.dumps(run_incremental_bloom()))
+    elif "--incremental-near" in sys.argv:
+        print(json.dumps(run_incremental_near()))
     elif "--dedup-only" in sys.argv:
         print(json.dumps(run_dedup_only(ncpu, os.environ["NLSHRAY_PAGES_PATH"])))
     else:

@@ -1003,6 +1003,31 @@ def embedding_dup_pairs(sf_dir: str):
     return _round(to_arrow(out), {"cosine": 6})
 
 
+def embedding_novelty_incremental(sf_dir: str):
+    """Embedding-space member of the incremental dedup family
+    (``stages/ann.embedding_novelty``): seen = even vec_ids, new = odd;
+    returns the new vectors with NO seen vector at cosine >= 0.45.
+    Brute plan at sf scale (seen matrix broadcast once, one matmul +
+    any-hit filter per new batch); the LSH-bucketed cross plan is the
+    10^12 path (recall-traded, superset-tested in pytest)."""
+    from nlshray.stages.ann import embedding_novelty
+
+    emb = _pq(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+
+    def half(parity: int):
+        def f(t: pa.Table) -> pa.Table:
+            return t.filter(
+                pa.array(t["vec_id"].to_numpy() % 2 == parity)
+            )
+
+        return f
+
+    seen = emb.map_batches(half(0), batch_format="pyarrow", zero_copy_batch=True)
+    new = emb.map_batches(half(1), batch_format="pyarrow", zero_copy_batch=True)
+    out = embedding_novelty(new, seen, threshold=0.45, strategy="auto")
+    return out.select_columns(["vec_id", "label"])
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -1048,6 +1073,7 @@ QUERIES = {
     "knn_neural": knn_neural,
     "knn_neural_trained": knn_neural_trained,
     "embedding_dup_pairs": embedding_dup_pairs,
+    "embedding_novelty_incremental": embedding_novelty_incremental,
 }
 
 # shared SQL-builder pieces for the hash-recomputation oracles: the
@@ -1894,6 +1920,16 @@ ORACLE_SQL = {
             ORDER BY list_cosine_similarity(qe, CAST(embedding AS DOUBLE[])) DESC,
                      vec_id
         ) <= 10
+    """,
+    "embedding_novelty_incremental": """
+        SELECT n.vec_id, n.label FROM embeddings n
+        WHERE n.vec_id % 2 = 1
+          AND NOT EXISTS (
+            SELECT 1 FROM embeddings s
+            WHERE s.vec_id % 2 = 0
+              AND list_cosine_similarity(CAST(n.embedding AS DOUBLE[]),
+                                         CAST(s.embedding AS DOUBLE[]))
+                  >= 0.45)
     """,
     "embedding_dup_pairs": """
         SELECT a.vec_id AS left_id, b.vec_id AS right_id,

@@ -638,6 +638,8 @@ def gather_matrix(
     ):
         ids.append(b[id_col].to_numpy())
         mats.append(vectors_from_batch(b[col], dim))
+    if not ids:
+        return np.empty(0, np.int64), np.empty((0, dim), np.float64)
     return np.concatenate(ids), np.concatenate(mats)
 
 
@@ -742,3 +744,116 @@ def embedding_near_dup(
     # same pair can emerge from one bucket only (bucket is a function of the
     # vector), so no cross-bucket dedup is needed
     return pairs
+
+
+def embedding_novelty(
+    new: ray.data.Dataset,
+    seen: ray.data.Dataset,
+    threshold: float = 0.95,
+    *,
+    strategy: str = "auto",
+    n_planes: int = 10,
+    seed: int = 42,
+    col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+) -> ray.data.Dataset:
+    """Rows of ``new`` with NO vector in ``seen`` at cosine >= threshold
+    — the embedding-space member of the incremental (new-vs-seen) dedup
+    family (``stages/incremental.py`` holds the exact- and shingle-space
+    members).
+
+    ``bruteforce``: the seen matrix broadcasts once (``ray.put``) and
+    each new batch is one matmul + an any-hit row filter — exact, seen
+    must fit a worker's heap. ``lsh``: both sides bucket on the same
+    hyperplanes; a new vector is checked only against same-bucket seen
+    vectors (approximate: a near pair in different buckets is missed —
+    recall grows with fewer planes, cost with more; the 10^12 path).
+    ``auto`` routes by seen size like ``embedding_near_dup``.
+    """
+    dim = dim or infer_dim(new, col)
+    if strategy == "auto":
+        strategy = (
+            "bruteforce" if seen.count() <= _BRUTEFORCE_LIMIT else "lsh"
+        )
+    if strategy == "bruteforce":
+        _sids, sm = gather_matrix(seen, col=col, id_col=id_col, dim=dim)
+        seen_ref = ray.put(_l2norm(sm))
+
+        def filt(t: pa.Table) -> pa.Table:
+            cm = ray.get(seen_ref)
+            if cm.shape[0] == 0:
+                return t
+            m = _l2norm(vectors_from_batch(t[col], dim))
+            hit = (m @ cm.T >= threshold).any(axis=1)
+            return t.filter(pa.array(~hit))
+
+        return new.map_batches(
+            filt, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=2048,
+        )
+
+    if strategy != "lsh":
+        raise ValueError(f"unknown strategy {strategy!r}")
+
+    planes = make_planes(n_planes, dim, seed)
+    planes_ref = ray.put(planes)
+
+    def bucketize(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            m = _l2norm(vectors_from_batch(t[col], dim))
+            b = hyperplane_buckets(m, ray.get(planes_ref))
+            return pa.table(
+                {
+                    id_col: t[id_col],
+                    col: t[col],
+                    "bucket": pa.array(b, pa.int64()),
+                    "side": pa.array(
+                        np.full(t.num_rows, side, np.int8)
+                    ),
+                }
+            )
+
+        return f
+
+    tagged = new.select_columns([id_col, col]).map_batches(
+        bucketize(1), batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        seen.select_columns([id_col, col]).map_batches(
+            bucketize(0), batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+
+    def matched_in_bucket(g: dict[str, np.ndarray], *_) -> dict:
+        sides = g["side"]
+        nm = sides == 1
+        if not nm.any() or nm.all():
+            return {id_col: np.empty(0, np.int64)}
+        mn = _l2norm(
+            np.stack([np.asarray(v, np.float64) for v in g[col][nm]])
+        )
+        ms = _l2norm(
+            np.stack([np.asarray(v, np.float64) for v in g[col][~nm]])
+        )
+        hit = (mn @ ms.T >= threshold).any(axis=1)
+        return {id_col: g[id_col][nm][hit].astype(np.int64)}
+
+    matched = tagged.groupby("bucket", num_partitions=16).map_groups(
+        matched_in_bucket, batch_format="numpy"
+    )
+    ids = []
+    for b in matched.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+        ids.append(np.asarray(b[id_col]))
+    hit_ids = np.unique(np.concatenate(ids)) if ids else np.empty(0, np.int64)
+    hit_ref = ray.put(hit_ids)
+
+    def final(t: pa.Table) -> pa.Table:
+        h = ray.get(hit_ref)
+        v = t[id_col].to_numpy()
+        idx = np.minimum(np.searchsorted(h, v), max(h.shape[0] - 1, 0))
+        hit = h[idx] == v if h.shape[0] else np.zeros(v.shape[0], bool)
+        return t.filter(pa.array(~hit))
+
+    return new.map_batches(
+        final, batch_format="pyarrow", zero_copy_batch=True
+    )

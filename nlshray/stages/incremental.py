@@ -208,8 +208,9 @@ def _novel_positive_ids(n_seen_parts: int, *parts) -> tuple[np.ndarray, int]:
 
 def novel_docs(
     new: ray.data.Dataset,
-    seen: ray.data.Dataset,
+    seen: ray.data.Dataset | None = None,
     *,
+    seen_pairs: ray.data.Dataset | None = None,
     broadcast_limit: int = _BROADCAST_LIMIT,
     bits_per_key: int = 16,
     num_partitions: int = 32,
@@ -221,19 +222,25 @@ def novel_docs(
     Plan selection: broadcast while the seen pair set is bounded
     (``force_bloom=True`` exercises the scale plan at any size).
 
+    ``seen_pairs``: optional precomputed (text_hash, text_hash2) table
+    (unique per block — ``_hash_pair_partial`` output, e.g. reloaded
+    from a persisted seen index) used INSTEAD of hashing ``seen`` —
+    the daily-run path where the seen corpus's text is never re-read.
+
     ``stats_out``: optional dict filled with plan accounting — for the
     bloom plan: seen-set size, filter geometry (m_bits, k), total
     bloom positives among the new docs and how many of those were FALSE
     positives (rescued by the exact partition check), i.e. the measured
     fp rate the 10^12-regime plan pays.
     """
-    seen_pairs = (
-        seen.select_columns(["text"])
-        .map_batches(
+    if seen_pairs is None:
+        if seen is None:
+            raise ValueError("need either seen or seen_pairs")
+        seen_pairs = seen.select_columns(["text"]).map_batches(
             _hash_pair_partial, batch_format="pyarrow", zero_copy_batch=True
         )
-        .materialize()
-    )
+    if not isinstance(seen_pairs, ray.data.dataset.MaterializedDataset):
+        seen_pairs = seen_pairs.materialize()
     n_seen = seen_pairs.count()
 
     if stats_out is not None:
@@ -507,11 +514,84 @@ def cross_candidate_pairs(
     return ray.data.from_arrow_refs(c_refs), stats
 
 
-def novel_docs_near(
-    new: ray.data.Dataset,
+def build_seen_index(
     seen: ray.data.Dataset,
     cfg=None,
+    index_dir: str | None = None,
     *,
+    num_partitions: int = 32,
+) -> dict:
+    """Persist the SEEN side of the incremental near-dup probe — the
+    reference's build-index-once half of its lifecycle
+    (``/root/reference/nlsh/indexer.py:27-60``) as three parquet tables
+    under ``index_dir``:
+
+    * ``seen_hashes/`` — per-block-unique (text_hash, text_hash2) pairs
+      (the exact filter's input),
+    * ``seen_reps/``   — (doc_id, text) of each unique text (verify's
+      borderline gathers),
+    * ``seen_sigs/``   — (doc_id, sig) MinHash signatures of the reps.
+
+    A daily run then probes with ``novel_docs_near(new,
+    seen_index_dir=...)`` and NEVER re-reads or re-signs the seen
+    corpus. Growing the index after a run = appending the accepted novel
+    docs' partials (all three tables are unioned-by-concatenation;
+    per-block uniqueness is preserved by construction). Returns a
+    manifest dict (also written as ``manifest.json``) whose
+    ``config_hash`` guards against probing with a mismatched config."""
+    import json as _json
+    import os
+
+    from nlshray.config import DedupConfig
+    from nlshray.stages.exact import exact_stage, reps_only
+    from nlshray.stages.sign import sign_stage
+
+    cfg = cfg or DedupConfig()
+    os.makedirs(index_dir, exist_ok=True)
+    pairs = seen.select_columns(["text"]).map_batches(
+        _hash_pair_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    pairs.write_parquet(os.path.join(index_dir, "seen_hashes"))
+    seen_rep = exact_stage(seen, num_partitions=num_partitions)
+    reps = reps_only(seen_rep).select_columns(["doc_id", "text"])
+    reps.write_parquet(os.path.join(index_dir, "seen_reps"))
+    sigs = sign_stage(reps, cfg)
+    sigs.write_parquet(os.path.join(index_dir, "seen_sigs"))
+    manifest = {
+        "config_hash": cfg.config_hash(),
+        "n_seen_reps": sigs.count(),
+    }
+    with open(os.path.join(index_dir, "manifest.json"), "w") as f:
+        _json.dump(manifest, f)
+    return manifest
+
+
+def _load_seen_index(index_dir: str, cfg) -> tuple:
+    import json as _json
+    import os
+
+    from nlshray.sources.pages import read_parquet_clean
+
+    with open(os.path.join(index_dir, "manifest.json")) as f:
+        manifest = _json.load(f)
+    if manifest["config_hash"] != cfg.config_hash():
+        raise ValueError(
+            "seen index was built with a different config "
+            f"({manifest['config_hash']} != {cfg.config_hash()}); rebuild"
+        )
+    return (
+        read_parquet_clean(os.path.join(index_dir, "seen_hashes")),
+        read_parquet_clean(os.path.join(index_dir, "seen_reps")),
+        read_parquet_clean(os.path.join(index_dir, "seen_sigs")),
+    )
+
+
+def novel_docs_near(
+    new: ray.data.Dataset,
+    seen: ray.data.Dataset | None = None,
+    cfg=None,
+    *,
+    seen_index_dir: str | None = None,
     num_partitions: int = 32,
     stats_out: dict | None = None,
 ) -> ray.data.Dataset:
@@ -528,6 +608,11 @@ def novel_docs_near(
     the seen side contributes only band rows to the shuffle and its text
     is touched only for verify's borderline gathers.
 
+    ``seen_index_dir``: probe a persisted seen index
+    (``build_seen_index``) instead of recomputing the seen side — the
+    daily-run path: the seen corpus's text/hashes/signatures stream from
+    parquet and are never recomputed.
+
     Requires ``doc_id`` unique ACROSS both inputs (snapshot-prefixed ids
     upstream; the two sides meet in one verify id-space).
     """
@@ -538,18 +623,29 @@ def novel_docs_near(
 
     cfg = cfg or DedupConfig()
     P = num_partitions
-    new_x = novel_docs(
-        new, seen, num_partitions=P, stats_out=stats_out
-    ).materialize()
+    if seen_index_dir is not None:
+        seen_pairs, reps_s, sigs_s = _load_seen_index(seen_index_dir, cfg)
+        sigs_s = sigs_s.materialize()
+        new_x = novel_docs(
+            new, seen_pairs=seen_pairs, num_partitions=P,
+            stats_out=stats_out,
+        ).materialize()
+    else:
+        if seen is None:
+            raise ValueError("need either seen or seen_index_dir")
+        new_x = novel_docs(
+            new, seen, num_partitions=P, stats_out=stats_out
+        ).materialize()
     if new_x.count() == 0:
         return new_x
 
     new_rep = exact_stage(new_x, num_partitions=P)
-    seen_rep = exact_stage(seen, num_partitions=P)
     reps_n = reps_only(new_rep).select_columns(["doc_id", "text"])
-    reps_s = reps_only(seen_rep).select_columns(["doc_id", "text"])
     sigs_n = sign_stage(reps_n, cfg).materialize()
-    sigs_s = sign_stage(reps_s, cfg).materialize()
+    if seen_index_dir is None:
+        seen_rep = exact_stage(seen, num_partitions=P)
+        reps_s = reps_only(seen_rep).select_columns(["doc_id", "text"])
+        sigs_s = sign_stage(reps_s, cfg).materialize()
 
     cand, pair_stats = cross_candidate_pairs(
         sigs_n, sigs_s, cfg, num_partitions=P

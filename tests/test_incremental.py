@@ -196,3 +196,47 @@ def test_novel_docs_near_empty_sides(ray_session):
     # empty new: nothing comes back
     out2 = novel_docs_near(rd.from_arrow(empty), rd.from_arrow(new), cfg)
     assert _sorted_ids(out2) == []
+
+
+def test_seen_index_probe_equals_direct(ray_session, tmp_path):
+    """build_seen_index + probe == direct two-sided computation, and a
+    config mismatch refuses to probe."""
+    import pytest
+
+    from nlshray.config import DedupConfig
+    from nlshray.stages.incremental import build_seen_index, novel_docs_near
+
+    rng = np.random.default_rng(21)
+    vocab = [f"v{i}" for i in range(50)]
+    seen_texts = [_para(list(rng.choice(vocab, 110))) for _ in range(25)]
+    new_t = []
+    for i in range(6):  # near-dups of seen
+        w = seen_texts[i].split()
+        w[7] = "changed"
+        new_t.append(_para(w))
+    new_t.append(seen_texts[10])  # exact dup
+    new_t += [_para(list(rng.choice(vocab, 110))) for _ in range(6)]
+    seen = _docs(seen_texts, 0)
+    new = _docs(new_t, 2000)
+
+    cfg = DedupConfig()
+    direct = _sorted_ids(
+        novel_docs_near(rd.from_arrow(new), rd.from_arrow(seen), cfg, num_partitions=3)
+    )
+    idx = str(tmp_path / "seen_index")
+    manifest = build_seen_index(rd.from_arrow(seen), cfg, idx, num_partitions=3)
+    assert manifest["n_seen_reps"] == 25
+    probed = _sorted_ids(
+        novel_docs_near(
+            rd.from_arrow(new), cfg=cfg, seen_index_dir=idx, num_partitions=5
+        )
+    )
+    assert probed == direct
+    assert len(probed) < len(new_t)  # something was filtered
+
+    with pytest.raises(ValueError, match="different config"):
+        novel_docs_near(
+            rd.from_arrow(new),
+            cfg=DedupConfig(threshold=0.9),
+            seen_index_dir=idx,
+        )

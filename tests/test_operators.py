@@ -396,3 +396,46 @@ def test_knn_lsh_prunes_and_matches_mask_after_score(ray_session):
         sel = lsh.filter(pa.compute.equal(lsh["query_id"], int(qid)))
         got = sel["neighbor_id"].to_pylist()
         assert sorted(got) == sorted(want), (qid, got, want)
+
+
+def test_embedding_novelty_brute_vs_manual(ray_session):
+    """embedding_novelty (brute plan) == manual any-hit filter; the LSH
+    plan returns a superset (misses only lose filtering, never novel
+    docs) and agrees exactly when every near pair shares a bucket."""
+    from nlshray.stages.ann import embedding_novelty
+
+    ds = _emb_ds()
+    tbl = to_arrow(ds)
+    ids = tbl["vec_id"].to_numpy()
+    M = np.stack([np.asarray(v, np.float64) for v in tbl["embedding"].to_pylist()])
+    M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+    seen_m, new_m = ids % 2 == 0, ids % 2 == 1
+    import pyarrow as pa_
+    import ray.data as rd_
+
+    seen = rd_.from_arrow(tbl.filter(pa_.array(seen_m)))
+    new = rd_.from_arrow(tbl.filter(pa_.array(new_m)))
+    thr = 0.4
+    sims = M[new_m] @ M[seen_m].T
+    manual = set(ids[new_m][~(sims >= thr).any(axis=1)].tolist())
+
+    bf = to_arrow(embedding_novelty(new, seen, thr, strategy="bruteforce"))
+    assert set(bf["vec_id"].to_pylist()) == manual
+
+    lsh = to_arrow(
+        embedding_novelty(new, seen, thr, strategy="lsh", n_planes=6)
+    )
+    assert set(lsh["vec_id"].to_pylist()) >= manual  # recall-safe direction
+
+
+def test_embedding_novelty_empty_seen(ray_session):
+    from nlshray.stages.ann import embedding_novelty
+
+    ds = _emb_ds()
+    tbl = to_arrow(ds)
+    import pyarrow as pa_
+    import ray.data as rd_
+
+    empty = rd_.from_arrow(tbl.slice(0, 0))
+    out = to_arrow(embedding_novelty(ds, empty, 0.4, strategy="bruteforce"))
+    assert out.num_rows == tbl.num_rows

@@ -90,6 +90,47 @@ def cmd_queries(args) -> int:
     return 0
 
 
+def cmd_index(args) -> int:
+    """Build (or grow) the incremental-dedup seen index from a docs
+    parquet path."""
+    _ray_session(args.num_cpus)
+    import ray.data as rd
+
+    from nlshray.config import DedupConfig
+    from nlshray.stages.incremental import build_seen_index
+
+    cfg = DedupConfig(
+        threshold=args.threshold, shingle_k=args.shingle_k, seed=args.seed
+    )
+    manifest = build_seen_index(
+        rd.read_parquet(args.input), cfg, args.out
+    )
+    print(json.dumps(manifest))
+    return 0
+
+
+def cmd_probe(args) -> int:
+    """Filter a NEW docs parquet against a seen index (exact + near)."""
+    _ray_session(args.num_cpus)
+    import ray.data as rd
+
+    from nlshray.config import DedupConfig
+    from nlshray.stages.incremental import novel_docs_near
+
+    cfg = DedupConfig(
+        threshold=args.threshold, shingle_k=args.shingle_k, seed=args.seed
+    )
+    stats: dict = {}
+    out = novel_docs_near(
+        rd.read_parquet(args.input), cfg=cfg,
+        seen_index_dir=args.index, stats_out=stats,
+    )
+    out.write_parquet(args.out)
+    stats["n_novel"] = out.count()
+    print(json.dumps(stats))
+    return 0
+
+
 def cmd_fixture(args) -> int:
     import pyarrow.parquet as pq
 
@@ -124,6 +165,29 @@ def main(argv=None) -> int:
     q.add_argument("--out", default=None)
     q.add_argument("--num-cpus", type=int, default=None)
     q.set_defaults(fn=cmd_queries)
+
+    ix = sub.add_parser(
+        "index", help="build the incremental-dedup seen index"
+    )
+    ix.add_argument("--input", required=True, help="seen docs parquet path")
+    ix.add_argument("--out", required=True, help="index directory")
+    ix.add_argument("--threshold", type=float, default=0.8)
+    ix.add_argument("--shingle-k", type=int, default=5)
+    ix.add_argument("--seed", type=int, default=42)
+    ix.add_argument("--num-cpus", type=int, default=None)
+    ix.set_defaults(fn=cmd_index)
+
+    pr = sub.add_parser(
+        "probe", help="filter NEW docs against a seen index (exact + near)"
+    )
+    pr.add_argument("--input", required=True, help="new docs parquet path")
+    pr.add_argument("--index", required=True, help="seen index directory")
+    pr.add_argument("--out", required=True, help="novel docs parquet out")
+    pr.add_argument("--threshold", type=float, default=0.8)
+    pr.add_argument("--shingle-k", type=int, default=5)
+    pr.add_argument("--seed", type=int, default=42)
+    pr.add_argument("--num-cpus", type=int, default=None)
+    pr.set_defaults(fn=cmd_probe)
 
     f = sub.add_parser("fixture", help="generate the synthetic pages fixture")
     f.add_argument("--out", required=True)

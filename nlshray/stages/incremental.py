@@ -389,11 +389,18 @@ def _emit_cross_pairs(
     hi_n = np.searchsorted(bh_n, common, "right")
     lo_s = np.searchsorted(bh_s, common, "left")
     hi_s = np.searchsorted(bh_s, common, "right")
-    lefts, rights, sizes = [], [], []
+    cn, cs = hi_n - lo_n, hi_s - lo_s
+    # vectorized fast path: 1x1 buckets (the overwhelmingly common case
+    # — within a bucket each doc appears once, a band row is unique per
+    # (band, doc)); Python touches only multi-member buckets
+    single = (cn == 1) & (cs == 1)
+    lefts = [id_n[lo_n[single]]]
+    rights = [id_s[lo_s[single]]]
+    sizes: list = []
     forgone = 0
-    for j in range(common.shape[0]):
-        a = np.unique(id_n[lo_n[j] : hi_n[j]])
-        b = np.unique(id_s[lo_s[j] : hi_s[j]])
+    for j in np.flatnonzero(~single):
+        a = id_n[lo_n[j] : hi_n[j]]
+        b = id_s[lo_s[j] : hi_s[j]]
         sizes.append(a.shape[0] + b.shape[0])
         if a.shape[0] > cap or b.shape[0] > cap:
             forgone += int(a.shape[0]) * int(b.shape[0]) - min(

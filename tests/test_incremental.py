@@ -240,3 +240,51 @@ def test_seen_index_probe_equals_direct(ray_session, tmp_path):
             cfg=DedupConfig(threshold=0.9),
             seen_index_dir=idx,
         )
+
+
+def test_emit_cross_pairs_fuzz_vs_brute():
+    """Vectorized singles fast path + capped multi-bucket loop == brute
+    force over random tagged buckets (no Ray needed)."""
+    from collections import defaultdict
+
+    from nlshray.stages.incremental import _emit_cross_pairs
+
+    def brute(bh_n, id_n, bh_s, id_s, cap):
+        pairs, forgone = set(), 0
+        dn, ds = defaultdict(list), defaultdict(list)
+        for b, i in zip(bh_n, id_n):
+            dn[b].append(i)
+        for b, i in zip(bh_s, id_s):
+            ds[b].append(i)
+        for b in set(dn) & set(ds):
+            a, c = sorted(set(dn[b])), sorted(set(ds[b]))
+            if len(a) > cap or len(c) > cap:
+                forgone += len(a) * len(c) - min(len(a), cap) * min(
+                    len(c), cap
+                )
+                a, c = a[:cap], c[:cap]
+            pairs.update((x, y) for x in a for y in c)
+        return pairs, forgone
+
+    rng = np.random.default_rng(0)
+    for trial in range(100):
+        nb = rng.integers(1, 12)
+
+        def side(lo):
+            bh = rng.integers(0, nb, size=rng.integers(0, 30)).astype(np.int64)
+            ids = rng.integers(lo, lo + 30, size=bh.shape[0]).astype(np.int64)
+            seen, keep = set(), []
+            for i, (b, d) in enumerate(zip(bh, ids)):
+                if (b, d) not in seen:
+                    seen.add((b, d))
+                    keep.append(i)
+            return bh[keep], ids[keep]
+
+        bh_n, id_n = side(100)
+        bh_s, id_s = side(200)
+        cap = int(rng.integers(1, 6))
+        l, r, _sz, fg = _emit_cross_pairs(bh_n, id_n, bh_s, id_s, cap)
+        got = set(zip(l.tolist(), r.tolist()))
+        want, wfg = brute(bh_n, id_n, bh_s, id_s, cap)
+        assert got == want, trial
+        assert fg == wfg, trial

@@ -500,6 +500,88 @@ def repetition_stats(sf_dir: str):
     return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def pii_redacted(sf_dir: str):
+    """PII scrub demo over deterministically-augmented text (the
+    synthetic corpus carries no PII, so docs get seeded synthetic
+    emails/phones/IPs appended — replicated verbatim in the SQL oracle —
+    and the generic ``pii_stage`` kernels scrub them). Counts are taken
+    sequentially per pattern, exactly as ``stages/clean.py`` defines."""
+    from nlshray.stages.clean import scrub_batch
+
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy()
+        txt = t["text"].to_numpy(zero_copy_only=False).astype(object)
+        ds = d.astype(str).astype(object)
+        pad = np.char.zfill((d % 10000).astype(str), 4).astype(object)
+        sfx1 = np.where(
+            d % 7 == 0,
+            " contact user" + ds + "@example.com or 555-867-" + pad,
+            "",
+        ).astype(object)
+        ip = (
+            " from 10.0."
+            + (d % 256).astype(str).astype(object)
+            + "."
+            + ((d // 256) % 256).astype(str).astype(object)
+        )
+        sfx2 = np.where(d % 11 == 0, ip, "").astype(object)
+        aug = pa.array(list(txt + sfx1 + sfx2), pa.string())
+        clean, counts = scrub_batch(aug)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_email": pa.array(counts["email"]),
+                "n_phone": pa.array(counts["phone"]),
+                "n_ipv4": pa.array(counts["ipv4"]),
+                "clean_text": clean,
+            }
+        )
+
+    return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+DECONTAM_K = 8  # flag any doc sharing an 8-token n-gram with the eval set
+
+
+def decontaminated_docs(sf_dir: str):
+    """Benchmark decontamination: docs with ``doc_id % 50 == 8`` stand in
+    for the held-out eval set; every other doc sharing a DISTINCT
+    8-token n-gram with any eval doc is flagged (``stages/decontam.py``
+    — broadcast eval-gram set, streaming corpus probe)."""
+    from nlshray.stages.decontam import decontam_stage, eval_ngram_set
+
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def eval_only(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy()
+        return t.filter(pa.array(did % 50 == 8))
+
+    eval_ds = docs.map_batches(
+        eval_only, batch_format="pyarrow", zero_copy_batch=True
+    )
+    ev = eval_ngram_set(eval_ds, DECONTAM_K, seed=CFG.seed)
+    return decontam_stage(
+        docs,
+        ev,
+        DECONTAM_K,
+        seed=CFG.seed,
+        is_eval_fn=lambda did: did % 50 == 8,
+    )
+
+
+def packed_sequences(sf_dir: str):
+    """Global sequence packing (``stages/pack.py``): every doc's global
+    token offset and [first_seq, last_seq] window at seq_len=512, docs
+    concatenated in doc_id order. Whitespace-token counts (the
+    ``token_counts`` definition)."""
+    from nlshray.stages.pack import pack_sequences
+
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+    return pack_sequences(docs, seq_len=512, chunk_size=128)
+
+
 def minhash_signatures(sf_dir: str):
     """128-perm MinHash signatures; first 4 slots exposed as int64 columns
     (63-bit-masked), DuckDB-oracled — the signature is a pure function of
@@ -1049,6 +1131,9 @@ QUERIES = {
     "lang_summary": lang_summary,
     "quality_scores": quality_scores,
     "repetition_stats": repetition_stats,
+    "pii_redacted": pii_redacted,
+    "decontaminated_docs": decontaminated_docs,
+    "packed_sequences": packed_sequences,
     "minhash_signatures": minhash_signatures,
     "near_dup_pairs": near_dup_pairs,
     "near_dup_clusters": near_dup_clusters,
@@ -2058,3 +2143,112 @@ ORACLE_SQL["source_summary"] = f"""
     GROUP BY d.source
 """
 
+
+
+def _build_pii_oracle() -> str:
+    """Replays the sequential scrub of ``stages/clean.py`` in DuckDB —
+    both engines run the identical RE2 patterns (Arrow's
+    count/replace_substring_regex vs regexp_extract_all/regexp_replace),
+    each pattern counted on the previous pattern's output."""
+    from nlshray.stages.clean import PII_PATTERNS
+
+    (_, p_email, r_email), (_, p_phone, r_phone), (_, p_ip, r_ip) = PII_PATTERNS
+    return f"""
+        WITH aug AS (
+          SELECT doc_id,
+                 text ||
+                 CASE WHEN doc_id % 7 = 0
+                      THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                           || '@example.com or 555-867-'
+                           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                      ELSE '' END ||
+                 CASE WHEN doc_id % 11 = 0
+                      THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                           || '.' || CAST((doc_id // 256) % 256 AS VARCHAR)
+                      ELSE '' END AS t0
+          FROM documents
+        ),
+        s1 AS (
+          SELECT doc_id,
+                 CAST(LENGTH(regexp_extract_all(t0, '{p_email}')) AS BIGINT)
+                   AS n_email,
+                 regexp_replace(t0, '{p_email}', '{r_email}', 'g') AS t1
+          FROM aug
+        ),
+        s2 AS (
+          SELECT doc_id, n_email,
+                 CAST(LENGTH(regexp_extract_all(t1, '{p_phone}')) AS BIGINT)
+                   AS n_phone,
+                 regexp_replace(t1, '{p_phone}', '{r_phone}', 'g') AS t2
+          FROM s1
+        )
+        SELECT doc_id, n_email, n_phone,
+               CAST(LENGTH(regexp_extract_all(t2, '{p_ip}')) AS BIGINT)
+                 AS n_ipv4,
+               regexp_replace(t2, '{p_ip}', '{r_ip}', 'g') AS clean_text
+        FROM s2
+    """
+
+
+ORACLE_SQL["pii_redacted"] = _build_pii_oracle()
+
+
+# decontamination: the Ray plan probes 64-bit gram hashes against a
+# broadcast eval set; the SQL replays it on the actual 8-token n-gram
+# STRINGS (same tokenizer as repetition_stats) — a hash collision in
+# the engine would fail this oracle.
+ORACLE_SQL["decontaminated_docs"] = """
+    WITH tokarr AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^0-9a-z_]+'),
+                         t -> t <> '') AS toks
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, u.g
+      FROM (
+        SELECT doc_id,
+               list_transform(range(1, len(toks) - 6),
+                              i -> array_to_string(toks[i:i+7], ' ')) AS gs
+        FROM tokarr
+      ), unnest(gs) AS u(g)
+    ),
+    dg AS (SELECT DISTINCT doc_id, g FROM grams),
+    ev AS (SELECT DISTINCT g FROM dg WHERE doc_id % 50 = 8),
+    ov AS (SELECT doc_id, count(*) AS n FROM dg JOIN ev USING (g)
+           GROUP BY doc_id)
+    SELECT d.doc_id,
+           (d.doc_id % 50 = 8) AS is_eval,
+           CAST(coalesce(o.n, 0) AS BIGINT) AS n_overlap,
+           (coalesce(o.n, 0) > 0 AND d.doc_id % 50 <> 8) AS contaminated
+    FROM documents d LEFT JOIN ov o ON d.doc_id = o.doc_id
+"""
+
+
+# packing: one window cumsum in doc_id order replays the distributed
+# chunk-prefix + within-chunk cumsum plan of stages/pack.py.
+ORACLE_SQL["packed_sequences"] = """
+    WITH tc AS (
+      SELECT doc_id,
+             CASE WHEN TRIM(text) = '' THEN 0
+                  ELSE LENGTH(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+'))
+             END AS n_tokens
+      FROM documents
+    ),
+    off AS (
+      SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+             CAST(coalesce(SUM(n_tokens) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS start_tok
+      FROM tc
+    )
+    SELECT doc_id, n_tokens, start_tok,
+           start_tok // 512 AS first_seq,
+           CASE WHEN n_tokens = 0 THEN start_tok // 512
+                ELSE (start_tok + n_tokens - 1) // 512 END AS last_seq,
+           CASE WHEN n_tokens = 0 THEN 0
+                ELSE (start_tok + n_tokens - 1) // 512
+                     - start_tok // 512 + 1 END AS n_seqs
+    FROM off
+"""

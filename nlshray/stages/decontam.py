@@ -1,0 +1,132 @@
+"""Benchmark decontamination: flag training docs that share a k-token
+n-gram with a held-out evaluation set.
+
+The standard pre-training hygiene pass (the "13-gram overlap" rule of
+GPT-3 appendix C / PaLM §6; here parameterized ``k``): any document
+containing a token n-gram that also occurs in an eval benchmark is
+contaminated and must be dropped or flagged. Structurally this is the
+same gather-then-probe shape as the engine's incremental dedup
+(``nlshray/stages/incremental.py``): a SMALL reference side is indexed
+once and broadcast; the BIG side streams through ``map_batches`` and
+probes locally — no shuffle of the corpus, text never leaves its block.
+
+Tokenization and hashing reuse the engine's one token definition
+(``functions/shingles.py:43``) and 64-bit window fold
+(``hashing.shingle_hashes``), so the SQL oracle can replay the whole
+operator on the actual n-gram *strings* — a hash collision would fail
+the oracle.
+
+100-TB posture: the eval side is benchmark-sized (10^5..10^7 n-grams —
+MMLU/GSM8K-scale), so a sorted uint64 array broadcast via ``ray.put``
+(8 B/gram) is exact membership at ~80 MB for 10^7 grams; beyond that
+the Bloom + exact-partition-check plan of ``incremental.py:96`` applies
+unchanged. The corpus side is one streaming pass.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+from nlshray.functions.shingles import batch_token_hashes, segmented_unique
+from nlshray.hashing import _POLY, splitmix64
+
+
+def batch_kgram_hashes(
+    texts, k: int, seed: int = 0
+) -> tuple[np.ndarray, np.ndarray]:
+    """STRICT k-gram hashes per doc: docs with fewer than k tokens get
+    zero grams (unlike ``batch_shingle_hashes``, which falls back to
+    whole-doc shingles for MinHash recall — decontamination wants the
+    literal benchmark-overlap semantics)."""
+    th, counts = batch_token_hashes(texts, seed=seed)
+    n_docs = counts.shape[0]
+    out_lengths = np.maximum(counts - k + 1, 0).astype(np.int64)
+    total = int(out_lengths.sum())
+    if total == 0:
+        return np.empty(0, np.uint64), out_lengths
+    m = th.shape[0]
+    W = m - k + 1
+    acc = np.zeros(W, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for i in range(k):
+            acc = acc * _POLY + th[i : W + i]
+    wh = splitmix64(acc)
+    # keep only windows fully inside one document (delta-mask over the
+    # flat token array — same trick as batch_shingle_hashes' long branch)
+    doc_ends = np.cumsum(counts)
+    doc_starts = doc_ends - counts
+    delta = np.zeros(W + 1, dtype=np.int64)
+    long_mask = counts >= k
+    ls = doc_starts[long_mask]
+    np.add.at(delta, ls, 1)
+    np.add.at(delta, ls + counts[long_mask] - k + 1, -1)
+    valid = np.cumsum(delta[:-1]) > 0
+    return wh[valid], out_lengths
+
+
+def eval_ngram_set(eval_ds: rd.Dataset, k: int, seed: int = 0) -> np.ndarray:
+    """Sorted-unique uint64 n-gram hashes of the (small) eval side.
+
+    Per-block dedup inside ``map_batches``; the driver merges only the
+    already-unique per-block arrays (benchmark-sized by contract — see
+    module docstring for the >10^7-gram plan)."""
+
+    def grams(t: pa.Table) -> pa.Table:
+        flat, _ = batch_kgram_hashes(t["text"], k, seed=seed)
+        return pa.table({"gram": pa.array(np.unique(flat))})
+
+    parts = eval_ds.map_batches(
+        grams, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    if not parts:
+        return np.empty(0, np.uint64)
+    return np.unique(np.array([r["gram"] for r in parts], dtype=np.uint64))
+
+
+def decontam_stage(
+    docs: rd.Dataset,
+    eval_grams: np.ndarray,
+    k: int,
+    seed: int = 0,
+    is_eval_fn=None,
+) -> rd.Dataset:
+    """Probe every doc's distinct k-grams against the broadcast eval set.
+
+    Emits ``doc_id, is_eval, n_overlap, contaminated`` — ``n_overlap``
+    counts DISTINCT overlapping grams (a doc repeating one leaked gram
+    ten times is one overlap). ``is_eval_fn(doc_id_array) -> bool mask``
+    marks the eval members themselves (never "contaminated")."""
+    ev_ref = ray.put(np.ascontiguousarray(eval_grams, dtype=np.uint64))
+
+    def probe(t: pa.Table) -> pa.Table:
+        ev = ray.get(ev_ref)
+        flat, lens = batch_kgram_hashes(t["text"], k, seed=seed)
+        uflat, ulens = segmented_unique(flat, lens)
+        if ev.size and uflat.size:
+            idx = np.searchsorted(ev, uflat)
+            hit = (idx < ev.size) & (ev[np.minimum(idx, ev.size - 1)] == uflat)
+        else:
+            hit = np.zeros(uflat.shape[0], dtype=bool)
+        ends = np.cumsum(ulens)
+        cs = np.concatenate([[0], np.cumsum(hit.astype(np.int64))])
+        n_overlap = cs[ends] - cs[ends - ulens]
+        did = t["doc_id"].to_numpy()
+        is_eval = (
+            is_eval_fn(did)
+            if is_eval_fn is not None
+            else np.zeros(did.shape[0], dtype=bool)
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "is_eval": pa.array(is_eval),
+                "n_overlap": pa.array(n_overlap),
+                "contaminated": pa.array((n_overlap > 0) & ~is_eval),
+            }
+        )
+
+    return docs.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)

@@ -1358,7 +1358,7 @@ def _build_minhash_oracle() -> str:
     """
 
 
-def _near_dup_chain_sql() -> str:
+def _near_dup_chain_sql(source: str = "documents") -> str:
     """Shared CTE chain for the threshold-0.8 near-dup oracles: replays
     the ENTIRE engine pipeline in DuckDB — exact-dup collapse (rep = min
     doc_id per identical text), ASCII tokenization, token poly-fold +
@@ -1403,7 +1403,7 @@ def _near_dup_chain_sql() -> str:
         rep AS (
           SELECT doc_id, text,
                  MIN(doc_id) OVER (PARTITION BY text) AS rep_id
-          FROM documents
+          FROM {source}
         ),
         reps AS (SELECT doc_id, text FROM rep WHERE doc_id = rep_id),
         tokarr AS (
@@ -2252,3 +2252,200 @@ ORACLE_SQL["packed_sequences"] = """
                      - start_tok // 512 + 1 END AS n_seqs
     FROM off
 """
+
+
+def curated_corpus(sf_dir: str):
+    """THE end-to-end curation pipeline a pre-training data user runs:
+    PII scrub -> quality filter (>= 0.5) -> near-dup dedup at 0.8 (keep
+    component reps) -> benchmark decontamination (drop eval members and
+    any doc sharing an 8-gram with the eval slice) -> sequence packing.
+    Every step is the engine's production stage; the DuckDB oracle
+    replays the WHOLE composition (``_build_curated_oracle``).
+
+    Scale notes: scrub+filter fuse into one streaming pass; dedup is the
+    flagship plan; the rep-keep filter broadcasts sorted rep ids (8
+    B/doc at driver-check scale — at 10^12 docs this becomes the
+    persisted-clusters semi-join of ``stages/incremental.py``'s
+    partition-check plan); decontam probes a broadcast benchmark-sized
+    gram set; packing shuffles 16-byte rows only."""
+    from nlshray.functions.textstats import batch_textstats
+    from nlshray.stages.clean import scrub_batch
+    from nlshray.stages.decontam import batch_kgram_hashes, eval_ngram_set
+    from nlshray.stages.pack import pack_sequences
+
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def scrub_and_filter(t: pa.Table) -> pa.Table:
+        clean, _ = scrub_batch(t["text"])
+        t2 = pa.table({"doc_id": t["doc_id"], "text": clean})
+        f = batch_textstats(t2["text"])
+        return t2.filter(pa.array(f["quality"] >= 0.5))
+
+    filt = docs.map_batches(
+        scrub_and_filter, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    res = dedup_docs(filt, CFG, num_partitions=NPARTS)
+    clus = to_arrow(res.clusters)
+    reps = np.sort(
+        clus.filter(pc.equal(clus["doc_id"], clus["cluster_id"]))[
+            "doc_id"
+        ].to_numpy()
+    )
+    reps_ref = ray.put(reps)
+
+    def keep_reps(t: pa.Table) -> pa.Table:
+        rs = ray.get(reps_ref)
+        did = t["doc_id"].to_numpy()
+        if rs.size:
+            idx = np.searchsorted(rs, did)
+            m = (idx < rs.size) & (rs[np.minimum(idx, rs.size - 1)] == did)
+        else:
+            m = np.zeros(did.shape[0], bool)
+        return t.filter(pa.array(m))
+
+    survivors = filt.map_batches(
+        keep_reps, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def eval_slice(t: pa.Table) -> pa.Table:
+        return t.filter(pa.array(t["doc_id"].to_numpy() % 50 == 8))
+
+    ev = eval_ngram_set(
+        docs.map_batches(
+            eval_slice, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        DECONTAM_K,
+        seed=CFG.seed,
+    )
+    ev_ref = ray.put(ev)
+
+    def drop_contaminated(t: pa.Table) -> pa.Table:
+        evs = ray.get(ev_ref)
+        did = t["doc_id"].to_numpy()
+        flat, lens = batch_kgram_hashes(t["text"], DECONTAM_K, seed=CFG.seed)
+        if evs.size and flat.size:
+            idx = np.searchsorted(evs, flat)
+            hit = (idx < evs.size) & (evs[np.minimum(idx, evs.size - 1)] == flat)
+        else:
+            hit = np.zeros(flat.shape[0], bool)
+        ends = np.cumsum(lens)
+        cs = np.concatenate([[0], np.cumsum(hit.astype(np.int64))])
+        nhit = cs[ends] - cs[ends - lens]
+        keep = (nhit == 0) & (did % 50 != 8)
+        return t.filter(pa.array(keep))
+
+    cur = survivors.map_batches(
+        drop_contaminated, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return pack_sequences(cur, seq_len=512, chunk_size=128)
+
+
+QUERIES["curated_corpus"] = curated_corpus
+
+
+def _build_curated_oracle() -> str:
+    """Replays the full curation composition in one DuckDB query:
+    triple RE2 scrub -> quality replay (>= 0.5) -> the flagship
+    kernel-replay near-dup chain over the FILTERED docs + recursive
+    min-label components (keep reps) -> string-level 8-gram overlap
+    vs the full-corpus eval slice -> the packing window cumsum."""
+    from nlshray.stages.clean import PII_PATTERNS
+
+    (_, p_email, r_email), (_, p_phone, r_phone), (_, p_ip, r_ip) = PII_PATTERNS
+    qsql = ORACLE_SQL["quality_scores_sql"]
+    assert qsql.count("FROM documents") == 1
+    q_over_scrub = qsql.replace("FROM documents", "FROM scrub")
+    chain = _near_dup_chain_sql("filt").strip()
+    return f"""
+        WITH RECURSIVE scrub AS (
+          SELECT doc_id,
+                 regexp_replace(regexp_replace(regexp_replace(text,
+                   '{p_email}', '{r_email}', 'g'),
+                   '{p_phone}', '{r_phone}', 'g'),
+                   '{p_ip}', '{r_ip}', 'g') AS text
+          FROM documents
+        ),
+        qual AS ({q_over_scrub}),
+        filt AS (
+          SELECT s.doc_id, s.text FROM scrub s JOIN qual q USING (doc_id)
+          WHERE q.quality >= 0.5
+        ),
+        {chain},
+        alledge AS (
+          SELECT left_id AS u, right_id AS v FROM conf
+          UNION ALL
+          SELECT doc_id AS u, rep_id AS v FROM rep WHERE doc_id <> rep_id
+        ),
+        sym AS MATERIALIZED (
+          SELECT u, v FROM alledge UNION SELECT v AS u, u AS v FROM alledge
+        ),
+        reach(doc_id, r) AS (
+          SELECT doc_id, doc_id FROM filt
+          UNION
+          SELECT s.v, reach.r FROM reach JOIN sym s ON s.u = reach.doc_id
+        ),
+        clus AS (
+          SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id
+        ),
+        surv0 AS (
+          SELECT f.doc_id, f.text FROM filt f JOIN clus c USING (doc_id)
+          WHERE c.doc_id = c.cluster_id
+        ),
+        ev_tokarr AS (
+          SELECT list_filter(regexp_split_to_array(lower(text),
+                   '[^0-9a-z_]+'), t -> t <> '') AS toks
+          FROM documents WHERE doc_id % 50 = 8
+        ),
+        ev AS (
+          SELECT DISTINCT u.g FROM (
+            SELECT list_transform(range(1, len(toks) - 6),
+                     i -> array_to_string(toks[i:i+7], ' ')) AS gs
+            FROM ev_tokarr
+          ), unnest(gs) AS u(g)
+        ),
+        s_grams AS (
+          SELECT doc_id, u.g FROM (
+            SELECT doc_id,
+                   list_transform(range(1, len(
+                     list_filter(regexp_split_to_array(lower(text),
+                       '[^0-9a-z_]+'), t -> t <> '')) - 6),
+                     i -> array_to_string(
+                       list_filter(regexp_split_to_array(lower(text),
+                         '[^0-9a-z_]+'), t -> t <> '')[i:i+7], ' ')) AS gs
+            FROM surv0
+          ), unnest(gs) AS u(g)
+        ),
+        bad AS (SELECT DISTINCT doc_id FROM s_grams JOIN ev USING (g)),
+        cur AS (
+          SELECT doc_id, text FROM surv0
+          WHERE doc_id % 50 <> 8
+            AND doc_id NOT IN (SELECT doc_id FROM bad)
+        ),
+        tc AS (
+          SELECT doc_id,
+                 CASE WHEN TRIM(text) = '' THEN 0
+                      ELSE LENGTH(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+'))
+                 END AS n_tokens
+          FROM cur
+        ),
+        off AS (
+          SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                 CAST(coalesce(SUM(n_tokens) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS start_tok
+          FROM tc
+        )
+        SELECT doc_id, n_tokens, start_tok,
+               start_tok // 512 AS first_seq,
+               CASE WHEN n_tokens = 0 THEN start_tok // 512
+                    ELSE (start_tok + n_tokens - 1) // 512 END AS last_seq,
+               CASE WHEN n_tokens = 0 THEN 0
+                    ELSE (start_tok + n_tokens - 1) // 512
+                         - start_tok // 512 + 1 END AS n_seqs
+        FROM off
+    """
+
+
+ORACLE_SQL["curated_corpus"] = _build_curated_oracle()

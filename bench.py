@@ -389,6 +389,7 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
         "near_dup_clusters",
         "knn_cosine",
         "embedding_dup_pairs",
+        "curated_corpus",
     ]
 
     # interleaved best-of-N: a degraded-host window inflates every entry

@@ -2449,3 +2449,58 @@ def _build_curated_oracle() -> str:
 
 
 ORACLE_SQL["curated_corpus"] = _build_curated_oracle()
+
+
+def vocab_top_tokens(sf_dir: str, k: int = 100):
+    """Corpus-wide token vocabulary: top-k tokens by total count
+    (deterministic tiebreak: count DESC, token ASC) — the tokenizer-
+    training prep op. Combiner-style: each block pre-counts its tokens
+    in Arrow's C++ ``value_counts`` kernel, so the groupby shuffles at
+    most (blocks x block-vocab) rows, never one row per token
+    occurrence; the final sort runs on the aggregated vocab only. At
+    100 TB the distinct-token set is the shuffle bound — prune rare
+    partials with a min-count threshold before the groupby if vocab
+    explodes (not needed at driver-check scale)."""
+    from nlshray.functions.shingles import _SPLIT_PATTERN
+
+    docs = _pq(sf_dir, "documents", columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        arr = t["text"]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        toks = pc.split_pattern_regex(pc.utf8_lower(arr), _SPLIT_PATTERN)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        flat = flat.filter(pc.greater(pc.utf8_length(flat), 0))
+        vc = pc.value_counts(flat)
+        return pa.table(
+            {
+                "tok": vc.field("values"),
+                "n": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    parts = docs.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    agg = parts.groupby("tok", num_partitions=NPARTS).aggregate(
+        Sum("n", alias_name="n")
+    )
+    return agg.sort(["n", "tok"], descending=[True, False]).limit(k)
+
+
+QUERIES["vocab_top_tokens"] = vocab_top_tokens
+
+ORACLE_SQL["vocab_top_tokens"] = """
+    WITH tok AS (
+      SELECT u.tok FROM (
+        SELECT list_filter(regexp_split_to_array(lower(text),
+                 '[^0-9a-z_]+'), t -> t <> '') AS toks
+        FROM documents
+      ), unnest(toks) AS u(tok)
+    ),
+    cnt AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY tok)
+    SELECT tok, n FROM cnt ORDER BY n DESC, tok LIMIT 100
+"""

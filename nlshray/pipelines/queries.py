@@ -2504,3 +2504,36 @@ ORACLE_SQL["vocab_top_tokens"] = """
     cnt AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY tok)
     SELECT tok, n FROM cnt ORDER BY n DESC, tok LIMIT 100
 """
+
+
+def capped_docs_per_source(sf_dir: str, cap: int = 15):
+    """Per-provenance quota sampling (``stages/topk.capped_sample``): at
+    most ``cap`` docs per source, chosen by splitmix64(doc_id ^ seed)
+    rank — deterministic, one-pass, parallelism-independent."""
+    from nlshray.stages.topk import capped_sample
+
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+    return capped_sample(docs, "source", cap, seed=CFG.seed)
+
+
+QUERIES["capped_docs_per_source"] = capped_docs_per_source
+
+
+def _build_capped_oracle(cap: int = 15) -> str:
+    from nlshray.hashing import _seed_mix
+
+    mix = int(_seed_mix(CFG.seed))
+    return f"""
+        WITH seeded AS (
+          SELECT doc_id, source, n_chars,
+                 xor(CAST(doc_id AS UBIGINT), {mix}::UBIGINT) AS x
+          FROM documents
+        ),
+        {_sql_splitmix('s', 'seeded', 'x', 'source, n_chars').strip()}
+        SELECT doc_id, source, n_chars FROM s6
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY source ORDER BY z, doc_id)
+                <= {cap}
+    """
+
+
+ORACLE_SQL["capped_docs_per_source"] = _build_capped_oracle()

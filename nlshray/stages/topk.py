@@ -163,3 +163,31 @@ def stratified_sample(
     return partial.repartition(1).map_batches(
         sample_kernel, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def capped_sample(
+    ds: ray.data.Dataset,
+    group_col: str,
+    cap: int,
+    *,
+    seed: int = 42,
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """At most ``cap`` rows per group — the ones with the smallest
+    ``splitmix64(id ^ seed)`` (ties on id). The per-domain quota op of a
+    web-corpus mixer ("no more than N pages from any one host").
+
+    Unlike ``stratified_sample`` this needs NO counting pre-pass: the
+    quota is a constant, so it is one grouped-top-k — per-block partials
+    then a single combine, parallelism-independent and SQL-replayable."""
+
+    def add_key(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_hkey", pa.array(_hash_order(t[id_col].to_numpy(), seed))
+        )
+
+    keyed = ds.map_batches(add_key, batch_format="pyarrow", zero_copy_batch=True)
+    out = grouped_topk(
+        keyed, group_col, "_hkey", cap, ascending=True, tie_col=id_col
+    )
+    return out.drop_columns(["_hkey"])

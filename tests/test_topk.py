@@ -141,3 +141,35 @@ def test_grouped_quantiles_float_parallelism_independent(ray_session):
         rd.from_arrow(t).repartition(11), "lang", "score", [0.5, 0.9]
     )
     assert a.equals(b)
+
+
+def test_capped_sample_parallelism_independent(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from nlshray.stages.topk import capped_sample
+
+    rng = np.random.default_rng(3)
+    n = 300
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(rng.permutation(n)),
+            "source": pa.array([f"s{i % 4}" for i in range(n)]),
+        }
+    )
+    outs = []
+    for parts in (2, 9):
+        ds = rd.from_arrow(tbl).repartition(parts)
+        df = (
+            capped_sample(ds, "source", 20, seed=7)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        outs.append(df)
+    assert outs[0].equals(outs[1])
+    assert (outs[0].groupby("source").size() == 20).all()
+    # quota larger than any group -> identity
+    full = capped_sample(rd.from_arrow(tbl).repartition(3), "source", 999, seed=7)
+    assert full.count() == n

@@ -2537,3 +2537,24 @@ def _build_capped_oracle(cap: int = 15) -> str:
 
 
 ORACLE_SQL["capped_docs_per_source"] = _build_capped_oracle()
+
+
+def events_props_typed(sf_dir: str):
+    """Semi-structured extraction: pull the typed scalar ``k`` out of
+    the JSON ``events.props`` column (``stages/jsoncol.py`` — one
+    vectorized RE2 pass per field, json.loads only on rows with
+    escapes/nesting). Full-column output so the oracle checks every
+    extracted value, not an aggregate of them."""
+    from nlshray.stages.jsoncol import json_fields_stage
+
+    ev = _pq(sf_dir, "events", columns=["event_id", "event_type", "props"])
+    return json_fields_stage(ev, "props", {"k": "int64"})
+
+
+QUERIES["events_props_typed"] = events_props_typed
+
+ORACLE_SQL["events_props_typed"] = """
+    SELECT event_id, event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+"""

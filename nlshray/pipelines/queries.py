@@ -2558,3 +2558,39 @@ ORACLE_SQL["events_props_typed"] = """
            CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
     FROM events
 """
+
+
+def lineitem_correlations(sf_dir: str):
+    """Pairwise covariance/correlation of the lineitem value columns per
+    return flag (``stages/stats.grouped_covariance``): one vectorized
+    raw-moment partial pass per block, one tiny driver combine, zero
+    shuffles — the corpus-statistics member of the A3/A4 family."""
+    from nlshray.stages.stats import grouped_covariance
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    ds = _pq(sf_dir, "lineitem", columns=["l_returnflag"] + cols)
+    out = grouped_covariance(ds, by="l_returnflag", cols=cols)
+    return _round(out, {"cov_pop": 4, "corr": 6})
+
+
+QUERIES["lineitem_correlations"] = lineitem_correlations
+
+
+def _build_corr_oracle() -> str:
+    from itertools import combinations
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    parts = [
+        f"""
+        SELECT l_returnflag, '{a}' AS var_x, '{b}' AS var_y,
+               COUNT(*) AS n,
+               ROUND(COVAR_POP({a}, {b}), 4) AS cov_pop,
+               ROUND(CORR({a}, {b}), 6) AS corr
+        FROM lineitem GROUP BY l_returnflag
+        """
+        for a, b in combinations(cols, 2)
+    ]
+    return " UNION ALL ".join(parts)
+
+
+ORACLE_SQL["lineitem_correlations"] = _build_corr_oracle()

@@ -1,0 +1,66 @@
+"""grouped_covariance: partial-merge result == direct numpy, any split."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+from nlshray.stages.stats import grouped_covariance
+
+
+def _tbl(n=3000, seed=11):
+    rng = np.random.default_rng(seed)
+    flag = np.array(["A", "B", "C"])[rng.integers(0, 3, n)]
+    a = rng.normal(50, 10, n)
+    b = 3.0 * a + rng.normal(0, 5, n)  # strongly correlated with a
+    c = rng.normal(0, 1, n)
+    return pa.table(
+        {"flag": pa.array(flag), "a": pa.array(a), "b": pa.array(b),
+         "c": pa.array(c)}
+    )
+
+
+def _direct(t, by, cols):
+    df = t.to_pandas()
+    out = {}
+    for key, g in df.groupby(by, sort=True):
+        for i in range(len(cols)):
+            for j in range(i + 1, len(cols)):
+                x, y = g[cols[i]].values, g[cols[j]].values
+                cov = np.mean(x * y) - x.mean() * y.mean()
+                corr = cov / np.sqrt(
+                    (np.mean(x * x) - x.mean() ** 2)
+                    * (np.mean(y * y) - y.mean() ** 2)
+                )
+                out[(key, cols[i], cols[j])] = (len(g), cov, corr)
+    return out
+
+
+def test_grouped_covariance_matches_direct(ray_session):
+    t = _tbl()
+    got = grouped_covariance(
+        rd.from_arrow(t).repartition(7), "flag", ["a", "b", "c"]
+    )
+    want = _direct(t, "flag", ["a", "b", "c"])
+    assert got.num_rows == len(want)  # every (group, pair) present
+    for row in got.to_pylist():
+        n, cov, corr = want[(row["flag"], row["var_x"], row["var_y"])]
+        assert row["n"] == n
+        np.testing.assert_allclose(row["cov_pop"], cov, rtol=1e-9)
+        np.testing.assert_allclose(row["corr"], corr, rtol=1e-9)
+
+
+def test_grouped_covariance_parallelism_independent(ray_session):
+    t = _tbl(1200, seed=4)
+    r1 = grouped_covariance(rd.from_arrow(t).repartition(2), "flag", ["a", "b"])
+    r2 = grouped_covariance(rd.from_arrow(t).repartition(9), "flag", ["a", "b"])
+    # identical partial-merge sums up to float addition order; exact n
+    assert r1["n"].to_pylist() == r2["n"].to_pylist()
+    np.testing.assert_allclose(
+        r1["cov_pop"].to_numpy(), r2["cov_pop"].to_numpy(), rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        r1["corr"].to_numpy(), r2["corr"].to_numpy(), rtol=1e-12
+    )

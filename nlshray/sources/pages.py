@@ -68,11 +68,22 @@ def read_docs(paths, *, columns: list[str] | None = None) -> rd.Dataset:
 
 
 def write_partitioned(
-    ds: rd.Dataset, out_dir: str, *, min_rows_per_file: int = 500_000
+    ds: rd.Dataset,
+    out_dir: str,
+    *,
+    partition_by: list[str] | None = None,
+    min_rows_per_file: int = 500_000,
 ) -> None:
     """Directory-of-parts sink: never one giant file, so a rerun can
-    skip finished partitions (ray_guide 'Sources & sinks')."""
-    ds.write_parquet(out_dir, min_rows_per_file=min_rows_per_file)
+    skip finished partitions (ray_guide 'Sources & sinks'). With
+    ``partition_by``, writes hive-layout key directories
+    (``lang=en/...``) so downstream reads of one key prune at the
+    directory level."""
+    ds.write_parquet(
+        out_dir,
+        partition_cols=partition_by,
+        min_rows_per_file=min_rows_per_file,
+    )
 
 
 # ---------------------------------------------------------------------

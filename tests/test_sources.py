@@ -117,3 +117,31 @@ def test_pages_jsonl_extracts(ray_session, tmp_path):
     got = pa.concat_tables(ray.get(docs.to_arrow_refs()))
     assert got.num_rows == 60
     assert "text" in got.column_names
+
+
+def test_write_partitioned_hive_layout(ray_session, tmp_path):
+    from nlshray.sources.pages import write_partitioned
+
+    t = _docs_table(30)
+    langs = ["en", "de", "fr"] * 10
+    t = t.append_column("lang", pa.array(langs, pa.string()))
+    out = str(tmp_path / "part")
+    write_partitioned(
+        rd.from_arrow(t), out, partition_by=["lang"], min_rows_per_file=5
+    )
+    # hive key directories exist
+    assert sorted(
+        d for d in os.listdir(out) if d.startswith("lang=")
+    ) == ["lang=de", "lang=en", "lang=fr"]
+    # a single-key read prunes at the directory level and returns
+    # exactly that partition's rows
+    one = pa.concat_tables(
+        ray.get(rd.read_parquet(f"{out}/lang=en").to_arrow_refs())
+    )
+    assert sorted(one["doc_id"].to_pylist()) == list(range(0, 30, 3))
+    # full roundtrip preserves every row
+    back = _sorted_rows(
+        rd.read_parquet(out), ["doc_id", "text", "n_chars"]
+    )
+    want = _sorted_rows(rd.from_arrow(t), ["doc_id", "text", "n_chars"])
+    assert back == want

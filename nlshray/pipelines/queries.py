@@ -2594,3 +2594,85 @@ def _build_corr_oracle() -> str:
 
 
 ORACLE_SQL["lineitem_correlations"] = _build_corr_oracle()
+
+
+def distinct_tokens_hll(sf_dir: str):
+    """HyperLogLog sketch of the corpus's distinct-token set
+    (``stages/stats.hll_distinct`` over the same tokenize+hash chain
+    the signer uses). Output is the SKETCH itself — every nonzero
+    (register, rho) pair — so the oracle bit-exactly checks the whole
+    tokenize -> hash -> route -> rank -> max pipeline, not a float
+    estimate."""
+    from nlshray.functions.shingles import _SPLIT_PATTERN
+    from nlshray.hashing import hash_utf8_array
+    from nlshray.stages.stats import hll_distinct
+
+    docs = _pq(sf_dir, "documents", columns=["text"])
+
+    def hashes(t: pa.Table) -> np.ndarray:
+        arr = t["text"]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        toks = pc.split_pattern_regex(pc.utf8_lower(arr), _SPLIT_PATTERN)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        flat = flat.filter(pc.greater(pc.utf8_length(flat), 0))
+        return hash_utf8_array(flat, seed=0)
+
+    regs = hll_distinct(docs, hashes)
+    nz = np.flatnonzero(regs)
+    return pa.table(
+        {
+            "register": pa.array(nz.astype(np.int64)),
+            "rho": pa.array(regs[nz].astype(np.int64)),
+        }
+    )
+
+
+QUERIES["distinct_tokens_hll"] = distinct_tokens_hll
+
+
+def _build_hll_oracle() -> str:
+    """Replays tokenization, the token hash (same chain as the minhash
+    oracle) and the HLL register routing/rank in SQL: register = top 14
+    hash bits, rho = leading-zero run of the remaining 50 bits + 1
+    (bit length via length(bin(x)) — DuckDB bin() has no leading
+    zeros), registers take the max rho."""
+    from nlshray.hashing import _seed_mix
+
+    seedmix = int(_seed_mix(0))
+    low50 = (1 << 50) - 1
+    fold_step = f"(({_sql_mulmod('acc', _SQL_POLY)}) + CAST(x AS HUGEINT)) % {_M64}"
+    return f"""
+        WITH tokarr AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '[^0-9a-z_]+'),
+                             t -> t <> '') AS toks
+          FROM documents
+        ),
+        tok AS (SELECT doc_id, u.tok FROM tokarr, unnest(toks) AS u(tok)),
+        folded AS (
+          SELECT doc_id,
+            list_reduce(
+              list_prepend(0::HUGEINT,
+                list_transform(regexp_split_to_array(tok, ''),
+                               c -> unicode(c)::HUGEINT)),
+              (acc, x) -> {fold_step}
+            ) AS raw
+          FROM tok
+        ),
+        seeded AS (SELECT doc_id, xor(CAST(raw AS UBIGINT), {seedmix}::UBIGINT) AS x FROM folded),
+        {_sql_splitmix('t', 'seeded', 'x', '').strip()},
+        hl AS (
+          SELECT CAST(z >> 50 AS BIGINT) AS register,
+                 CAST(CASE WHEN (z & {low50}::UBIGINT) = 0::UBIGINT THEN 51
+                      ELSE 50 - length(bin(z & {low50}::UBIGINT)) + 1
+                      END AS BIGINT) AS rho
+          FROM t6
+        )
+        SELECT register, MAX(rho) AS rho FROM hl GROUP BY register
+    """
+
+
+ORACLE_SQL["distinct_tokens_hll"] = _build_hll_oracle()

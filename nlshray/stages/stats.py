@@ -100,3 +100,25 @@ def grouped_covariance(
             "corr": pa.array(rows["corr"], pa.float64()),
         }
     )
+
+
+def hll_distinct(ds: rd.Dataset, hash_batch) -> np.ndarray:
+    """Distributed HyperLogLog: ``hash_batch(table) -> uint64 hashes``
+    per block, one 16 KiB register partial per block, driver max-merge
+    (O(blocks) tiny arrays — the data itself never leaves the map
+    pass). Returns the merged register array; estimate with
+    ``functions.hll.hll_estimate``. Exactly deterministic at any
+    parallelism: register max is order-independent."""
+    from nlshray.functions.hll import M, hll_merge, hll_partial
+
+    def partial(t: pa.Table) -> pa.Table:
+        regs = hll_partial(np.ascontiguousarray(hash_batch(t), np.uint64))
+        return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
+
+    merged = np.zeros(M, np.uint8)
+    for b in ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_format="pyarrow"):
+        for raw in b["regs"].to_pylist():
+            merged = hll_merge(merged, np.frombuffer(raw, np.uint8))
+    return merged

@@ -64,3 +64,51 @@ def test_grouped_covariance_parallelism_independent(ray_session):
     np.testing.assert_allclose(
         r1["corr"].to_numpy(), r2["corr"].to_numpy(), rtol=1e-12
     )
+
+
+def test_hll_estimate_accuracy():
+    from nlshray.functions.hll import hll_estimate, hll_partial
+    from nlshray.hashing import splitmix64
+
+    # 200k distinct values: estimate within ~3 standard errors (0.81%/P14)
+    h = splitmix64(np.arange(200_000, dtype=np.uint64))
+    est = hll_estimate(hll_partial(h))
+    assert abs(est - 200_000) / 200_000 < 0.03
+    # duplicates never change the sketch
+    regs1 = hll_partial(h)
+    regs2 = hll_partial(np.concatenate([h, h[:50_000]]))
+    assert np.array_equal(regs1, regs2)
+
+
+def test_hll_small_range_linear_counting():
+    from nlshray.functions.hll import hll_estimate, hll_partial
+    from nlshray.hashing import splitmix64
+
+    h = splitmix64(np.arange(100, dtype=np.uint64) + np.uint64(7))
+    est = hll_estimate(hll_partial(h))
+    assert abs(est - 100) < 3  # linear counting is near-exact here
+
+
+def test_hll_merge_is_union():
+    from nlshray.functions.hll import hll_estimate, hll_merge, hll_partial
+    from nlshray.hashing import splitmix64
+
+    a = splitmix64(np.arange(0, 50_000, dtype=np.uint64))
+    b = splitmix64(np.arange(25_000, 80_000, dtype=np.uint64))
+    merged = hll_merge(hll_partial(a), hll_partial(b))
+    assert np.array_equal(merged, hll_partial(np.concatenate([a, b])))
+    est = hll_estimate(merged)
+    assert abs(est - 80_000) / 80_000 < 0.03
+
+
+def test_hll_distinct_parallelism_independent(ray_session):
+    from nlshray.stages.stats import hll_distinct
+    from nlshray.hashing import hash_utf8_array
+
+    t = pa.table(
+        {"w": pa.array([f"tok{i % 700}" for i in range(5000)], pa.string())}
+    )
+    fn = lambda b: hash_utf8_array(b["w"], seed=0)
+    r1 = hll_distinct(rd.from_arrow(t).repartition(3), fn)
+    r2 = hll_distinct(rd.from_arrow(t).repartition(11), fn)
+    assert np.array_equal(r1, r2)

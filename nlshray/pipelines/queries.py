@@ -2676,3 +2676,41 @@ def _build_hll_oracle() -> str:
 
 
 ORACLE_SQL["distinct_tokens_hll"] = _build_hll_oracle()
+
+
+def doc_keywords_tfidf(sf_dir: str, k: int = 3):
+    """Top-k keywords per doc by smoothed tf-idf
+    (``stages/tfidf.py``): df pass = per-block distinct-doc combiner
+    partials + one vocab-sized groupby; scoring pass = broadcast df
+    lookup, per-doc top-k under (rounded score DESC, token ASC)."""
+    from nlshray.stages.tfidf import tfidf_topk
+
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+    return tfidf_topk(docs, k=k, num_partitions=NPARTS)
+
+
+QUERIES["doc_keywords_tfidf"] = doc_keywords_tfidf
+
+ORACLE_SQL["doc_keywords_tfidf"] = """
+    WITH tokarr AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^0-9a-z_]+'),
+                         t -> t <> '') AS toks
+      FROM documents
+    ),
+    tok AS (SELECT doc_id, u.tok FROM tokarr, unnest(toks) AS u(tok)),
+    tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM tok GROUP BY doc_id, tok),
+    df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY tok),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.tok, tf.tf,
+             ROUND(tf.tf * (ln((CAST(n.n AS DOUBLE) + 1)
+                               / (CAST(df.df AS DOUBLE) + 1)) + 1), 6)
+               AS score
+      FROM tf JOIN df USING (tok), n
+    )
+    SELECT doc_id, tok, tf, score FROM scored
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, tok) <= 3
+"""

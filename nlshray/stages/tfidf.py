@@ -1,0 +1,132 @@
+"""TF-IDF keyword extraction — the two-pass broadcast-small-side shape.
+
+Pass 1 (corpus statistics): document frequencies via per-block
+combiner partials — each block emits (token, #distinct docs in block)
+from one ``value_counts`` over its per-doc-distinct token set, so the
+groupby shuffles at most (blocks x block-vocab) rows. N = total doc
+count. The df table is vocabulary-sized; it is collected once,
+``ray.put``, and looked up inside pass 2 by sorted-hash searchsorted —
+no join shuffle. At 100 TB the vocabulary is the broadcast bound:
+prune with ``min_df`` (rare tokens can't be top keywords of more than
+a handful of docs each — but they CAN be the top of their own doc, so
+pruning changes semantics; it is an explicit, disclosed knob, default
+off).
+
+Pass 2 (per-doc, embarrassingly parallel): tokenize, per-(doc, token)
+counts, score tf * (ln((N+1)/(df+1)) + 1) (the smoothed idf), keep the
+top-k per doc under (rounded score DESC, token ASC). Rounding is part
+of the ORDER KEY, not just the output, so the cross-engine float
+boundary sits in the same place for the SQL oracle's ranking.
+
+Reference parity: none — the reference has no text surface at all;
+this is the keyword/feature-extraction member of the webtext
+extension set.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+
+from nlshray.functions.nputil import segment_ids
+from nlshray.hashing import hash_utf8_array
+
+
+def _doc_tokens(t: pa.Table) -> tuple[pa.Array, np.ndarray]:
+    """(flat token array, segment id per token) for a text column."""
+    from nlshray.functions.shingles import _SPLIT_PATTERN
+
+    arr = t["text"]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    toks = pc.split_pattern_regex(pc.utf8_lower(arr), _SPLIT_PATTERN)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    lens = np.asarray(
+        pc.list_value_length(toks).cast(pa.int64()).fill_null(0)
+    )
+    flat = toks.flatten()
+    seg = segment_ids(lens)
+    keep = np.asarray(pc.greater(pc.utf8_length(flat), 0))
+    return flat.filter(pa.array(keep)), seg[keep]
+
+
+def doc_frequencies(docs: rd.Dataset, *, num_partitions: int = 8) -> pa.Table:
+    """(tok, df) over the corpus: per-block distinct-doc partials, one
+    small groupby over block vocabularies."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat, seg = _doc_tokens(t)
+        enc = flat.dictionary_encode()
+        codes = np.asarray(enc.indices, np.int64)
+        # distinct (doc, token) pairs in this block
+        pair = seg * max(len(enc.dictionary), 1) + codes
+        uniq = np.unique(pair)
+        vc = np.bincount(
+            (uniq % max(len(enc.dictionary), 1)).astype(np.int64),
+            minlength=len(enc.dictionary),
+        )
+        return pa.table(
+            {"tok": enc.dictionary, "df": pa.array(vc.astype(np.int64))}
+        )
+
+    parts = docs.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    agg = parts.groupby("tok", num_partitions=num_partitions).aggregate(
+        Sum("df", alias_name="df")
+    )
+    return pa.concat_tables(ray.get(agg.to_arrow_refs()))
+
+
+def tfidf_topk(
+    docs: rd.Dataset, *, k: int = 3, round_nd: int = 6,
+    num_partitions: int = 8,
+) -> rd.Dataset:
+    """Top-k keywords per doc by smoothed tf-idf. ``docs`` needs
+    (doc_id, text); returns (doc_id, tok, tf, score)."""
+    n_docs = docs.count()
+    df_tbl = doc_frequencies(docs, num_partitions=num_partitions)
+    h = hash_utf8_array(df_tbl["tok"])
+    order = np.argsort(h)
+    df_ref = ray.put(
+        (h[order], df_tbl["df"].to_numpy()[order].astype(np.float64))
+    )
+    p = 10.0 ** round_nd
+
+    def score(t: pa.Table) -> pa.Table:
+        from nlshray.stages.topk import _rank_in_group
+
+        sorted_h, sorted_df = ray.get(df_ref)
+        flat, seg = _doc_tokens(t)
+        enc = flat.dictionary_encode()
+        codes = np.asarray(enc.indices, np.int64)
+        v = max(len(enc.dictionary), 1)
+        pair = seg * v + codes
+        uniq, tf = np.unique(pair, return_counts=True)
+        useg, ucode = uniq // v, uniq % v
+        dict_h = hash_utf8_array(enc.dictionary)
+        pos = np.searchsorted(sorted_h, dict_h)
+        pos = np.clip(pos, 0, max(len(sorted_h) - 1, 0))
+        df = sorted_df[pos] if len(sorted_h) else np.ones(v)
+        idf = np.log((np.float64(n_docs) + 1.0) / (df + 1.0)) + 1.0
+        sc = np.round(tf * idf[ucode] * p) / p
+        toks = np.asarray(enc.dictionary.to_numpy(zero_copy_only=False))
+        order, rank = _rank_in_group(useg, -sc, toks[ucode])
+        keep = order[rank < k]
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[useg[keep]], pa.int64()),
+                "tok": pa.array(toks[ucode[keep]], pa.string()),
+                "tf": pa.array(tf[keep].astype(np.int64)),
+                "score": pa.array(sc[keep], pa.float64()),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)

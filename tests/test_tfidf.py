@@ -1,0 +1,87 @@
+"""tf-idf keywords: direct-pandas equality + parallelism independence."""
+
+from __future__ import annotations
+
+import math
+import re
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+from nlshray.stages.tfidf import doc_frequencies, tfidf_topk
+
+
+def _docs(n=60, seed=9):
+    rng = np.random.default_rng(seed)
+    vocab = [f"w{i}" for i in range(25)]
+    texts = [
+        " ".join(rng.choice(vocab, rng.integers(5, 40))) for _ in range(n)
+    ]
+    texts[3] = ""  # empty doc: contributes to N, gets no keywords
+    return pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+
+
+def _direct_topk(t: pa.Table, k=3):
+    rows = []
+    docs = list(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    n = len(docs)
+    df: dict[str, int] = {}
+    toks_by_doc = {}
+    for did, text in docs:
+        toks = [w for w in re.split(r"[^0-9a-z_]+", text.lower()) if w]
+        toks_by_doc[did] = toks
+        for w in set(toks):
+            df[w] = df.get(w, 0) + 1
+    for did, toks in toks_by_doc.items():
+        tf: dict[str, int] = {}
+        for w in toks:
+            tf[w] = tf.get(w, 0) + 1
+        scored = [
+            (w, c, round(c * (math.log((n + 1) / (df[w] + 1)) + 1), 6))
+            for w, c in tf.items()
+        ]
+        scored.sort(key=lambda x: (-x[2], x[0]))
+        rows.extend((did, w, c, s) for w, c, s in scored[:k])
+    return sorted(rows)
+
+
+def _collect(ds):
+    t = pa.concat_tables(ds.iter_batches(batch_format="pyarrow"))
+    return sorted(
+        zip(
+            t["doc_id"].to_pylist(),
+            t["tok"].to_pylist(),
+            t["tf"].to_pylist(),
+            t["score"].to_pylist(),
+        )
+    )
+
+
+def test_tfidf_matches_direct(ray_session):
+    t = _docs()
+    got = _collect(tfidf_topk(rd.from_arrow(t).repartition(5), k=3))
+    assert got == _direct_topk(t, 3)
+
+
+def test_tfidf_parallelism_independent(ray_session):
+    t = _docs(40, seed=2)
+    r1 = _collect(tfidf_topk(rd.from_arrow(t).repartition(2), k=2))
+    r2 = _collect(tfidf_topk(rd.from_arrow(t).repartition(7), k=2))
+    assert r1 == r2
+
+
+def test_doc_frequencies(ray_session):
+    t = _docs(30, seed=4)
+    got = doc_frequencies(rd.from_arrow(t).repartition(4))
+    want: dict[str, int] = {}
+    for text in t["text"].to_pylist():
+        for w in set(x for x in re.split(r"[^0-9a-z_]+", text.lower()) if x):
+            want[w] = want.get(w, 0) + 1
+    assert dict(zip(got["tok"].to_pylist(), got["df"].to_pylist())) == want

@@ -2714,3 +2714,41 @@ ORACLE_SQL["doc_keywords_tfidf"] = """
     QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
                                ORDER BY score DESC, tok) <= 3
 """
+
+
+def epoch_shuffled_order(sf_dir: str, seed: int | None = None):
+    """Seeded epoch shuffle (T3 at corpus scale,
+    ``stages/shuffle.py``): the corpus's deterministic global training
+    order for one epoch — rank attached by driver-stitched block
+    offsets over the hash-sorted Dataset."""
+    from nlshray.stages.shuffle import epoch_shuffle_rank
+
+    docs = _pq(sf_dir, "documents", columns=["doc_id"])
+    return epoch_shuffle_rank(
+        docs, id_col="doc_id", seed=CFG.seed if seed is None else seed
+    )
+
+
+QUERIES["epoch_shuffled_order"] = epoch_shuffled_order
+
+
+def _build_epoch_shuffle_oracle() -> str:
+    from nlshray.hashing import _seed_mix
+
+    mix = int(_seed_mix(CFG.seed))
+    mask63 = (1 << 63) - 1
+    return f"""
+        WITH seeded AS (
+          SELECT doc_id, xor(CAST(doc_id AS UBIGINT), {mix}::UBIGINT) AS x
+          FROM documents
+        ),
+        {_sql_splitmix('s', 'seeded', 'x', '').strip()}
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (
+                 ORDER BY z & {mask63}::UBIGINT, doc_id) - 1 AS BIGINT)
+                 AS epoch_rank
+        FROM s6
+    """
+
+
+ORACLE_SQL["epoch_shuffled_order"] = _build_epoch_shuffle_oracle()

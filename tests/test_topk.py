@@ -173,3 +173,33 @@ def test_capped_sample_parallelism_independent(ray_session):
     # quota larger than any group -> identity
     full = capped_sample(rd.from_arrow(tbl).repartition(3), "source", 999, seed=7)
     assert full.count() == n
+
+
+def test_epoch_shuffle_rank(ray_session):
+    """Global order == direct argsort of the hash keys; ranks are a
+    permutation; seeds decorrelate; any partitioning, same order."""
+    from nlshray.hashing import _seed_mix, splitmix64
+    from nlshray.stages.shuffle import epoch_shuffle_rank
+
+    ids = np.arange(500, dtype=np.int64)
+    t = pa.table({"doc_id": pa.array(ids)})
+
+    def collect(nparts, seed):
+        ds = epoch_shuffle_rank(
+            rd.from_arrow(t).repartition(nparts), seed=seed
+        )
+        tbl = pa.concat_tables(ds.iter_batches(batch_format="pyarrow"))
+        return dict(
+            zip(tbl["doc_id"].to_pylist(), tbl["epoch_rank"].to_pylist())
+        )
+
+    got = collect(4, seed=7)
+    z = (splitmix64(ids.astype(np.uint64) ^ _seed_mix(7))
+         & np.uint64((1 << 63) - 1)).astype(np.int64)
+    want_order = np.lexsort((ids, z))
+    want = {int(ids[d]): int(r) for r, d in enumerate(want_order)}
+    assert got == want
+    assert sorted(got.values()) == list(range(500))
+    assert collect(9, seed=7) == got           # parallelism-independent
+    other = collect(4, seed=8)
+    assert other != got                        # a new epoch reorders

@@ -2752,3 +2752,43 @@ def _build_epoch_shuffle_oracle() -> str:
 
 
 ORACLE_SQL["epoch_shuffled_order"] = _build_epoch_shuffle_oracle()
+
+
+def embedding_covariance(sf_dir: str):
+    """Pairwise population covariance of the embedding dimensions
+    (``stages/stats.embedding_moments``: per-block (n, Σx, XᵀX)
+    partials, one driver merge — the PCA input, SQL-checked as the
+    full upper-triangle matrix)."""
+    from nlshray.stages.stats import embedding_moments
+
+    ds = _pq(sf_dir, "embeddings", columns=["embedding"])
+    n, mean, cov = embedding_moments(ds)
+    d = cov.shape[0]
+    ii, jj = np.triu_indices(d)
+    return _round(
+        pa.table(
+            {
+                "dim_i": pa.array(ii.astype(np.int64)),
+                "dim_j": pa.array(jj.astype(np.int64)),
+                "n": pa.array(np.full(ii.shape[0], n, np.int64)),
+                "cov_pop": pa.array(cov[ii, jj], pa.float64()),
+            }
+        ),
+        {"cov_pop": 6},
+    )
+
+
+QUERIES["embedding_covariance"] = embedding_covariance
+
+ORACLE_SQL["embedding_covariance"] = """
+    WITH flat AS (
+      SELECT vec_id, i.i - 1 AS dim, CAST(embedding[i.i] AS DOUBLE) AS x
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS i(i)
+    )
+    SELECT a.dim AS dim_i, b.dim AS dim_j,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(COVAR_POP(a.x, b.x), 6) AS cov_pop
+    FROM flat a JOIN flat b
+      ON a.vec_id = b.vec_id AND a.dim <= b.dim
+    GROUP BY a.dim, b.dim
+"""

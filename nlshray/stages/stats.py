@@ -22,6 +22,7 @@ from itertools import combinations
 import numpy as np
 import pyarrow as pa
 
+import ray
 import ray.data as rd
 
 
@@ -122,3 +123,91 @@ def hll_distinct(ds: rd.Dataset, hash_batch) -> np.ndarray:
         for raw in b["regs"].to_pylist():
             merged = hll_merge(merged, np.frombuffer(raw, np.uint8))
     return merged
+
+
+def embedding_moments(
+    ds: rd.Dataset, col: str = "embedding"
+) -> tuple[int, np.ndarray, np.ndarray]:
+    """(n, mean, population covariance matrix) of a list<float> column.
+    Per-block partials are (n, Σx, XᵀX) — a float64 matmul per block,
+    merged by summation on the driver (O(blocks × dim²) floats, never
+    the data). The PCA/whitening input."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        arr = t[col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        x = np.asarray(arr.values, np.float64).reshape(len(arr), -1)
+        return pa.table(
+            {
+                "n": pa.array([x.shape[0]], pa.int64()),
+                "s": pa.array([x.sum(axis=0).tobytes()], pa.binary()),
+                "xtx": pa.array([(x.T @ x).tobytes()], pa.binary()),
+            }
+        )
+
+    n, s, xtx = 0, None, None
+    for b in ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_format="pyarrow"):
+        for bn, bs, bx in zip(
+            b["n"].to_pylist(), b["s"].to_pylist(), b["xtx"].to_pylist()
+        ):
+            bs = np.frombuffer(bs, np.float64)
+            bx = np.frombuffer(bx, np.float64)
+            n += bn
+            s = bs if s is None else s + bs
+            xtx = bx if xtx is None else xtx + bx
+    d = s.shape[0]
+    mean = s / n
+    cov = xtx.reshape(d, d) / n - np.outer(mean, mean)
+    return n, mean, cov
+
+
+def fit_pca(
+    mean: np.ndarray, cov: np.ndarray, n_components: int, *, whiten: bool = False
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(components [d, k], explained variances [k], mean) from a
+    covariance matrix — driver-side eigh (the matrix is dim², tiny).
+    Deterministic sign convention: each component's
+    largest-|coefficient| entry is positive."""
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:n_components]
+    comps, vars_ = v[:, order], w[order]
+    flip = comps[np.abs(comps).argmax(axis=0), np.arange(comps.shape[1])] < 0
+    comps = comps * np.where(flip, -1.0, 1.0)
+    if whiten:
+        comps = comps / np.sqrt(np.maximum(vars_, 1e-12))
+    return comps, vars_, mean
+
+
+def project_pca(
+    ds: rd.Dataset,
+    mean: np.ndarray,
+    components: np.ndarray,
+    *,
+    col: str = "embedding",
+    id_col: str = "vec_id",
+    out_col: str = "pca",
+) -> rd.Dataset:
+    """Center + project each vector onto the (broadcast) components —
+    one matmul per batch; components ship via ray.put once."""
+    ref = ray.put((np.asarray(mean, np.float64), np.asarray(components, np.float64)))
+
+    def fn(t: pa.Table) -> pa.Table:
+        m, c = ray.get(ref)
+        arr = t[col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        x = np.asarray(arr.values, np.float64).reshape(len(arr), -1)
+        proj = (x - m) @ c
+        return pa.table(
+            {
+                id_col: t[id_col],
+                out_col: pa.FixedSizeListArray.from_arrays(
+                    pa.array(proj.ravel(), pa.float64()), proj.shape[1]
+                ),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -112,3 +112,58 @@ def test_hll_distinct_parallelism_independent(ray_session):
     r1 = hll_distinct(rd.from_arrow(t).repartition(3), fn)
     r2 = hll_distinct(rd.from_arrow(t).repartition(11), fn)
     assert np.array_equal(r1, r2)
+
+
+def _emb_table(n=400, d=8, seed=13):
+    rng = np.random.default_rng(seed)
+    base = rng.normal(0, 1, (n, 3))
+    mixing = rng.normal(0, 1, (3, d))
+    x = (base @ mixing + rng.normal(0, 0.05, (n, d))).astype(np.float32)
+    flat = pa.array(x.astype(np.float64).ravel(), pa.float32())
+    return x.astype(np.float64), pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.FixedSizeListArray.from_arrays(flat, d),
+        }
+    )
+
+
+def test_embedding_moments_match_direct(ray_session):
+    from nlshray.stages.stats import embedding_moments
+
+    x, t = _emb_table()
+    x32 = x.astype(np.float32).astype(np.float64)
+    n, mean, cov = embedding_moments(rd.from_arrow(t).repartition(6))
+    assert n == x.shape[0]
+    np.testing.assert_allclose(mean, x32.mean(axis=0), rtol=1e-12)
+    want = (x32.T @ x32) / n - np.outer(x32.mean(axis=0), x32.mean(axis=0))
+    np.testing.assert_allclose(cov, want, rtol=0, atol=1e-12)
+
+
+def test_pca_projection_recovers_structure(ray_session):
+    from nlshray.stages.stats import embedding_moments, fit_pca, project_pca
+
+    x, t = _emb_table()
+    ds = rd.from_arrow(t).repartition(5)
+    n, mean, cov = embedding_moments(ds)
+    comps, vars_, mean = fit_pca(mean, cov, 3)
+    # rank-3 structure: top-3 eigenvalues carry ~all variance
+    assert vars_[2] > 1e-2 and np.linalg.eigvalsh(cov)[: -3].max() < 1e-2
+    out = pa.concat_tables(
+        project_pca(ds, mean, comps).iter_batches(batch_format="pyarrow")
+    ).sort_by("vec_id")
+    proj = np.asarray(out["pca"].combine_chunks().values, np.float64).reshape(
+        -1, 3
+    )
+    x32 = x.astype(np.float32).astype(np.float64)
+    want = (x32 - x32.mean(axis=0)) @ comps
+    np.testing.assert_allclose(proj, want, rtol=0, atol=1e-9)
+    # whitened projection has identity covariance
+    wcomps, _, _ = fit_pca(mean, cov, 3, whiten=True)
+    wt = pa.concat_tables(
+        project_pca(ds, mean, wcomps).iter_batches(batch_format="pyarrow")
+    )
+    w = np.asarray(wt["pca"].combine_chunks().values, np.float64).reshape(-1, 3)
+    np.testing.assert_allclose(
+        (w.T @ w) / w.shape[0], np.eye(3), atol=1e-6
+    )

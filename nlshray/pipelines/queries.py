@@ -2792,3 +2792,78 @@ ORACLE_SQL["embedding_covariance"] = """
       ON a.vec_id = b.vec_id AND a.dim <= b.dim
     GROUP BY a.dim, b.dim
 """
+
+
+def duplicate_spans(sf_dir: str, k: int = 8):
+    """Intra-corpus duplicate-span report (C4-style hygiene,
+    ``stages/decontam.duplicate_span_stats``): per doc, distinct
+    k-token spans and how many also occur in another doc. Integer-only
+    output — the oracle replays token-hash -> window-fold -> distinct
+    -> cross-doc counts with no float rounding anywhere."""
+    from nlshray.stages.decontam import duplicate_span_stats
+
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+    return duplicate_span_stats(docs, k=k, num_partitions=NPARTS)
+
+
+QUERIES["duplicate_spans"] = duplicate_spans
+
+
+def _build_dup_span_oracle(k: int = 8) -> str:
+    from nlshray.hashing import _seed_mix
+
+    seedmix = int(_seed_mix(0))
+    fold_step = f"(({_sql_mulmod('acc', _SQL_POLY)}) + CAST(x AS HUGEINT)) % {_M64}"
+    return f"""
+        WITH tokarr AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '[^0-9a-z_]+'),
+                             t -> t <> '') AS toks
+          FROM documents
+        ),
+        tok AS (
+          SELECT doc_id, i.i AS pos, toks[i.i] AS tok
+          FROM tokarr, unnest(range(1, len(toks) + 1)) AS i(i)
+        ),
+        folded AS (
+          SELECT doc_id, pos,
+            list_reduce(
+              list_prepend(0::HUGEINT,
+                list_transform(regexp_split_to_array(tok, ''),
+                               c -> unicode(c)::HUGEINT)),
+              (acc, x) -> {fold_step}
+            ) AS raw
+          FROM tok
+        ),
+        seeded AS (SELECT doc_id, pos, xor(CAST(raw AS UBIGINT), {seedmix}::UBIGINT) AS x FROM folded),
+        {_sql_splitmix('t', 'seeded', 'x', 'pos').strip()},
+        ths AS (
+          SELECT doc_id, list(z ORDER BY pos) AS th, COUNT(*) AS n
+          FROM t6 GROUP BY doc_id
+        ),
+        wins AS (
+          SELECT doc_id,
+            list_reduce(
+              list_prepend(0::HUGEINT,
+                list_transform(th[w.w : w.w + {k} - 1],
+                               x -> CAST(x AS HUGEINT))),
+              (acc, x) -> {fold_step}
+            ) AS raw
+          FROM ths, unnest(range(1, greatest(n - {k} + 1, 0) + 1)) AS w(w)
+        ),
+        {_sql_splitmix('h', 'wins', 'raw', '').strip()},
+        grams AS (SELECT DISTINCT doc_id, z FROM h6),
+        gd AS (SELECT z, COUNT(*) AS nd FROM grams GROUP BY z),
+        per AS (
+          SELECT g.doc_id, COUNT(*) AS n_spans,
+                 SUM(CASE WHEN gd.nd >= 2 THEN 1 ELSE 0 END) AS n_dup_spans
+          FROM grams g JOIN gd USING (z) GROUP BY g.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(p.n_spans, 0) AS BIGINT) AS n_spans,
+               CAST(COALESCE(p.n_dup_spans, 0) AS BIGINT) AS n_dup_spans
+        FROM documents d LEFT JOIN per p USING (doc_id)
+    """
+
+
+ORACLE_SQL["duplicate_spans"] = _build_dup_span_oracle()

@@ -130,3 +130,84 @@ def decontam_stage(
         )
 
     return docs.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def duplicate_span_stats(
+    docs: rd.Dataset, *, k: int = 8, num_partitions: int = 8, seed: int = 0
+) -> rd.Dataset:
+    """Per-doc INTRA-corpus duplicate-span signal (the C4-style
+    repeated-span hygiene report): for each doc, how many of its
+    distinct k-token spans also occur in at least one OTHER doc.
+
+    Plan: (A) per-block distinct (doc, gram) partials -> one
+    gram-keyed groupby summing distinct-doc counts (the same shuffle
+    bound as the vocabulary op — gram cardinality); (B) grams with
+    count >= 2 broadcast as a sorted uint64 array, one more streaming
+    pass counts each doc's members. 100-TB caveat: the dup-gram set is
+    corpus-dependent — boilerplate-heavy corpora can make it too big to
+    broadcast, in which case pass B becomes the hash-partitioned
+    semi-join of ``incremental.py``'s scale plan; disclosed, not
+    silent. Output: (doc_id, n_spans, n_dup_spans) — all integers, so
+    the SQL oracle needs no float rounding anywhere."""
+    from ray.data.aggregate import Sum
+
+    import pyarrow.compute as pc
+
+    from nlshray.functions.nputil import isin_sorted, segment_ids
+
+    def gram_partials(t: pa.Table) -> pa.Table:
+        flat, lens = batch_kgram_hashes(t["text"], k, seed=seed)
+        uflat, _ = segmented_unique(flat, lens)
+        g, c = np.unique(uflat, return_counts=True)
+        return pa.table(
+            {
+                "gram": pa.array(g.view(np.int64)),
+                "nd": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    agg = (
+        docs.map_batches(
+            gram_partials, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("gram", num_partitions=num_partitions)
+        .aggregate(Sum("nd", alias_name="nd"))
+    )
+
+    def keep_dup(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["nd"], 2)).select(["gram"])
+
+    blocks = [
+        b
+        for b in ray.get(
+            agg.map_batches(
+                keep_dup, batch_format="pyarrow", zero_copy_batch=True
+            ).to_arrow_refs()
+        )
+        if b.num_columns  # empty Ray blocks carry a bare schema
+    ]
+    dup_grams = (
+        pa.concat_tables(blocks)["gram"].to_numpy(zero_copy_only=False)
+        if blocks
+        else np.empty(0, np.int64)
+    )
+    dup_ref = ray.put(np.sort(dup_grams.view(np.uint64)))
+
+    def per_doc(t: pa.Table) -> pa.Table:
+        dup_sorted = ray.get(dup_ref)
+        flat, lens = batch_kgram_hashes(t["text"], k, seed=seed)
+        uflat, ulens = segmented_unique(flat, lens)
+        seg = segment_ids(ulens)
+        hit = isin_sorted(dup_sorted, uflat)
+        n_dup = np.bincount(seg[hit], minlength=ulens.shape[0])
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_spans": pa.array(ulens.astype(np.int64)),
+                "n_dup_spans": pa.array(n_dup.astype(np.int64)),
+            }
+        )
+
+    return docs.map_batches(
+        per_doc, batch_format="pyarrow", zero_copy_batch=True
+    )

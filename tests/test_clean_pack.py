@@ -131,3 +131,42 @@ def test_decontam_matches_bruteforce(ray_session):
         assert out.loc[i, "n_overlap"] == ov, i
         assert out.loc[i, "contaminated"] == (ov > 0 and i != 0), i
     assert out["contaminated"].tolist() == [False, False, True, True, False]
+
+
+def test_duplicate_span_stats(ray_session):
+    """Hand-built corpus: shared 8-gram counted once per doc, short
+    docs zero spans, parallelism-independent."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from nlshray.stages.decontam import duplicate_span_stats
+
+    shared = "a b c d e f g h"
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(5), pa.int64()),
+            "text": pa.array(
+                [
+                    f"{shared} i j",        # 3 spans, 1 shared
+                    f"{shared} z z",        # 3 spans, 1 shared
+                    "q w e r t y u i o p",  # 3 spans, 0 shared
+                    "short doc",             # too short: 0 spans
+                    f"x {shared}",          # 2 spans, 1 shared
+                ],
+                pa.string(),
+            ),
+        }
+    )
+
+    def run(nparts):
+        out = pa.concat_tables(
+            duplicate_span_stats(
+                rd.from_arrow(t).repartition(nparts), k=8
+            ).iter_batches(batch_format="pyarrow")
+        ).sort_by("doc_id")
+        return out["n_spans"].to_pylist(), out["n_dup_spans"].to_pylist()
+
+    spans, dups = run(2)
+    assert spans == [3, 3, 3, 0, 2]
+    assert dups == [1, 1, 0, 0, 1]
+    assert run(5) == (spans, dups)

@@ -37,6 +37,13 @@ def _block_rows(b: pa.Table) -> int:
 
 @ray.remote
 def _attach_rank(b: pa.Table, id_col: str, offset: int) -> pa.Table:
+    if id_col not in b.column_names:  # empty blocks carry a bare schema
+        return pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "epoch_rank": pa.array([], pa.int64()),
+            }
+        )
     return pa.table(
         {
             id_col: b[id_col],
@@ -66,8 +73,17 @@ def epoch_shuffle_rank(
         .materialize()
     )
     refs = keyed.to_arrow_refs()
+    if not refs:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "epoch_rank": pa.array([], pa.int64()),
+                }
+            )
+        )
     counts = ray.get([_block_rows.remote(r) for r in refs])
-    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]) if counts else []
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
     return rd.from_arrow_refs(
         [
             _attach_rank.remote(r, id_col, int(o))

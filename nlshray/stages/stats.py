@@ -158,6 +158,8 @@ def embedding_moments(
             n += bn
             s = bs if s is None else s + bs
             xtx = bx if xtx is None else xtx + bx
+    if s is None or n == 0:
+        raise ValueError("embedding_moments: empty dataset has no moments")
     d = s.shape[0]
     mean = s / n
     cov = xtx.reshape(d, d) / n - np.outer(mean, mean)

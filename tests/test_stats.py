@@ -167,3 +167,24 @@ def test_pca_projection_recovers_structure(ray_session):
     np.testing.assert_allclose(
         (w.T @ w) / w.shape[0], np.eye(3), atol=1e-6
     )
+
+
+def test_empty_inputs(ray_session):
+    import pytest
+
+    from nlshray.stages.stats import embedding_moments
+    from nlshray.stages.shuffle import epoch_shuffle_rank
+
+    empty_emb = pa.table(
+        {
+            "vec_id": pa.array([], pa.int64()),
+            "embedding": pa.array([], pa.list_(pa.float32())),
+        }
+    )
+    with pytest.raises(ValueError, match="empty"):
+        embedding_moments(rd.from_arrow(empty_emb))
+
+    empty_ids = pa.table({"doc_id": pa.array([], pa.int64())})
+    ds = epoch_shuffle_rank(rd.from_arrow(empty_ids))
+    assert ds.count() == 0
+    assert sorted(ds.schema().names) == ["doc_id", "epoch_rank"]

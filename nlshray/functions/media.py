@@ -2,12 +2,14 @@
 
 The multimodal stage treats image/audio as opaque ``binary`` columns;
 these are REAL decoders for the container formats that need no codec
-library — WAV (PCM 8/16-bit), BMP (uncompressed 24/32-bit BI_RGB) and
-PPM/PGM (binary P5/P6) — plus the transform kernels a training-data
+library — WAV (PCM 8/16-bit), BMP (uncompressed 24/32-bit BI_RGB),
+PPM/PGM (binary P5/P6) and PNG (8-bit gray/RGB/RGBA/palette,
+non-interlaced — zlib inflate is in the standard library, so PNG
+needs no external codec) — plus the transform kernels a training-data
 pipeline runs on the decoded arrays: nearest-neighbor resize, audio
-frame sampling / RMS features, channel statistics. Compressed formats
-(jpeg/png/mp3/webm) still require a library and stay stubbed in
-``nlshray.stages.multimodal``.
+frame sampling / RMS features, channel statistics. Formats whose
+entropy coders are NOT in the stdlib (jpeg/mp3/webm) still require a
+library and stay stubbed in ``nlshray.stages.multimodal``.
 """
 
 from __future__ import annotations
@@ -197,3 +199,167 @@ def image_features(img: np.ndarray, bins: int = 8) -> np.ndarray:
         [hist, [flat.mean() / 255.0 if flat.size else 0.0,
                 flat.std() / 255.0 if flat.size else 0.0]]
     ).astype(np.float32)
+
+
+# --------------------------------------------------------------------------
+# PNG (true decoder — zlib is in the Python standard library, so PNG
+# needs no external codec: chunk walk, zlib inflate, per-row unfilter).
+# Supported: 8-bit depth, color types 0 (gray), 2 (RGB), 3 (palette),
+# 6 (RGBA), non-interlaced. Anything else raises MediaFormatError —
+# honest refusal, not a wrong answer.
+# --------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(img: np.ndarray, *, filter_type: int = 0) -> bytes:
+    """uint8 image (H,W) gray / (H,W,3) RGB / (H,W,4) RGBA -> PNG bytes.
+    ``filter_type`` applies one PNG filter to every row (0..4) — the
+    test fixture knob that exercises each unfilter path."""
+    import zlib
+
+    img = np.asarray(img, np.uint8)
+    if img.ndim == 2:
+        color, ch = 0, 1
+        px = img[:, :, None]
+    elif img.ndim == 3 and img.shape[2] in (3, 4):
+        ch = img.shape[2]
+        color = 2 if ch == 3 else 6
+        px = img
+    else:
+        raise MediaFormatError(f"unsupported image shape {img.shape}")
+    h, w = px.shape[:2]
+    raw = px.reshape(h, w * ch).astype(np.int64)
+    prev = np.zeros(w * ch, np.int64)
+    lines = []
+    for y in range(h):
+        cur = raw[y]
+        left = np.concatenate([np.zeros(ch, np.int64), cur[:-ch]])
+        upl = np.concatenate([np.zeros(ch, np.int64), prev[:-ch]])
+        if filter_type == 0:
+            f = cur
+        elif filter_type == 1:
+            f = cur - left
+        elif filter_type == 2:
+            f = cur - prev
+        elif filter_type == 3:
+            f = cur - (left + prev) // 2
+        elif filter_type == 4:
+            f = cur - _paeth(left, prev, upl)
+        else:
+            raise MediaFormatError(f"bad filter {filter_type}")
+        lines.append(bytes([filter_type]) + (f % 256).astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        import zlib as z
+
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", z.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    idat = zlib.compress(b"".join(lines))
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+def _paeth(left: np.ndarray, up: np.ndarray, upleft: np.ndarray) -> np.ndarray:
+    p = left + up - upleft
+    pa_, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - upleft)
+    out = np.where(pa_ <= np.minimum(pb, pc), left, np.where(pb <= pc, up, upleft))
+    return out
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes -> uint8 array (H,W) gray or (H,W,C) RGB/RGBA.
+
+    Unfilter vectorization: None/Up are whole-row ops; Sub is an exact
+    per-channel cumsum mod 256; Average/Paeth carry a nonlinear
+    left-pixel dependency, so those rows run a per-pixel loop (bounded
+    by image width — decode parallelism comes from the actor pool,
+    one image per element, not from within a row)."""
+    import zlib
+
+    if not data.startswith(_PNG_SIG):
+        raise MediaFormatError("not a PNG")
+    pos, ihdr, idat, plte = len(_PNG_SIG), None, [], None
+    while pos + 8 <= len(data):
+        (ln,) = struct.unpack(">I", data[pos : pos + 4])
+        typ = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + ln]
+        crc = data[pos + 8 + ln : pos + 12 + ln]
+        if len(body) != ln or len(crc) != 4:
+            raise MediaFormatError("truncated PNG chunk")
+        if struct.unpack(">I", crc)[0] != (zlib.crc32(typ + body) & 0xFFFFFFFF):
+            raise MediaFormatError(f"PNG crc mismatch in {typ!r}")
+        if typ == b"IHDR":
+            ihdr = body
+        elif typ == b"IDAT":
+            idat.append(body)
+        elif typ == b"PLTE":
+            plte = body
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None or not idat:
+        raise MediaFormatError("PNG missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise MediaFormatError(
+            f"unsupported PNG variant (depth={depth}, interlace={interlace})"
+        )
+    ch = {0: 1, 2: 3, 3: 1, 6: 4}.get(color)
+    if ch is None:
+        raise MediaFormatError(f"unsupported PNG color type {color}")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise MediaFormatError("PNG scanline payload has the wrong size")
+    rows = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    ftypes, lines = rows[:, 0], rows[:, 1:].astype(np.int64)
+    out = np.zeros((h, stride), np.int64)
+    prev = np.zeros(stride, np.int64)
+    for y in range(h):
+        f, cur = int(ftypes[y]), lines[y]
+        if f == 0:
+            rec = cur
+        elif f == 1:  # Sub: cumsum mod 256 per channel lane
+            rec = cur.reshape(w, ch).cumsum(axis=0).reshape(stride) % 256
+        elif f == 2:  # Up
+            rec = (cur + prev) % 256
+        elif f in (3, 4):  # Average/Paeth: sequential left dependency
+            rec = np.empty(stride, np.int64)
+            px = cur.reshape(w, ch)
+            pv = prev.reshape(w, ch)
+            r = rec.reshape(w, ch)
+            left = np.zeros(ch, np.int64)
+            upleft = np.zeros(ch, np.int64)
+            for x in range(w):
+                if f == 3:
+                    r[x] = (px[x] + (left + pv[x]) // 2) % 256
+                else:
+                    r[x] = (px[x] + _paeth(left, pv[x], upleft)) % 256
+                left, upleft = r[x], pv[x]
+            rec = r.reshape(stride)
+        else:
+            raise MediaFormatError(f"bad PNG filter {f}")
+        out[y] = rec
+        prev = rec
+    img = out.astype(np.uint8).reshape(h, w, ch)
+    if color == 3:
+        if plte is None or len(plte) % 3:
+            raise MediaFormatError("paletted PNG missing PLTE")
+        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+        idx = img[:, :, 0]
+        if int(idx.max(initial=0)) >= pal.shape[0]:
+            raise MediaFormatError("PNG palette index out of range")
+        return pal[idx]
+    return img[:, :, 0] if ch == 1 else img

@@ -78,15 +78,22 @@ class MediaDecoder:
             if fmt == "wav":
                 samples, _rate = decode_wav(data)
                 return audio_features(samples, n_windows=self.feature_dim)
-            if fmt in ("bmp", "ppm", "pgm"):
-                img = decode_bmp(data) if fmt == "bmp" else decode_ppm(data)
+            if fmt in ("bmp", "ppm", "pgm", "png"):
+                if fmt == "png":
+                    from nlshray.functions.media import decode_png
+
+                    img = decode_png(data)
+                elif fmt == "bmp":
+                    img = decode_bmp(data)
+                else:
+                    img = decode_ppm(data)
                 return image_features(img, bins=self.feature_dim - 2)
         except MediaFormatError:
             pass   # malformed container -> fall through to stub handling
         if not self.fake:
             raise NotImplementedError(
                 f"decoding {fmt!r} requires a codec library not present in "
-                "this environment (real decoders cover wav/bmp/ppm/pgm); "
+                "this environment (real decoders cover wav/bmp/ppm/pgm/png); "
                 "pass fake=True for deterministic stub features"
             )
         seed = np.frombuffer(

@@ -439,3 +439,55 @@ def test_embedding_novelty_empty_seen(ray_session):
     empty = rd_.from_arrow(tbl.slice(0, 0))
     out = to_arrow(embedding_novelty(ds, empty, 0.4, strategy="bruteforce"))
     assert out.num_rows == tbl.num_rows
+
+
+def test_png_roundtrip_all_filters():
+    from nlshray.functions.media import decode_png, encode_png
+
+    rng = np.random.default_rng(7)
+    for shape in [(5, 7), (6, 4, 3), (3, 9, 4)]:
+        img = rng.integers(0, 256, shape).astype(np.uint8)
+        for f in range(5):
+            assert np.array_equal(
+                decode_png(encode_png(img, filter_type=f)), img
+            ), (shape, f)
+
+
+def test_png_palette_and_corruption():
+    import struct
+    import zlib
+
+    from nlshray.functions.media import MediaFormatError, decode_png, encode_png
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d)) + t + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    idx = np.array([[0, 1], [2, 0]], np.uint8)
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(2))
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", pal)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    got = decode_png(png)
+    assert got.shape == (2, 2, 3) and tuple(got[0, 1]) == (0, 255, 0)
+    # a flipped bit anywhere fails the CRC, never returns wrong pixels
+    bad = bytearray(encode_png(np.zeros((2, 2), np.uint8)))
+    bad[-5] ^= 1
+    with pytest.raises(MediaFormatError):
+        decode_png(bytes(bad))
+
+
+def test_png_through_media_decoder():
+    from nlshray.functions.media import encode_png, image_features
+
+    img = np.random.default_rng(3).integers(0, 256, (8, 6, 3)).astype(np.uint8)
+    dec = MediaDecoder(fake=False, feature_dim=8)
+    feats = dec._decode(encode_png(img, filter_type=2))
+    assert np.allclose(feats, image_features(img, bins=6))

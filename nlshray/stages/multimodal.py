@@ -1,11 +1,12 @@
 """Multimodal stages: binary payload columns through actor pools.
 
 Image/audio/video ride as ``binary`` columns with typed metadata.
-Decoding is REAL for the library-free container formats — WAV PCM, BMP,
-PPM/PGM (``nlshray.functions.media``: pure numpy/struct) — producing
-real feature vectors (audio per-window RMS, image histogram+moments).
-Compressed formats (jpeg/png/mp3/webm) require codec libraries absent
-from this environment and stay clearly stubbed: ``NotImplementedError``
+Decoding is REAL for the formats the standard library can carry — WAV
+PCM, BMP, PPM/PGM (pure numpy/struct) and PNG (stdlib zlib inflate +
+per-row unfilter, ``nlshray.functions.media``) — producing real
+feature vectors (audio per-window RMS, image histogram+moments).
+Formats whose entropy coders aren't in the stdlib (jpeg/mp3/webm)
+stay clearly stubbed: ``NotImplementedError``
 unless ``fake=True`` substitutes a deterministic hash-derived vector so
 the plumbing is exercised end-to-end either way.
 """

@@ -2,8 +2,9 @@
 
 Image/audio/video ride as ``binary`` columns with typed metadata.
 Decoding is REAL for the formats the standard library can carry — WAV
-PCM, BMP, PPM/PGM (pure numpy/struct) and PNG (stdlib zlib inflate +
-per-row unfilter, ``nlshray.functions.media``) — producing real
+PCM, BMP, PPM/PGM (pure numpy/struct), PNG (stdlib zlib inflate +
+per-row unfilter) and GIF (pure-Python LZW; all in
+``nlshray.functions.media``) — producing real
 feature vectors (audio per-window RMS, image histogram+moments).
 Formats whose entropy coders aren't in the stdlib (jpeg/mp3/webm)
 stay clearly stubbed: ``NotImplementedError``
@@ -33,8 +34,8 @@ _MAGICS: list[tuple[bytes, str]] = [
     (b"<!doc", "html"),
 ]
 
-# formats with a real pure-numpy decoder in nlshray.functions.media
-DECODABLE = frozenset({"wav", "bmp", "ppm", "pgm"})
+# formats with a real stdlib-only decoder in nlshray.functions.media
+DECODABLE = frozenset({"wav", "bmp", "ppm", "pgm", "png", "gif"})
 
 
 def sniff_format(data: bytes) -> str:
@@ -79,11 +80,15 @@ class MediaDecoder:
             if fmt == "wav":
                 samples, _rate = decode_wav(data)
                 return audio_features(samples, n_windows=self.feature_dim)
-            if fmt in ("bmp", "ppm", "pgm", "png"):
+            if fmt in ("bmp", "ppm", "pgm", "png", "gif"):
                 if fmt == "png":
                     from nlshray.functions.media import decode_png
 
                     img = decode_png(data)
+                elif fmt == "gif":
+                    from nlshray.functions.media import decode_gif
+
+                    img = decode_gif(data)
                 elif fmt == "bmp":
                     img = decode_bmp(data)
                 else:
@@ -94,7 +99,7 @@ class MediaDecoder:
         if not self.fake:
             raise NotImplementedError(
                 f"decoding {fmt!r} requires a codec library not present in "
-                "this environment (real decoders cover wav/bmp/ppm/pgm/png); "
+                "this environment (real decoders cover wav/bmp/ppm/pgm/png/gif); "
                 "pass fake=True for deterministic stub features"
             )
         seed = np.frombuffer(

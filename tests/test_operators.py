@@ -491,3 +491,31 @@ def test_png_through_media_decoder():
     dec = MediaDecoder(fake=False, feature_dim=8)
     feats = dec._decode(encode_png(img, filter_type=2))
     assert np.allclose(feats, image_features(img, bins=6))
+
+
+def test_gif_roundtrip_and_decoder():
+    from nlshray.functions.media import (
+        MediaFormatError,
+        decode_gif,
+        encode_gif,
+        image_features,
+    )
+
+    rng = np.random.default_rng(5)
+    for ncolor in (4, 200):
+        colors = rng.integers(0, 256, (ncolor, 3)).astype(np.uint8)
+        img = colors[rng.integers(0, ncolor, (23, 17))]
+        for il in (False, True):
+            assert np.array_equal(
+                decode_gif(encode_gif(img, interlace=il)), img
+            ), (ncolor, il)
+    # LZW table hits 4096 -> clear/reset path
+    colors = rng.integers(0, 256, (256, 3)).astype(np.uint8)
+    big = colors[rng.integers(0, 256, (80, 90))]
+    gif = encode_gif(big)
+    assert np.array_equal(decode_gif(gif), big)
+    # decoder stage consumes it
+    dec = MediaDecoder(fake=False, feature_dim=8)
+    assert np.allclose(dec._decode(gif), image_features(big, bins=6))
+    with pytest.raises(MediaFormatError):
+        decode_gif(b"GIF89a" + b"\x00" * 4)

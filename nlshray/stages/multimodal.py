@@ -163,16 +163,28 @@ class ImageResizer:
     def __call__(self, batch: pa.Table) -> pa.Table:
         from nlshray.functions.media import (
             decode_bmp,
+            decode_gif,
+            decode_png,
             decode_ppm,
             encode_ppm,
             resize_nearest,
         )
 
+        decoders = {
+            "bmp": decode_bmp,
+            "ppm": decode_ppm,
+            "png": decode_png,
+            "gif": decode_gif,
+        }
         out_payloads, ok = [], []
         for data in batch[self.payload_col].to_pylist():
             fmt = sniff_format(data)
-            if fmt in ("bmp", "ppm"):
-                img = decode_bmp(data) if fmt == "bmp" else decode_ppm(data)
+            dec = decoders.get(fmt)
+            if dec is not None:
+                img = dec(data)
+                if img.ndim == 2:          # gray -> RGB for the PPM sink
+                    img = np.stack([img] * 3, axis=-1)
+                img = img[:, :, :3]        # drop alpha
                 out_payloads.append(
                     encode_ppm(resize_nearest(img, self.out_h, self.out_w))
                 )

@@ -519,3 +519,42 @@ def test_gif_roundtrip_and_decoder():
     assert np.allclose(dec._decode(gif), image_features(big, bins=6))
     with pytest.raises(MediaFormatError):
         decode_gif(b"GIF89a" + b"\x00" * 4)
+
+
+def test_resize_stage_png_gif(ray_session):
+    import ray
+
+    from nlshray.functions.media import (
+        decode_ppm,
+        encode_gif,
+        encode_png,
+        resize_nearest,
+    )
+    from nlshray.stages.multimodal import resize_stage
+
+    rng = np.random.default_rng(11)
+    colors = rng.integers(0, 256, (16, 3)).astype(np.uint8)
+    img = colors[rng.integers(0, 16, (9, 7))]
+    gray = rng.integers(0, 256, (6, 5)).astype(np.uint8)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "item_id": pa.array([1, 2, 3], pa.int64()),
+                "payload": pa.array(
+                    [encode_png(img, filter_type=1), encode_gif(img),
+                     encode_png(gray)],
+                    pa.binary(),
+                ),
+            }
+        )
+    )
+    out = pa.concat_tables(
+        ray.get(resize_stage(ds, out_h=4, out_w=4).to_arrow_refs())
+    ).sort_by("item_id")
+    assert out["resized"].to_pylist() == [True, True, True]
+    want = resize_nearest(img, 4, 4)
+    for i in (0, 1):
+        got = decode_ppm(out["payload"][i].as_py())
+        assert np.array_equal(got, want)
+    got_gray = decode_ppm(out["payload"][2].as_py())
+    assert np.array_equal(got_gray[:, :, 0], resize_nearest(gray, 4, 4))

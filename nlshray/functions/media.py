@@ -279,7 +279,7 @@ def _paeth(left: np.ndarray, up: np.ndarray, upleft: np.ndarray) -> np.ndarray:
     return out
 
 
-def decode_png(data: bytes) -> np.ndarray:
+def _decode_png_impl(data: bytes) -> np.ndarray:
     """PNG bytes -> uint8 array (H,W) gray or (H,W,C) RGB/RGBA.
 
     Unfilter vectorization: None/Up are whole-row ops; Sub is an exact
@@ -504,7 +504,7 @@ def encode_gif(img: np.ndarray, *, interlace: bool = False) -> bytes:
     )
 
 
-def decode_gif(data: bytes) -> np.ndarray:
+def _decode_gif_impl(data: bytes) -> np.ndarray:
     """GIF bytes -> uint8 (H,W,3) RGB (first frame)."""
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise MediaFormatError("not a GIF")
@@ -561,3 +561,28 @@ def decode_gif(data: bytes) -> np.ndarray:
             raise MediaFormatError("GIF palette index out of range")
         return pal[arr]
     raise MediaFormatError("GIF contains no image block")
+
+
+def _format_guard(fn, data: bytes, what: str) -> np.ndarray:
+    """Truncated/garbled containers must surface as MediaFormatError —
+    the fallback contract MediaDecoder relies on — not as struct.error
+    / reshape ValueError / zlib.error from whatever parse step hit the
+    end of the buffer first."""
+    import zlib
+
+    try:
+        return fn(data)
+    except MediaFormatError:
+        raise
+    except (struct.error, ValueError, IndexError, zlib.error) as e:
+        raise MediaFormatError(f"malformed {what}: {e}") from e
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes -> uint8 array; see ``_decode_png_impl`` for scope."""
+    return _format_guard(_decode_png_impl, data, "PNG")
+
+
+def decode_gif(data: bytes) -> np.ndarray:
+    """GIF bytes -> uint8 (H,W,3) RGB; see ``_decode_gif_impl``."""
+    return _format_guard(_decode_gif_impl, data, "GIF")

@@ -2555,7 +2555,7 @@ QUERIES["events_props_typed"] = events_props_typed
 
 ORACLE_SQL["events_props_typed"] = """
     SELECT event_id, event_type,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
     FROM events
 """
 

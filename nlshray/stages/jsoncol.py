@@ -46,26 +46,32 @@ _NUM_PAT = r"-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?"
 
 
 def _field_pattern(key: str, typ: str) -> str:
+    # "(?s).*" greedy prefix: duplicate keys resolve to the LAST
+    # occurrence, matching json.loads (the fallback path's ground
+    # truth) and DuckDB json_extract. RE2 is linear-time either way.
     k = re.escape(key)
     if typ in ("int64", "float64"):
-        return rf'"{k}"\s*:\s*(?P<v>{_NUM_PAT})'
+        return rf'(?s).*"{k}"\s*:\s*(?P<v>{_NUM_PAT})'
     if typ == "bool":
-        return rf'"{k}"\s*:\s*(?P<v>true|false)'
+        return rf'(?s).*"{k}"\s*:\s*(?P<v>true|false)'
     if typ == "string":
-        return rf'"{k}"\s*:\s*"(?P<v>[^"\\]*)"'
+        return rf'(?s).*"{k}"\s*:\s*"(?P<v>[^"\\]*)"'
     raise ValueError(f"unsupported type {typ!r}; one of {sorted(_TYPES)}")
 
 
 def _coerce(val, typ: str):
-    """Python-side twin of the fast path's cast, for fallback rows."""
-    if val is None:
+    """Python-side twin of the fast path's typing, for fallback rows.
+    STRICT: a value whose JSON type doesn't match the request is null
+    (never truncated/coerced) — identical to the fast path, where an
+    int64 request nulls non-integer literals."""
+    if val is None or isinstance(val, bool) and typ != "bool":
         return None
     if typ == "int64":
-        return int(val)
+        return val if isinstance(val, int) else None
     if typ == "float64":
-        return float(val)
+        return float(val) if isinstance(val, (int, float)) else None
     if typ == "bool":
-        return bool(val) if isinstance(val, bool) else None
+        return val if isinstance(val, bool) else None
     return val if isinstance(val, str) else None
 
 
@@ -109,6 +115,14 @@ def extract_json_batch(
             vals = pc.if_else(unsafe_arr, pa.scalar(None, pa.string()), vals)
         if typ == "bool":
             col = pc.equal(vals, "true")
+        elif typ == "int64":
+            # the numeric pattern also matches float/exponent literals;
+            # an int64 request nulls those instead of failing the cast
+            is_int = pc.match_substring_regex(vals, r"^-?\d+$")
+            vals = pc.if_else(
+                pc.fill_null(is_int, False), vals, pa.scalar(None, pa.string())
+            )
+            col = vals.cast(_TYPES[typ])
         else:
             col = vals.cast(_TYPES[typ])
         if fallback_idx.size:

@@ -38,6 +38,26 @@ _MAGICS: list[tuple[bytes, str]] = [
 DECODABLE = frozenset({"wav", "bmp", "ppm", "pgm", "png", "gif"})
 
 
+def _image_decoders() -> dict:
+    """format -> decode fn for every image member of DECODABLE — the
+    ONE dispatch map MediaDecoder and ImageResizer both use (a second
+    hand-maintained copy is how pgm silently fell out of the resizer)."""
+    from nlshray.functions.media import (
+        decode_bmp,
+        decode_gif,
+        decode_png,
+        decode_ppm,
+    )
+
+    return {
+        "bmp": decode_bmp,
+        "ppm": decode_ppm,
+        "pgm": decode_ppm,
+        "png": decode_png,
+        "gif": decode_gif,
+    }
+
+
 def sniff_format(data: bytes) -> str:
     head = data[:16]
     if head.startswith(b"RIFF"):
@@ -69,8 +89,6 @@ class MediaDecoder:
         from nlshray.functions.media import (
             MediaFormatError,
             audio_features,
-            decode_bmp,
-            decode_ppm,
             decode_wav,
             image_features,
         )
@@ -80,20 +98,9 @@ class MediaDecoder:
             if fmt == "wav":
                 samples, _rate = decode_wav(data)
                 return audio_features(samples, n_windows=self.feature_dim)
-            if fmt in ("bmp", "ppm", "pgm", "png", "gif"):
-                if fmt == "png":
-                    from nlshray.functions.media import decode_png
-
-                    img = decode_png(data)
-                elif fmt == "gif":
-                    from nlshray.functions.media import decode_gif
-
-                    img = decode_gif(data)
-                elif fmt == "bmp":
-                    img = decode_bmp(data)
-                else:
-                    img = decode_ppm(data)
-                return image_features(img, bins=self.feature_dim - 2)
+            dec = _image_decoders().get(fmt)
+            if dec is not None:
+                return image_features(dec(data), bins=self.feature_dim - 2)
         except MediaFormatError:
             pass   # malformed container -> fall through to stub handling
         if not self.fake:
@@ -162,26 +169,22 @@ class ImageResizer:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from nlshray.functions.media import (
-            decode_bmp,
-            decode_gif,
-            decode_png,
-            decode_ppm,
+            MediaFormatError,
             encode_ppm,
             resize_nearest,
         )
 
-        decoders = {
-            "bmp": decode_bmp,
-            "ppm": decode_ppm,
-            "png": decode_png,
-            "gif": decode_gif,
-        }
+        decoders = _image_decoders()
         out_payloads, ok = [], []
         for data in batch[self.payload_col].to_pylist():
-            fmt = sniff_format(data)
-            dec = decoders.get(fmt)
+            dec = decoders.get(sniff_format(data))
+            img = None
             if dec is not None:
-                img = dec(data)
+                try:
+                    img = dec(data)
+                except MediaFormatError:
+                    img = None  # unsupported variant/corrupt: pass through
+            if img is not None:
                 if img.ndim == 2:          # gray -> RGB for the PPM sink
                     img = np.stack([img] * 3, axis=-1)
                 img = img[:, :, :3]        # drop alpha

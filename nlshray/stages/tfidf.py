@@ -55,9 +55,14 @@ def _doc_tokens(t: pa.Table) -> tuple[pa.Array, np.ndarray]:
     return flat.filter(pa.array(keep)), seg[keep]
 
 
-def doc_frequencies(docs: rd.Dataset, *, num_partitions: int = 8) -> pa.Table:
+def doc_frequencies(
+    docs: rd.Dataset, *, num_partitions: int = 8, with_doc_count: bool = False
+):
     """(tok, df) over the corpus: per-block distinct-doc partials, one
-    small groupby over block vocabularies."""
+    small groupby over block vocabularies. With ``with_doc_count``,
+    also returns the total doc count N carried through the SAME pass
+    as a sentinel row (tok "" cannot occur — empty tokens are filtered
+    at tokenization), so callers don't pay a separate count() scan."""
     from ray.data.aggregate import Sum
 
     def partial(t: pa.Table) -> pa.Table:
@@ -71,8 +76,11 @@ def doc_frequencies(docs: rd.Dataset, *, num_partitions: int = 8) -> pa.Table:
             (uniq % max(len(enc.dictionary), 1)).astype(np.int64),
             minlength=len(enc.dictionary),
         )
+        toks = enc.dictionary.to_pylist() + [""]
+        dfs = vc.astype(np.int64).tolist() + [t.num_rows]
         return pa.table(
-            {"tok": enc.dictionary, "df": pa.array(vc.astype(np.int64))}
+            {"tok": pa.array(toks, pa.string()),
+             "df": pa.array(dfs, pa.int64())}
         )
 
     parts = docs.map_batches(
@@ -81,7 +89,22 @@ def doc_frequencies(docs: rd.Dataset, *, num_partitions: int = 8) -> pa.Table:
     agg = parts.groupby("tok", num_partitions=num_partitions).aggregate(
         Sum("df", alias_name="df")
     )
-    return pa.concat_tables(ray.get(agg.to_arrow_refs()))
+    blocks = [
+        b for b in ray.get(agg.to_arrow_refs())
+        if b.num_columns  # empty Ray groupby partitions: bare schema
+    ]
+    merged = (
+        pa.concat_tables(blocks)
+        if blocks
+        else pa.table({"tok": pa.array([], pa.string()),
+                       "df": pa.array([], pa.int64())})
+    )
+    sentinel = pc.equal(merged["tok"], "")
+    n_docs = int(
+        pc.sum(pc.if_else(sentinel, merged["df"], 0)).as_py() or 0
+    )
+    tbl = merged.filter(pc.invert(sentinel))
+    return (tbl, n_docs) if with_doc_count else tbl
 
 
 def tfidf_topk(
@@ -90,8 +113,9 @@ def tfidf_topk(
 ) -> rd.Dataset:
     """Top-k keywords per doc by smoothed tf-idf. ``docs`` needs
     (doc_id, text); returns (doc_id, tok, tf, score)."""
-    n_docs = docs.count()
-    df_tbl = doc_frequencies(docs, num_partitions=num_partitions)
+    df_tbl, n_docs = doc_frequencies(
+        docs, num_partitions=num_partitions, with_doc_count=True
+    )
     h = hash_utf8_array(df_tbl["tok"])
     order = np.argsort(h)
     df_ref = ray.put(

@@ -69,3 +69,21 @@ def test_json_fields_stage(ray_session):
     assert tbl.column_names == ["event_id", "k", "s", "b", "f"]
     assert tbl["k"].to_pylist() == _ground_truth("k")
     assert tbl["s"].to_pylist() == _ground_truth("s")
+
+
+def test_strict_typing_and_duplicate_keys():
+    """Both paths: last duplicate key wins (json.loads semantics);
+    wrong-typed values null rather than truncate or crash."""
+    rows = [
+        '{"k": 1, "k": 2}',            # flat dup key -> last
+        '{"a": {}, "k": 1, "k": 2}',   # fallback dup key -> last
+        '{"k": 1.5}',                  # float under int64 -> null
+        '{"a": {}, "k": 1.9}',         # fallback float under int64 -> null
+        '{"k": 1e3}',                  # exponent under int64 -> null
+        '{"a": {}, "k": true}',        # bool under int64 -> null
+        '{"k": 7}',
+    ]
+    got = extract_json_batch(pa.array(rows, pa.string()), {"k": "int64"})
+    assert got["k"].to_pylist() == [2, 2, None, None, None, None, 7]
+    gotf = extract_json_batch(pa.array(rows, pa.string()), {"k": "float64"})
+    assert gotf["k"].to_pylist() == [2.0, 2.0, 1.5, 1.9, 1000.0, None, 7.0]

@@ -558,3 +558,53 @@ def test_resize_stage_png_gif(ray_session):
         assert np.array_equal(got, want)
     got_gray = decode_ppm(out["payload"][2].as_py())
     assert np.array_equal(got_gray[:, :, 0], resize_nearest(gray, 4, 4))
+
+
+def test_resize_and_decode_robust_to_bad_payloads(ray_session):
+    """Unsupported variants/truncated containers pass through the
+    resizer (resized=False) and fall to stub features in the decoder —
+    never a crashed Ray task (code-review findings r4)."""
+    import struct
+    import zlib
+
+    import ray
+
+    from nlshray.functions.media import decode_ppm, encode_gif, resize_nearest
+    from nlshray.stages.multimodal import resize_stage
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d)) + t + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    # interlaced PNG: valid container, variant decode_png refuses
+    interlaced = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1))
+        + chunk(b"IDAT", zlib.compress(b"\x00ab\x00cd"))
+        + chunk(b"IEND", b"")
+    )
+    gray = np.arange(30, dtype=np.uint8).reshape(6, 5)
+    pgm = f"P5 5 6 255\n".encode() + gray.tobytes()
+    truncated_gif = encode_gif(np.zeros((4, 4, 3), np.uint8))[:14]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "item_id": pa.array([1, 2, 3], pa.int64()),
+                "payload": pa.array(
+                    [interlaced, pgm, truncated_gif], pa.binary()
+                ),
+            }
+        )
+    )
+    out = pa.concat_tables(
+        ray.get(resize_stage(ds, out_h=3, out_w=3).to_arrow_refs())
+    ).sort_by("item_id")
+    assert out["resized"].to_pylist() == [False, True, False]
+    got = decode_ppm(out["payload"][1].as_py())
+    assert np.array_equal(got[:, :, 0], resize_nearest(gray, 3, 3))
+    # decoder: same payloads fall through to deterministic stub features
+    dec = MediaDecoder(fake=True, feature_dim=4)
+    for p in (interlaced, truncated_gif):
+        assert dec._decode(p).shape == (4,)

@@ -85,3 +85,30 @@ def test_doc_frequencies(ray_session):
         for w in set(x for x in re.split(r"[^0-9a-z_]+", text.lower()) if x):
             want[w] = want.get(w, 0) + 1
     assert dict(zip(got["tok"].to_pylist(), got["df"].to_pylist())) == want
+
+
+def test_doc_frequencies_sparse_partitions(ray_session):
+    """Vocabulary smaller than num_partitions: empty groupby partitions
+    (bare schema blocks) must not break the merge, and the single-pass
+    doc count must be exact."""
+    from nlshray.stages.tfidf import doc_frequencies, tfidf_topk
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(["aa bb", "aa", "bb aa"], pa.string()),
+        }
+    )
+    tbl, n = doc_frequencies(
+        rd.from_arrow(t), num_partitions=8, with_doc_count=True
+    )
+    assert n == 3
+    assert dict(zip(tbl["tok"].to_pylist(), tbl["df"].to_pylist())) == {
+        "aa": 3, "bb": 2,
+    }
+    out = pa.concat_tables(
+        tfidf_topk(rd.from_arrow(t), k=1, num_partitions=8).iter_batches(
+            batch_format="pyarrow"
+        )
+    )
+    assert out.num_rows == 3  # one keyword per doc, no crash

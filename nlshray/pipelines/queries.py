@@ -2867,3 +2867,128 @@ def _build_dup_span_oracle(k: int = 8) -> str:
 
 
 ORACLE_SQL["duplicate_spans"] = _build_dup_span_oracle()
+
+
+def dataset_splits(sf_dir: str):
+    """Deterministic train/valid/test assignment
+    (``stages/topk.assign_splits``): split = hash-threshold of
+    splitmix64(doc_id ^ seed) — stable under reruns, resume, corpus
+    growth, and any parallelism. Full-column output."""
+    from nlshray.stages.topk import assign_splits
+
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "lang"])
+    return assign_splits(docs, "doc_id", seed=CFG.seed)
+
+
+QUERIES["dataset_splits"] = dataset_splits
+
+
+def _build_splits_oracle() -> str:
+    from nlshray.hashing import _seed_mix
+
+    mix = int(_seed_mix(CFG.seed))
+    t1 = int(0.8 * float(2**64))
+    t2 = int(0.9 * float(2**64))
+    return f"""
+        WITH seeded AS (
+          SELECT doc_id, lang,
+                 xor(CAST(doc_id AS UBIGINT), {mix}::UBIGINT) AS x
+          FROM documents
+        ),
+        {_sql_splitmix('s', 'seeded', 'x', 'lang').strip()}
+        SELECT doc_id, lang,
+               CASE WHEN z < {t1}::UBIGINT THEN 'train'
+                    WHEN z < {t2}::UBIGINT THEN 'valid'
+                    ELSE 'test' END AS split
+        FROM s6
+    """
+
+
+ORACLE_SQL["dataset_splits"] = _build_splits_oracle()
+
+
+def source_dup_rates(sf_dir: str):
+    """Per-provenance near-dup report: for each source, how many docs
+    it contributes and how many of those sit in a non-singleton
+    cluster of the flagship threshold-0.8 dedup — the 'which crawl is
+    polluting my corpus' question, as one composition (dedup ->
+    cluster sizes -> broadcast dup-id membership -> per-source
+    combiner groupby). Integer-only output; the oracle replays the
+    whole chain and aggregates the recursive-CTE clusters. Scale note:
+    cluster sizes here come from the materialized clusters table (the
+    driver-check contract); at 10^9+ docs compute sizes with a
+    groupby-count on the clusters Dataset and keep only the dup ids —
+    the broadcast side is the dup subset, not the corpus."""
+    from nlshray.functions.nputil import isin_sorted
+
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+    res = dedup_docs(docs, CFG, num_partitions=NPARTS)
+    clus = to_arrow(res.clusters)
+    cid = clus["cluster_id"].to_numpy()
+    ids = clus["doc_id"].to_numpy()
+    _u, inv, cnt = np.unique(cid, return_inverse=True, return_counts=True)
+    dup_ref = ray.put(np.sort(ids[cnt[inv] >= 2]))
+
+    def partial(t: pa.Table) -> pa.Table:
+        dup_ids = ray.get(dup_ref)
+        src = t["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        enc = src.dictionary_encode()
+        codes = np.asarray(enc.indices, np.int64)
+        g = len(enc.dictionary)
+        hit = isin_sorted(dup_ids, t["doc_id"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "source": enc.dictionary,
+                "n_docs": pa.array(np.bincount(codes, minlength=g).astype(np.int64)),
+                "n_dup_docs": pa.array(
+                    np.bincount(codes[hit], minlength=g).astype(np.int64)
+                ),
+            }
+        )
+
+    src = _pq(sf_dir, "documents", columns=["doc_id", "source"])
+    agg = (
+        src.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source", num_partitions=NPARTS)
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_dup_docs", alias_name="n_dup_docs"),
+        )
+    )
+    return to_arrow(agg)
+
+
+QUERIES["source_dup_rates"] = source_dup_rates
+
+
+def _build_source_dup_oracle() -> str:
+    return f"""
+        WITH RECURSIVE {_near_dup_chain_sql().strip()},
+        alledge AS (
+          SELECT left_id AS u, right_id AS v FROM conf
+          UNION ALL
+          SELECT doc_id AS u, rep_id AS v FROM rep WHERE doc_id <> rep_id
+        ),
+        sym AS MATERIALIZED (
+          SELECT u, v FROM alledge UNION SELECT v AS u, u AS v FROM alledge
+        ),
+        reach(doc_id, r) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT s.v, reach.r FROM reach JOIN sym s ON s.u = reach.doc_id
+        ),
+        clus AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id),
+        sz AS (SELECT cluster_id, COUNT(*) AS sz FROM clus GROUP BY cluster_id)
+        SELECT d.source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN sz.sz >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dup_docs
+        FROM documents d
+        JOIN clus USING (doc_id) JOIN sz USING (cluster_id)
+        GROUP BY d.source
+    """
+
+
+ORACLE_SQL["source_dup_rates"] = _build_source_dup_oracle()

@@ -191,3 +191,35 @@ def capped_sample(
         keyed, group_col, "_hkey", cap, ascending=True, tie_col=id_col
     )
     return out.drop_columns(["_hkey"])
+
+
+def assign_splits(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    *,
+    fractions: tuple[float, float] = (0.8, 0.1),
+    seed: int = 42,
+) -> ray.data.Dataset:
+    """Deterministic train/valid/test assignment by hash threshold:
+    split(id) = f(splitmix64(id ^ seed)) — a pure function of (id,
+    seed, fractions), so the split is stable across reruns, resumes,
+    corpus growth (a doc keeps its split when new docs arrive) and any
+    parallelism. ``fractions`` are (train, valid); test gets the rest.
+    The same contract as ``sampled_docs``'s hash-threshold sampling,
+    extended to a partition of the corpus."""
+    import pyarrow as pa
+
+    from nlshray.hashing import _seed_mix, splitmix64
+
+    t1 = np.uint64(int(fractions[0] * float(2**64)))
+    t2 = np.uint64(int((fractions[0] + fractions[1]) * float(2**64)))
+    mix = _seed_mix(seed)
+    names = np.array(["train", "valid", "test"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        z = splitmix64(ids ^ mix)
+        idx = np.where(z < t1, 0, np.where(z < t2, 1, 2))
+        return t.append_column("split", pa.array(names[idx], pa.string()))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -203,3 +203,32 @@ def test_epoch_shuffle_rank(ray_session):
     assert collect(9, seed=7) == got           # parallelism-independent
     other = collect(4, seed=8)
     assert other != got                        # a new epoch reorders
+
+
+def test_assign_splits(ray_session):
+    from nlshray.stages.topk import assign_splits
+
+    t = pa.table({"doc_id": pa.array(np.arange(5000, dtype=np.int64))})
+
+    def run(nparts):
+        out = pa.concat_tables(
+            assign_splits(
+                rd.from_arrow(t).repartition(nparts), seed=7
+            ).iter_batches(batch_format="pyarrow")
+        ).sort_by("doc_id")
+        return out["split"].to_pylist()
+
+    s = run(3)
+    assert run(9) == s                       # parallelism-independent
+    frac = {k: s.count(k) / len(s) for k in ("train", "valid", "test")}
+    assert abs(frac["train"] - 0.8) < 0.02
+    assert abs(frac["valid"] - 0.1) < 0.01
+    assert abs(frac["test"] - 0.1) < 0.01
+    # growing the corpus never reassigns an existing doc
+    t2 = pa.table({"doc_id": pa.array(np.arange(8000, dtype=np.int64))})
+    out2 = pa.concat_tables(
+        assign_splits(rd.from_arrow(t2), seed=7).iter_batches(
+            batch_format="pyarrow"
+        )
+    ).sort_by("doc_id")
+    assert out2["split"].to_pylist()[:5000] == s

@@ -2992,3 +2992,67 @@ def _build_source_dup_oracle() -> str:
 
 
 ORACLE_SQL["source_dup_rates"] = _build_source_dup_oracle()
+
+
+def lang_mismatches(sf_dir: str):
+    """Label-vs-content language audit: docs whose declared ``lang``
+    disagrees with the stopword-profile language-ID
+    (``functions/textstats.detect_lang`` — the exact rule the quality
+    oracle replays). The 'mislabeled corpus slice' hygiene query; one
+    streaming pass, no shuffle."""
+    from nlshray.functions.textstats import batch_textstats
+
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        guess = pa.array(
+            batch_textstats(t["text"])["lang_guess"].tolist(), pa.string()
+        )
+        out = pa.table(
+            {"doc_id": t["doc_id"], "lang": t["lang"], "lang_guess": guess}
+        )
+        return out.filter(pc.invert(pc.equal(out["lang"], guess)))
+
+    return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+QUERIES["lang_mismatches"] = lang_mismatches
+
+
+def _build_lang_mismatch_oracle() -> str:
+    from nlshray.functions.textstats import _LANG_STOPWORDS
+
+    lang_fracs = []
+    for lang, stops in _LANG_STOPWORDS.items():
+        lst = ", ".join(f"'{w}'" for w in sorted(stops))
+        lang_fracs.append(
+            f"CASE WHEN length(ts) = 0 THEN 0.0 ELSE "
+            f"length(list_filter(ts, t -> list_contains([{lst}], t)))"
+            f" * 1.0 / length(ts) END AS {lang}_frac"
+        )
+    lang_cols = ",\n            ".join(lang_fracs)
+    first, second, third = list(_LANG_STOPWORDS)
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, lang,
+                 list_filter(regexp_split_to_array(lower(text), '[^0-9a-z_]+'),
+                             x -> x != '') AS ts
+          FROM documents
+        ),
+        feat AS (SELECT doc_id, lang, {lang_cols} FROM toks),
+        guessed AS (
+          SELECT doc_id, lang,
+               CASE WHEN greatest({first}_frac, {second}_frac,
+                                  {third}_frac) < 0.02 THEN 'und'
+                    WHEN {first}_frac >= {second}_frac
+                     AND {first}_frac >= {third}_frac THEN '{first}'
+                    WHEN {second}_frac >= {third}_frac THEN '{second}'
+                    ELSE '{third}' END AS lang_guess
+          FROM feat
+        )
+        SELECT doc_id, lang, lang_guess FROM guessed
+        WHERE lang <> lang_guess
+    """
+
+
+ORACLE_SQL["lang_mismatches"] = _build_lang_mismatch_oracle()

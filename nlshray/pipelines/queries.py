@@ -3056,3 +3056,78 @@ def _build_lang_mismatch_oracle() -> str:
 
 
 ORACLE_SQL["lang_mismatches"] = _build_lang_mismatch_oracle()
+
+
+def quality_filtered_docs(sf_dir: str, q: float = 0.25):
+    """Dynamic per-language quality gate: keep docs whose quality score
+    reaches their language's own P25 (quantile_disc) — thresholds
+    derived from the data, not hand-set, so a weak language's docs
+    aren't mass-dropped by a global cutoff. Composition: one scoring
+    pass keeping (doc_id, lang, quality), materialized in the OBJECT
+    STORE (three slim columns, never the driver); per-lang exact float
+    quantile via the histogram+refine combiner
+    (``grouped_quantiles_float`` — zero shuffles); thresholds (5
+    floats) broadcast into a filter pass over the same materialized
+    dataset. Exactness: quality floats are bit-identical in engine and
+    oracle (quality_scores hash-matches) and quantile_disc picks an
+    actual data value, so the >= compare is exact on both sides."""
+    from nlshray.functions.textstats import batch_textstats
+    from nlshray.stages.quantiles import grouped_quantiles_float
+
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+
+    def score(t: pa.Table) -> pa.Table:
+        f = batch_textstats(t["text"])
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "lang": t["lang"],
+                "quality": pa.array(f["quality"], pa.float64()),
+            }
+        )
+
+    scored = docs.map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    pct = int(round(q * 100))
+    qt = grouped_quantiles_float(scored, "lang", "quality", [q])
+    cuts = dict(
+        zip(qt["lang"].to_pylist(), qt[f"q_{pct}"].to_pylist())
+    )
+    cut_ref = ray.put(cuts)
+
+    def keep(t: pa.Table) -> pa.Table:
+        c = ray.get(cut_ref)
+        thr = np.array([c[x] for x in t["lang"].to_pylist()])
+        return t.filter(pa.array(t["quality"].to_numpy() >= thr))
+
+    return scored.map_batches(
+        keep, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+QUERIES["quality_filtered_docs"] = quality_filtered_docs
+
+
+def _build_quality_filter_oracle(q: float = 0.25) -> str:
+    """Per-lang quantile_disc threshold + filter over the SQL quality
+    replay (the `qual` CTE is `_build_quality_scores_oracle`'s
+    composition re-used via quality_scores' own oracle as a subquery)."""
+    inner = _build_quality_scores_oracle().strip()
+    return f"""
+        WITH qual AS ({inner}),
+        lab AS (
+          SELECT q.doc_id, d.lang, q.quality
+          FROM qual q JOIN documents d USING (doc_id)
+        ),
+        cut AS (
+          SELECT lang, quantile_disc(quality, {q}) AS thr
+          FROM lab GROUP BY lang
+        )
+        SELECT l.doc_id, l.lang, l.quality
+        FROM lab l JOIN cut USING (lang)
+        WHERE l.quality >= cut.thr
+    """
+
+
+ORACLE_SQL["quality_filtered_docs"] = _build_quality_filter_oracle()

@@ -149,11 +149,15 @@ def _seg_sums(values: np.ndarray, doc_ends: np.ndarray, per_doc: np.ndarray) -> 
     return cs[doc_ends] - cs[doc_ends - per_doc]
 
 
-def batch_textstats(texts) -> dict[str, np.ndarray]:
+def batch_textstats(
+    texts, *, with_fingerprint: bool = True
+) -> dict[str, np.ndarray]:
     """All per-doc text statistics for a batch, vectorized.
 
     Returns numpy arrays keyed like ``quality_features`` plus
     ``n_ws_tokens``, ``n_pieces``, ``lang_guess``, ``fingerprint``.
+    ``with_fingerprint=False`` skips the 8-gram rolling-hash pass (the
+    heaviest kernel here) for callers that only consume lang/quality.
     """
     from nlshray.functions.shingles import _SPLIT_PATTERN, _as_string_array
     from nlshray.hashing import _string_array_bytes
@@ -224,7 +228,11 @@ def batch_textstats(texts) -> dict[str, np.ndarray]:
     )
 
     # fingerprints: segmented 8-gram rolling min over the raw bytes
-    fingerprint = batch_fingerprints(arr)
+    fingerprint = (
+        batch_fingerprints(arr)
+        if with_fingerprint
+        else np.zeros(n_docs, np.int64)
+    )
 
     return {
         "n_chars": n_chars,

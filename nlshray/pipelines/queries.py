@@ -775,7 +775,7 @@ def score_quantiles_by_lang(sf_dir: str):
     from nlshray.functions.textstats import batch_textstats
 
     def score(t: pa.Table) -> pa.Table:
-        f = batch_textstats(t["text"])
+        f = batch_textstats(t["text"], with_fingerprint=False)
         return pa.table(
             {"lang": t["lang"], "quality": pa.array(f["quality"], pa.float64())}
         )
@@ -3006,7 +3006,10 @@ def lang_mismatches(sf_dir: str):
 
     def fn(t: pa.Table) -> pa.Table:
         guess = pa.array(
-            batch_textstats(t["text"])["lang_guess"].tolist(), pa.string()
+            batch_textstats(t["text"], with_fingerprint=False)[
+                "lang_guess"
+            ].tolist(),
+            pa.string(),
         )
         out = pa.table(
             {"doc_id": t["doc_id"], "lang": t["lang"], "lang_guess": guess}
@@ -3077,7 +3080,7 @@ def quality_filtered_docs(sf_dir: str, q: float = 0.25):
     docs = _pq(sf_dir, "documents", columns=["doc_id", "lang", "text"])
 
     def score(t: pa.Table) -> pa.Table:
-        f = batch_textstats(t["text"])
+        f = batch_textstats(t["text"], with_fingerprint=False)
         return pa.table(
             {
                 "doc_id": t["doc_id"],
@@ -3098,7 +3101,12 @@ def quality_filtered_docs(sf_dir: str, q: float = 0.25):
 
     def keep(t: pa.Table) -> pa.Table:
         c = ray.get(cut_ref)
-        thr = np.array([c[x] for x in t["lang"].to_pylist()])
+        lang = t["lang"]
+        if isinstance(lang, pa.ChunkedArray):
+            lang = lang.combine_chunks()
+        enc = lang.dictionary_encode()
+        per_lang = np.array([c[g] for g in enc.dictionary.to_pylist()])
+        thr = per_lang[np.asarray(enc.indices, np.int64)]
         return t.filter(pa.array(t["quality"].to_numpy() >= thr))
 
     return scored.map_batches(

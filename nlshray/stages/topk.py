@@ -206,20 +206,23 @@ def assign_splits(
     corpus growth (a doc keeps its split when new docs arrive) and any
     parallelism. ``fractions`` are (train, valid); test gets the rest.
     The same contract as ``sampled_docs``'s hash-threshold sampling,
-    extended to a partition of the corpus."""
-    import pyarrow as pa
-
-    from nlshray.hashing import _seed_mix, splitmix64
-
-    t1 = np.uint64(int(fractions[0] * float(2**64)))
-    t2 = np.uint64(int((fractions[0] + fractions[1]) * float(2**64)))
+    extended to a partition of the corpus. Fractions summing to 1.0
+    (a two-way split with no test bucket) are legal: a threshold at or
+    above 2^64 compares as always-true instead of overflowing uint64."""
+    t1 = int(fractions[0] * float(2**64))
+    t2 = int((fractions[0] + fractions[1]) * float(2**64))
     mix = _seed_mix(seed)
     names = np.array(["train", "valid", "test"])
+
+    def _below(z: np.ndarray, t: int) -> np.ndarray:
+        if t >= 2**64:
+            return np.ones(z.shape[0], bool)
+        return z < np.uint64(max(t, 0))
 
     def fn(t: pa.Table) -> pa.Table:
         ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
         z = splitmix64(ids ^ mix)
-        idx = np.where(z < t1, 0, np.where(z < t2, 1, 2))
+        idx = np.where(_below(z, t1), 0, np.where(_below(z, t2), 1, 2))
         return t.append_column("split", pa.array(names[idx], pa.string()))
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -232,3 +232,19 @@ def test_assign_splits(ray_session):
         )
     ).sort_by("doc_id")
     assert out2["split"].to_pylist()[:5000] == s
+
+
+def test_assign_splits_two_way(ray_session):
+    """fractions summing to 1.0 (no test bucket) must not overflow."""
+    from nlshray.stages.topk import assign_splits
+
+    t = pa.table({"doc_id": pa.array(np.arange(2000, dtype=np.int64))})
+    out = pa.concat_tables(
+        assign_splits(
+            rd.from_arrow(t), fractions=(0.9, 0.1), seed=3
+        ).iter_batches(batch_format="pyarrow")
+    )
+    counts = {k: out["split"].to_pylist().count(k)
+              for k in ("train", "valid", "test")}
+    assert counts["test"] == 0
+    assert abs(counts["train"] / 2000 - 0.9) < 0.03

@@ -3139,3 +3139,26 @@ def _build_quality_filter_oracle(q: float = 0.25) -> str:
 
 
 ORACLE_SQL["quality_filtered_docs"] = _build_quality_filter_oracle()
+
+
+def chunked_docs(sf_dir: str, size: int = 200, overlap: int = 50):
+    """Overlapping fixed-size chunking (``stages/chunk.py`` — the
+    embedding/RAG prep op): one fancy-index gather over each block's
+    concatenated utf-8 buffer, no per-row Python. Rule replayed by the
+    oracle: step = size - overlap, chunk i = text[i*step : i*step+size],
+    n = ceil(max(len,1)/step)."""
+    from nlshray.stages.chunk import chunk_docs
+
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+    return chunk_docs(docs, size=size, overlap=overlap)
+
+
+QUERIES["chunked_docs"] = chunked_docs
+
+ORACLE_SQL["chunked_docs"] = """
+    WITH n AS (SELECT doc_id, text, length(text) AS L FROM documents)
+    SELECT doc_id, i.i AS chunk_idx,
+           substring(text, CAST(i.i * 150 + 1 AS BIGINT), 200) AS chunk_text
+    FROM n, unnest(range(0, CAST(ceil(greatest(L, 1) / 150.0) AS BIGINT)))
+           AS i(i)
+"""

@@ -284,7 +284,11 @@ def dedup_pages(
 
 
 def to_arrow(ds: ray.data.Dataset) -> pa.Table:
-    """Small-scale helper: a Dataset as one Arrow table (tests/oracle)."""
+    """Small-scale helper: a Dataset as one Arrow table (tests/oracle).
+    Idempotent: queries that already folded to a driver-side Table
+    (e.g. ``band_stats``) pass through unchanged."""
+    if isinstance(ds, pa.Table):
+        return ds
     tables = [ray.get(r) for r in ds.to_arrow_refs()]
     tables = [t for t in tables if t.num_rows] or tables[:1]
     return pa.concat_tables(tables, promote_options="default")

@@ -17,7 +17,7 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Mean, Sum
+from ray.data.aggregate import Count, Mean, Min, Sum
 
 from nlshray.config import DedupConfig
 from nlshray.pipelines.dedup import dedup_docs, to_arrow
@@ -3162,3 +3162,125 @@ ORACLE_SQL["chunked_docs"] = """
     FROM n, unnest(range(0, CAST(ceil(greatest(L, 1) / 150.0) AS BIGINT)))
            AS i(i)
 """
+
+
+def band_stats(sf_dir: str):
+    """LSH band-collision diagnostics (the skew/tuning report for the
+    flagship's candidate-generation shuffle): per band, how many docs
+    emitted keys, how many distinct buckets exist, the largest bucket,
+    and the implied candidate-pair fan-out sum(c*(c-1)/2). This is the
+    table an operator reads before choosing ``group_cap``/salting at
+    100 TB — hot buckets show up here before they hurt the shuffle.
+
+    Plan: exact-dup collapse -> sign -> band rows (18 B/row, the same
+    thing the pair shuffle moves) -> per-block partial (band, key)
+    counts -> one key-grouped sum -> a 16-row per-band fold. Integer
+    only; the oracle replays the full tokenize -> shingle -> MinHash ->
+    band-fold chain (``_near_dup_chain_sql``) down to ``bkey`` and
+    aggregates the same four statistics."""
+    from nlshray.stages.band import band_stage
+
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+    reps = exact_stage(docs, num_partitions=NPARTS)
+
+    def only_reps(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t["doc_id"], t["rep_id"])
+        return t.filter(keep).select(["doc_id", "text"])
+
+    reps = reps.map_batches(only_reps, batch_format="pyarrow", zero_copy_batch=True)
+    rows = band_stage(sign_stage(reps, CFG), CFG)
+
+    def bucket_partials(t: pa.Table) -> pa.Table:
+        # pre-aggregate inside the block: (band, key) -> count
+        key = t["band_hash"].to_numpy()
+        band = t["band_idx"].to_numpy().astype(np.int64)
+        order = np.lexsort((key, band))
+        b, k = band[order], key[order]
+        new = np.empty(b.size, bool)
+        new[:1] = True
+        np.not_equal(b[1:], b[:-1], out=new[1:])
+        np.logical_or(new[1:], k[1:] != k[:-1], out=new[1:])
+        starts = np.flatnonzero(new)
+        cnt = np.diff(np.append(starts, b.size))
+        return pa.table(
+            {
+                "band_idx": pa.array(b[starts]),
+                "band_hash": pa.array(k[starts]),
+                "cnt": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    buckets = (
+        rows.map_batches(bucket_partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("band_hash", num_partitions=NPARTS)
+        .aggregate(Sum("cnt", alias_name="cnt"), Min("band_idx", alias_name="band"))
+    )
+
+    def per_band_partial(t: pa.Table) -> pa.Table:
+        band = t["band"].to_numpy().astype(np.int64)
+        cnt = t["cnt"].to_numpy().astype(np.int64)
+        order = np.argsort(band, kind="stable")
+        band, cnt = band[order], cnt[order]
+        starts = np.flatnonzero(np.r_[True, band[1:] != band[:-1]])
+        seg = np.append(starts, band.size)
+        n_docs = np.add.reduceat(cnt, starts)
+        n_buckets = np.diff(seg)
+        max_b = np.maximum.reduceat(cnt, starts)
+        pairs = np.add.reduceat(cnt * (cnt - 1) // 2, starts)
+        return pa.table(
+            {
+                "band": pa.array(band[starts]),
+                "n_docs": pa.array(n_docs),
+                "n_buckets": pa.array(n_buckets),
+                "max_bucket": pa.array(max_b),
+                "n_cand_pairs": pa.array(pairs),
+            }
+        )
+
+    partial = to_arrow(
+        buckets.map_batches(
+            per_band_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    # driver fold of <= 16 * n_blocks partial rows (bounded by bands * blocks)
+    band = partial["band"].to_numpy()
+    order = np.argsort(band, kind="stable")
+    band = band[order]
+    nd = partial["n_docs"].to_numpy()[order]
+    nb = partial["n_buckets"].to_numpy()[order]
+    mx = partial["max_bucket"].to_numpy()[order]
+    np_ = partial["n_cand_pairs"].to_numpy()[order]
+    starts = np.flatnonzero(np.r_[True, band[1:] != band[:-1]])
+    return pa.table(
+        {
+            "band": pa.array(band[starts].astype(np.int64)),
+            "n_docs": pa.array(np.add.reduceat(nd, starts).astype(np.int64)),
+            "n_buckets": pa.array(np.add.reduceat(nb, starts).astype(np.int64)),
+            "max_bucket": pa.array(np.maximum.reduceat(mx, starts).astype(np.int64)),
+            "n_cand_pairs": pa.array(np.add.reduceat(np_, starts).astype(np.int64)),
+        }
+    )
+
+
+QUERIES["band_stats"] = band_stats
+
+
+def _build_band_stats_oracle() -> str:
+    mask = (1 << 63) - 1
+    return f"""
+        WITH {_near_dup_chain_sql()},
+        mkey AS (
+          SELECT doc_id, band, CAST(key & {mask}::UBIGINT AS BIGINT) AS key
+          FROM bkey
+        ),
+        bc AS (SELECT band, key, COUNT(*) AS cnt FROM mkey GROUP BY band, key)
+        SELECT CAST(band AS BIGINT) AS band,
+               CAST(SUM(cnt) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_buckets,
+               CAST(MAX(cnt) AS BIGINT) AS max_bucket,
+               CAST(SUM(cnt * (cnt - 1) / 2) AS BIGINT) AS n_cand_pairs
+        FROM bc GROUP BY band
+    """
+
+
+ORACLE_SQL["band_stats"] = _build_band_stats_oracle()

@@ -608,3 +608,40 @@ def test_resize_and_decode_robust_to_bad_payloads(ray_session):
     dec = MediaDecoder(fake=True, feature_dim=4)
     for p in (interlaced, truncated_gif):
         assert dec._decode(p).shape == (4,)
+
+
+def test_band_stats_matches_bruteforce(ray_session):
+    """band_stats (LSH collision diagnostics) == a driver-side numpy
+    recompute from the same signatures, and every band sees every rep."""
+    import numpy as np
+    import pyarrow as pa
+
+    from nlshray.hashing import MASK63, band_hashes
+    from nlshray.pipelines.dedup import to_arrow
+    from nlshray.pipelines.queries import CFG, NPARTS, QUERIES, _pq
+    from nlshray.stages.exact import exact_stage
+    from nlshray.stages.sign import sign_stage, sigs_to_numpy
+
+    sf = "/root/testdata/sf0.001"
+    got = to_arrow(QUERIES["band_stats"](sf)).sort_by("band")
+    assert got["band"].to_pylist() == list(range(CFG.bands))
+
+    docs = _pq(sf, "documents", columns=["doc_id", "text"])
+    rep = to_arrow(exact_stage(docs, num_partitions=NPARTS))
+    rep = rep.filter(
+        pa.compute.equal(rep["doc_id"], rep["rep_id"])
+    ).select(["doc_id", "text"])
+    import ray.data as rd
+
+    sigs = to_arrow(sign_stage(rd.from_arrow(rep), CFG))
+    m = sigs_to_numpy(sigs["sig"], CFG.num_perms)
+    bh = (band_hashes(m, CFG.bands, CFG.rows_per_band) & np.uint64(MASK63)).astype(
+        np.int64
+    )
+    n_reps = m.shape[0]
+    assert got["n_docs"].to_pylist() == [n_reps] * CFG.bands
+    for b in range(CFG.bands):
+        _, cnt = np.unique(bh[:, b], return_counts=True)
+        assert got["n_buckets"][b].as_py() == cnt.size
+        assert got["max_bucket"][b].as_py() == int(cnt.max())
+        assert got["n_cand_pairs"][b].as_py() == int((cnt * (cnt - 1) // 2).sum())

@@ -3284,3 +3284,81 @@ def _build_band_stats_oracle() -> str:
 
 
 ORACLE_SQL["band_stats"] = _build_band_stats_oracle()
+
+
+def token_bigram_rarity(sf_dir: str, k: int = 2):
+    """Per-doc corpus-frequency rarity signal
+    (``stages/decontam.gram_frequency_stats``): token-bigram occurrence
+    count, summed global bigram frequency, and hapax count — the
+    integer-exact core of a CCNet-style LM quality filter (low mean
+    frequency / high hapax share flags gibberish). Oracle replays the
+    token-hash -> window-fold -> occurrence-count chain with no float
+    anywhere."""
+    from nlshray.stages.decontam import gram_frequency_stats
+
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+    return gram_frequency_stats(docs, k=k, num_partitions=NPARTS)
+
+
+QUERIES["token_bigram_rarity"] = token_bigram_rarity
+
+
+def _build_bigram_rarity_oracle(k: int = 2) -> str:
+    from nlshray.hashing import _seed_mix
+
+    seedmix = int(_seed_mix(0))
+    fold_step = f"(({_sql_mulmod('acc', _SQL_POLY)}) + CAST(x AS HUGEINT)) % {_M64}"
+    return f"""
+        WITH tokarr AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '[^0-9a-z_]+'),
+                             t -> t <> '') AS toks
+          FROM documents
+        ),
+        tok AS (
+          SELECT doc_id, i.i AS pos, toks[i.i] AS tok
+          FROM tokarr, unnest(range(1, len(toks) + 1)) AS i(i)
+        ),
+        folded AS (
+          SELECT doc_id, pos,
+            list_reduce(
+              list_prepend(0::HUGEINT,
+                list_transform(regexp_split_to_array(tok, ''),
+                               c -> unicode(c)::HUGEINT)),
+              (acc, x) -> {fold_step}
+            ) AS raw
+          FROM tok
+        ),
+        seeded AS (SELECT doc_id, pos, xor(CAST(raw AS UBIGINT), {seedmix}::UBIGINT) AS x FROM folded),
+        {_sql_splitmix('t', 'seeded', 'x', 'pos').strip()},
+        ths AS (
+          SELECT doc_id, list(z ORDER BY pos) AS th, COUNT(*) AS n
+          FROM t6 GROUP BY doc_id
+        ),
+        wins AS (
+          SELECT doc_id,
+            list_reduce(
+              list_prepend(0::HUGEINT,
+                list_transform(th[w.w : w.w + {k} - 1],
+                               x -> CAST(x AS HUGEINT))),
+              (acc, x) -> {fold_step}
+            ) AS raw
+          FROM ths, unnest(range(1, greatest(n - {k} + 1, 0) + 1)) AS w(w)
+        ),
+        {_sql_splitmix('h', 'wins', 'raw', '').strip()},
+        gd AS (SELECT z, COUNT(*) AS cnt FROM h6 GROUP BY z),
+        per AS (
+          SELECT h.doc_id, COUNT(*) AS n_grams,
+                 SUM(gd.cnt) AS freq_sum,
+                 SUM(CASE WHEN gd.cnt = 1 THEN 1 ELSE 0 END) AS n_hapax
+          FROM h6 h JOIN gd USING (z) GROUP BY h.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams,
+               CAST(COALESCE(p.freq_sum, 0) AS BIGINT) AS freq_sum,
+               CAST(COALESCE(p.n_hapax, 0) AS BIGINT) AS n_hapax
+        FROM documents d LEFT JOIN per p USING (doc_id)
+    """
+
+
+ORACLE_SQL["token_bigram_rarity"] = _build_bigram_rarity_oracle()

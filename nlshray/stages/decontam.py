@@ -211,3 +211,93 @@ def duplicate_span_stats(
     return docs.map_batches(
         per_doc, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def gram_frequency_stats(
+    docs: rd.Dataset, *, k: int = 2, num_partitions: int = 8, seed: int = 0
+) -> rd.Dataset:
+    """Per-doc corpus-frequency signal (the integer-exact core of a
+    CCNet-style LM quality filter): for each doc, its k-token-gram
+    OCCURRENCES, the sum of each occurrence's global corpus frequency,
+    and how many of its occurrences are corpus hapaxes (frequency 1).
+    Low ``freq_sum / n_grams`` and high ``n_hapax`` flag gibberish /
+    OCR noise; boilerplate shows up as the opposite tail.
+
+    Plan mirrors ``duplicate_span_stats``: (A) per-block (gram, count)
+    occurrence partials -> one gram-keyed groupby sum; (B) only grams
+    with count >= 2 are broadcast (sorted uint64 + counts — hapaxes
+    contribute exactly 1 to freq_sum, so they never ship), one more
+    streaming pass reconstitutes per-doc sums. Same 100-TB caveat and
+    escape hatch as duplicate_span_stats: a boilerplate-heavy corpus
+    can outgrow the broadcast, at which point pass B becomes the
+    hash-partitioned semi-join of ``incremental.py``'s scale plan.
+    Output: (doc_id, n_grams, freq_sum, n_hapax) — all integers."""
+    from ray.data.aggregate import Sum
+
+    import pyarrow.compute as pc
+
+    from nlshray.functions.nputil import segment_ids
+
+    def gram_partials(t: pa.Table) -> pa.Table:
+        flat, _ = batch_kgram_hashes(t["text"], k, seed=seed)
+        g, c = np.unique(flat, return_counts=True)
+        return pa.table(
+            {
+                "gram": pa.array(g.view(np.int64)),
+                "cnt": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    agg = (
+        docs.map_batches(
+            gram_partials, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("gram", num_partitions=num_partitions)
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+    def keep_repeated(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["cnt"], 2))
+
+    blocks = [
+        b
+        for b in ray.get(
+            agg.map_batches(
+                keep_repeated, batch_format="pyarrow", zero_copy_batch=True
+            ).to_arrow_refs()
+        )
+        if b.num_columns
+    ]
+    if blocks:
+        rep = pa.concat_tables(blocks)
+        g = rep["gram"].to_numpy(zero_copy_only=False).view(np.uint64)
+        c = rep["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(g)
+        rep_ref = ray.put((g[order], c[order]))
+    else:
+        rep_ref = ray.put((np.empty(0, np.uint64), np.empty(0, np.int64)))
+
+    def per_doc(t: pa.Table) -> pa.Table:
+        grams_sorted, cnts = ray.get(rep_ref)
+        flat, lens = batch_kgram_hashes(t["text"], k, seed=seed)
+        seg = segment_ids(lens)
+        freq_extra = np.zeros(lens.shape[0], np.int64)
+        hapax = lens.astype(np.int64).copy()
+        if flat.size and grams_sorted.size:
+            idx = np.searchsorted(grams_sorted, flat)
+            idx_c = np.minimum(idx, grams_sorted.size - 1)
+            found = grams_sorted[idx_c] == flat
+            np.add.at(freq_extra, seg[found], cnts[idx_c[found]] - 1)
+            np.subtract.at(hapax, seg[found], 1)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_grams": pa.array(lens.astype(np.int64)),
+                "freq_sum": pa.array(lens.astype(np.int64) + freq_extra),
+                "n_hapax": pa.array(hapax),
+            }
+        )
+
+    return docs.map_batches(
+        per_doc, batch_format="pyarrow", zero_copy_batch=True
+    )

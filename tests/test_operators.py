@@ -645,3 +645,40 @@ def test_band_stats_matches_bruteforce(ray_session):
         assert got["n_buckets"][b].as_py() == cnt.size
         assert got["max_bucket"][b].as_py() == int(cnt.max())
         assert got["n_cand_pairs"][b].as_py() == int((cnt * (cnt - 1) // 2).sum())
+
+
+def test_gram_frequency_stats_matches_bruteforce(ray_session):
+    """token-bigram rarity == a whole-corpus numpy recompute, including
+    short-doc zeros and the hapax/repeated split."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from nlshray.pipelines.dedup import to_arrow
+    from nlshray.stages.decontam import batch_kgram_hashes, gram_frequency_stats
+
+    texts = [
+        "alpha beta gamma alpha beta",   # repeats "alpha beta" bigram
+        "alpha beta delta",              # shares "alpha beta"
+        "zeta",                          # 1 token -> 0 bigrams
+        "",                              # empty -> 0 bigrams
+        "unique words only here now",
+    ]
+    t = pa.table({"doc_id": pa.array(range(5), pa.int64()), "text": texts})
+    got = (
+        to_arrow(gram_frequency_stats(rd.from_arrow(t).repartition(3), k=2))
+        .sort_by("doc_id")
+    )
+
+    flat, lens = batch_kgram_hashes(t["text"], 2)
+    _, inv, cnt = np.unique(flat, return_inverse=True, return_counts=True)
+    occ_cnt = cnt[inv]
+    starts = np.r_[0, np.cumsum(lens)[:-1]]
+    for i in range(5):
+        sl = slice(starts[i], starts[i] + lens[i])
+        assert got["n_grams"][i].as_py() == int(lens[i])
+        assert got["freq_sum"][i].as_py() == int(occ_cnt[sl].sum())
+        assert got["n_hapax"][i].as_py() == int((occ_cnt[sl] == 1).sum())
+    # doc 0's "alpha beta" occurs 3x corpus-wide (twice in doc0, once in doc1)
+    assert got["n_grams"].to_pylist()[2:4] == [0, 0]
+    assert got["freq_sum"][0].as_py() > got["n_grams"][0].as_py()

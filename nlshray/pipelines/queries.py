@@ -3362,3 +3362,23 @@ def _build_bigram_rarity_oracle(k: int = 2) -> str:
 
 
 ORACLE_SQL["token_bigram_rarity"] = _build_bigram_rarity_oracle()
+
+
+def semantic_dup_pairs(sf_dir: str):
+    """SemDeDup-style embedding dedup (``stages/ann.embedding_near_dup``
+    ``strategy="kmeans"``): pairs scored only within a coarse k-means
+    cluster — the published recipe for embedding-space dedup at web
+    scale (sample-fit centroids broadcast once, one argmax matmul per
+    batch, per-cluster matmuls bounded by cluster size). Approximate by
+    design (a cross-cluster near pair is missed), hence rows-only like
+    the other approximate members; the subset/recall/determinism gates
+    live in pytest over the clustered fixture."""
+    emb = _pq(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = embedding_near_dup(
+        emb, threshold=0.45, strategy="kmeans", n_clusters=8,
+        fit_sample_frac=0.5,
+    )
+    return _round(to_arrow(out), {"cosine": 6})
+
+
+QUERIES["semantic_dup_pairs"] = semantic_dup_pairs

@@ -659,16 +659,20 @@ def embedding_near_dup(
     col: str = "embedding",
     id_col: str = "vec_id",
     dim: int | None = None,
+    n_clusters: int = 16,
+    fit_sample_frac: float = 0.5,
 ) -> ray.data.Dataset:
     """Canonical (left<right) pairs with cosine >= threshold.
 
     ``bruteforce``: each batch vs the broadcast corpus matrix (exact; the
     corpus must fit one worker's heap — test/sf scale). ``lsh``: only
     same-hyperplane-bucket pairs are scored (approximate; scales by
-    trading recall for planes — the engine path at 10^12).
-    ``auto`` (default) routes by corpus size instead of hard-coding the
-    brute member (VERDICT r1 #5): exact below ``_BRUTEFORCE_LIMIT``
-    vectors, bucketed LSH above.
+    trading recall for planes — the engine path at 10^12). ``kmeans``:
+    the SemDeDup variant — pairs scored only within a coarse k-means
+    cluster (centroids sample-fit + broadcast; the published recipe for
+    embedding dedup at LAION/web scale). ``auto`` (default) routes by
+    corpus size instead of hard-coding the brute member (VERDICT r1
+    #5): exact below ``_BRUTEFORCE_LIMIT`` vectors, bucketed LSH above.
     """
     dim = dim or infer_dim(ds, col)
     if strategy == "auto":
@@ -696,22 +700,59 @@ def embedding_near_dup(
             pairs_bf, batch_format="pyarrow", zero_copy_batch=True, batch_size=2048
         )
 
-    if strategy != "lsh":
-        raise ValueError(f"unknown strategy {strategy!r}")
+    if strategy == "lsh":
+        planes = make_planes(n_planes, dim, seed)
+        planes_ref = ray.put(planes)
 
-    planes = make_planes(n_planes, dim, seed)
-    planes_ref = ray.put(planes)
+        def bucketize(t: pa.Table) -> pa.Table:
+            m = _l2norm(vectors_from_batch(t[col], dim))
+            b = hyperplane_buckets(m, ray.get(planes_ref))
+            return pa.table(
+                {
+                    id_col: t[id_col],
+                    col: t[col],
+                    "bucket": pa.array(b, pa.int64()),
+                }
+            )
 
-    def bucketize(t: pa.Table) -> pa.Table:
-        m = _l2norm(vectors_from_batch(t[col], dim))
-        b = hyperplane_buckets(m, ray.get(planes_ref))
-        return pa.table(
-            {
-                id_col: t[id_col],
-                col: t[col],
-                "bucket": pa.array(b, pa.int64()),
-            }
+    elif strategy == "kmeans":
+        # SemDeDup (Abbas et al., arXiv:2303.09540 — public method):
+        # coarse k-means clusters the embedding space, pairs are scored
+        # only within a cluster. Centroids fit on a deterministic
+        # hash-sample (splitmix64(vec_id ^ seed), parallelism- and
+        # rerun-independent) with the IVF quantizer's fixed-iteration
+        # Lloyd, then broadcast once; assignment is one argmax matmul
+        # per batch. A missed cross-cluster pair is the method's
+        # recall trade — superset/recall gated in pytest.
+        thr = np.uint64(
+            min(int(min(fit_sample_frac, 1.0) * float(2**64)), 2**64 - 1)
         )
+
+        def fit_filter(t: pa.Table) -> pa.Table:
+            vids = t[id_col].to_numpy().astype(np.int64).view(np.uint64)
+            keep = splitmix64(vids ^ np.uint64(seed)) <= thr
+            return t.filter(pa.array(keep))
+
+        sample = ds.select_columns([id_col, col]).map_batches(
+            fit_filter, batch_format="pyarrow", zero_copy_batch=True
+        )
+        _, sample_m = gather_matrix(sample, col=col, id_col=id_col, dim=dim)
+        C = fit_ivf_centroids(sample_m, n_clusters, seed=seed)
+        c_ref = ray.put(C)
+
+        def bucketize(t: pa.Table) -> pa.Table:
+            m = _l2norm(vectors_from_batch(t[col], dim))
+            cl = np.argmax(m @ ray.get(c_ref).T, axis=1)
+            return pa.table(
+                {
+                    id_col: t[id_col],
+                    col: t[col],
+                    "bucket": pa.array(cl.astype(np.int64)),
+                }
+            )
+
+    else:
+        raise ValueError(f"unknown strategy {strategy!r}")
 
     def pairs_in_bucket(g: dict[str, np.ndarray], *_) -> dict[str, np.ndarray]:
         vids = g[id_col]

@@ -682,3 +682,50 @@ def test_gram_frequency_stats_matches_bruteforce(ray_session):
     # doc 0's "alpha beta" occurs 3x corpus-wide (twice in doc0, once in doc1)
     assert got["n_grams"].to_pylist()[2:4] == [0, 0]
     assert got["freq_sum"][0].as_py() > got["n_grams"][0].as_py()
+
+
+def test_semantic_dup_pairs_kmeans_semdedup(ray_session):
+    """SemDeDup member: within-cluster pairs are a subset of brute-force
+    pairs, find every planted near-dup on clustered geometry, and the
+    output is parallelism-independent (hash-sampled fit + fixed-iter
+    Lloyd => same centroids regardless of partitioning)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from nlshray.fixtures import generate_embeddings
+    from nlshray.pipelines.dedup import to_arrow
+    from nlshray.stages.ann import embedding_near_dup
+
+    X = generate_embeddings(480, n_clusters=8)
+    rng = np.random.default_rng(7)
+    dups = X[:40] + 0.02 * rng.standard_normal((40, X.shape[1]))
+    M = np.vstack([X, dups])
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(len(M)), pa.int64()),
+            "embedding": pa.array(
+                [list(r) for r in M], pa.list_(pa.float64())
+            ),
+        }
+    )
+
+    def pairs(ds, **kw):
+        got = to_arrow(embedding_near_dup(ds, threshold=0.95, **kw))
+        return set(
+            zip(got["left_id"].to_pylist(), got["right_id"].to_pylist())
+        )
+
+    brute = pairs(rd.from_arrow(t).repartition(4), strategy="bruteforce")
+    km = pairs(
+        rd.from_arrow(t).repartition(4),
+        strategy="kmeans", n_clusters=8, fit_sample_frac=0.5,
+    )
+    assert len(brute) == 40          # exactly the planted dups
+    assert km <= brute
+    assert len(km) / len(brute) >= 0.95
+    km2 = pairs(
+        rd.from_arrow(t).repartition(9),
+        strategy="kmeans", n_clusters=8, fit_sample_frac=0.5,
+    )
+    assert km == km2

@@ -3382,3 +3382,34 @@ def semantic_dup_pairs(sf_dir: str):
 
 
 QUERIES["semantic_dup_pairs"] = semantic_dup_pairs
+
+
+def latest_event_per_user(sf_dir: str):
+    """Keep-newest-per-key dedup (the crawl-snapshot shape: repeated
+    fetches of one url collapse to the latest ``warc_ts``), expressed
+    over events as "latest event per user" so it is SQL-oracleable on
+    the driver tables. Runs on the grouped top-k semigroup combiner
+    (``stages/topk.grouped_topk`` with k=1): per-block partial winners,
+    one final combine, zero all-to-all shuffles — the same plan keeps
+    one snapshot per url over 10^12 pages. Ties break on event_id ASC,
+    replayed exactly by the oracle's ROW_NUMBER."""
+    from nlshray.stages.topk import grouped_topk
+
+    ev = _pq(sf_dir, "events")
+    return grouped_topk(
+        ev, "user_id", "ts", 1, ascending=False, tie_col="event_id"
+    ).select_columns(["event_id", "ts", "user_id", "event_type", "value"])
+
+
+QUERIES["latest_event_per_user"] = latest_event_per_user
+
+ORACLE_SQL["latest_event_per_user"] = """
+    SELECT event_id, ts, user_id, event_type, value
+    FROM (
+      SELECT event_id, ts, user_id, event_type, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id ASC
+             ) AS rn
+      FROM events
+    ) WHERE rn = 1
+"""

@@ -160,6 +160,166 @@ def top_customers(sf_dir: str, *, strategy: str = "broadcast"):
     return _round(to_arrow(top), {"revenue": 2})
 
 
+def q5_region_volume(sf_dir: str, *, region_name: str = "ASIA"):
+    """TPC-H Q5 shape: five-table dimension-chain join -> revenue per
+    nation for orders placed in 1995 by customers of one region, counting
+    only line items supplied from the customer's own nation.
+
+    Physical plan (the 100-TB shape):
+      - region x nation (tiny dims) resolve on the driver to a
+        nationkey -> name map for the target region.
+      - customer / supplier (small dims) are projected to
+        (key, nationkey), filtered to the region's nations, and broadcast
+        once via ``ray.put`` as sorted arrays.
+      - orders (fact) is read with only the 3 needed columns,
+        date-filtered per batch, and mapped to (o_orderkey, c_nat) via
+        the broadcast customer probe — a semi-join that shrinks the fact
+        before the shuffle.
+      - lineitem (fact) is projected to (l_orderkey, s_nat, revenue) the
+        same way. The ONE big-big hash-shuffle join is orders x lineitem
+        on the order key; everything else stayed broadcast.
+      - the c_nat == s_nat filter and a per-block ``np.bincount`` partial
+        sum by nation act as the combiner; the final groupby moves only
+        (#blocks x #nations) tiny rows.
+    """
+    nation = to_arrow(
+        _pq(sf_dir, "nation", columns=["n_nationkey", "n_name", "n_regionkey"]).materialize()
+    )
+    region = to_arrow(_pq(sf_dir, "region", columns=["r_regionkey", "r_name"]).materialize())
+    rkeys = {
+        rk
+        for rk, rn in zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist())
+        if rn == region_name
+    }
+    nat_name = {
+        nk: nm
+        for nk, nm, rg in zip(
+            nation["n_nationkey"].to_pylist(),
+            nation["n_name"].to_pylist(),
+            nation["n_regionkey"].to_pylist(),
+        )
+        if rg in rkeys
+    }
+    nat_keys = np.array(sorted(nat_name), dtype=np.int64)
+    names = [nat_name[k] for k in nat_keys]
+    max_nat = int(nat_keys.max()) + 1 if len(nat_keys) else 1
+    in_region = np.zeros(max_nat + 1, dtype=bool)
+    in_region[nat_keys] = True
+
+    def _dim_ref(table: str, key: str, nat: str):
+        t = to_arrow(_pq(sf_dir, table, columns=[key, nat]).materialize())
+        k = t[key].to_numpy().astype(np.int64)
+        n = t[nat].to_numpy().astype(np.int64)
+        keep = (n <= max_nat) & in_region[np.minimum(n, max_nat)]
+        k, n = k[keep], n[keep]
+        order = np.argsort(k)
+        return ray.put((k[order], n[order]))
+
+    cust_ref = _dim_ref("customer", "c_custkey", "c_nationkey")
+    supp_ref = _dim_ref("supplier", "s_suppkey", "s_nationkey")
+    lo = np.datetime64("1995-01-01", "us")
+    hi = np.datetime64("1996-01-01", "us")
+
+    def _probe(ref, probe_keys: np.ndarray):
+        k, n = ray.get(ref)
+        idx = np.searchsorted(k, probe_keys)
+        idx[idx == len(k)] = 0
+        hit = (k[idx] == probe_keys) if len(k) else np.zeros(len(probe_keys), bool)
+        return hit, n[idx[hit]] if len(k) else np.empty(0, np.int64)
+
+    def orders_side(t: pa.Table):
+        od = t["o_orderdate"].to_numpy()
+        m = (od >= lo) & (od < hi)
+        ok = t["o_orderkey"].to_numpy()[m]
+        hit, c_nat = _probe(cust_ref, t["o_custkey"].to_numpy()[m])
+        return {"o_orderkey": ok[hit], "c_nat": c_nat}
+
+    def lineitem_side(t: pa.Table):
+        hit, s_nat = _probe(supp_ref, t["l_suppkey"].to_numpy().astype(np.int64))
+        rev = (
+            t["l_extendedprice"].to_numpy() * (1.0 - t["l_discount"].to_numpy())
+        )[hit]
+        return {
+            "l_orderkey": t["l_orderkey"].to_numpy()[hit],
+            "s_nat": s_nat,
+            "rev": rev,
+        }
+
+    orders = _pq(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(orders_side, batch_format="pyarrow", zero_copy_batch=True)
+    items = _pq(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(lineitem_side, batch_format="pyarrow", zero_copy_batch=True)
+    joined = orders.join(
+        items,
+        join_type="inner",
+        num_partitions=NPARTS,
+        on=("o_orderkey",),
+        right_on=("l_orderkey",),
+    )
+
+    def partial_by_nation(t: pa.Table):
+        c_nat = t["c_nat"].to_numpy()
+        same = c_nat == t["s_nat"].to_numpy()
+        sums = np.bincount(
+            np.searchsorted(nat_keys, c_nat[same]),
+            weights=t["rev"].to_numpy()[same],
+            minlength=len(nat_keys),
+        )
+        return {"n_name": np.array(names, dtype=object), "rev_part": sums}
+
+    agg = (
+        joined.map_batches(partial_by_nation, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("n_name", num_partitions=NPARTS)
+        .aggregate(Sum("rev_part", alias_name="revenue"))
+    )
+    t = to_arrow(agg)
+    t = t.filter(pc.greater(t["revenue"], 0.0))
+    return _round(t, {"revenue": 2})
+
+
+def inactive_customers(sf_dir: str, *, cutoff: str = "2001-01-01"):
+    """Anti-join (NOT EXISTS): customers with no order on/after the
+    cutoff — the "sources with no crawl snapshot since date X" shape.
+
+    Physical plan: the right side is projected to its key column at the
+    read, reduced to per-block unique partials (combiner), unioned on the
+    driver (bounded by #distinct active keys — the 10^12-key regime swaps
+    this broadcast for the Bloom plan in ``stages/incremental.py``),
+    broadcast once via ``ray.put``, and the left side streams through a
+    sorted-array MISS probe per batch. No shuffle touches either table.
+    """
+    cut = np.datetime64(cutoff, "us")
+    orders = _pq(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+
+    def active_partial(t: pa.Table):
+        m = t["o_orderdate"].to_numpy() >= cut
+        return {"k": np.unique(t["o_custkey"].to_numpy()[m])}
+
+    parts = [
+        b["k"].to_numpy()
+        for b in orders.map_batches(
+            active_partial, batch_format="pyarrow", zero_copy_batch=True
+        ).iter_batches(batch_format="pyarrow")
+    ]
+    seen = np.unique(np.concatenate(parts)) if parts else np.empty(0, np.int64)
+    seen_ref = ray.put(seen)
+
+    def miss(t: pa.Table) -> pa.Table:
+        k = ray.get(seen_ref)
+        ck = t["c_custkey"].to_numpy()
+        if len(k) == 0:
+            return t
+        idx = np.minimum(np.searchsorted(k, ck), len(k) - 1)
+        return t.filter(pa.array(k[idx] != ck))
+
+    cust = _pq(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    return cust.map_batches(miss, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def orders_priority_count(sf_dir: str):
     ds = _pq(sf_dir, "orders", columns=["o_orderpriority"])
     return to_arrow(
@@ -1117,6 +1277,8 @@ def embedding_novelty_incremental(sf_dir: str):
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "top_customers": top_customers,
+    "q5_region_volume": q5_region_volume,
+    "inactive_customers": inactive_customers,
     "orders_priority_count": orders_priority_count,
     "lineitem_revenue": lineitem_revenue,
     "zscore_quantity": zscore_quantity,
@@ -1817,6 +1979,25 @@ ORACLE_SQL = {
         GROUP BY c_name
         ORDER BY SUM(o_totalprice) DESC
         LIMIT 10
+    """,
+    "q5_region_volume": """
+        SELECT n_name,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer, orders, lineitem, supplier, nation, region
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate < TIMESTAMP '1996-01-01'
+        GROUP BY n_name
+    """,
+    "inactive_customers": """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderdate >= TIMESTAMP '2001-01-01')
     """,
     "orders_priority_count": """
         SELECT o_orderpriority, COUNT(*) AS n FROM orders GROUP BY o_orderpriority

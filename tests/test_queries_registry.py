@@ -32,3 +32,53 @@ def test_sampled_docs_seeded_deterministic(ray_session):
     b = to_arrow(QUERIES["sampled_docs"]("/root/testdata/sf0.001"))
     assert a.num_rows > 0
     assert sorted(a["doc_id"].to_pylist()) == sorted(b["doc_id"].to_pylist())
+
+
+def test_q5_region_volume_matches_pandas_oracle(ray_session):
+    """Five-table join: broadcast dims + one big-big shuffle join must
+    reproduce the relational semantics exactly (values then rounded)."""
+    import pandas as pd
+
+    from nlshray.pipelines.dedup import to_arrow
+    from nlshray.pipelines.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = to_arrow(QUERIES["q5_region_volume"](sf)).to_pandas()
+
+    t = {n: pd.read_parquet(f"{sf}/{n}.parquet")
+         for n in ["region", "nation", "customer", "supplier", "orders", "lineitem"]}
+    rk = set(t["region"].loc[t["region"].r_name == "ASIA", "r_regionkey"])
+    nat = t["nation"][t["nation"].n_regionkey.isin(rk)]
+    df = (
+        t["orders"]
+        .loc[lambda d: (d.o_orderdate >= "1995-01-01") & (d.o_orderdate < "1996-01-01")]
+        .merge(t["customer"], left_on="o_custkey", right_on="c_custkey")
+        .merge(t["lineitem"], left_on="o_orderkey", right_on="l_orderkey")
+        .merge(t["supplier"], left_on="l_suppkey", right_on="s_suppkey")
+        .loc[lambda d: d.c_nationkey == d.s_nationkey]
+        .merge(nat, left_on="c_nationkey", right_on="n_nationkey")
+    )
+    df["rev"] = df.l_extendedprice * (1 - df.l_discount)
+    want = df.groupby("n_name").rev.sum().round(2).sort_index()
+    got = got.set_index("n_name").revenue.sort_index()
+    assert len(got) > 0
+    pd.testing.assert_series_equal(got, want, check_names=False)
+
+
+def test_inactive_customers_anti_join(ray_session):
+    """Broadcast anti-join == pandas NOT-IN on the active key set."""
+    import numpy as np
+    import pandas as pd
+
+    from nlshray.pipelines.dedup import to_arrow
+    from nlshray.pipelines.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = to_arrow(QUERIES["inactive_customers"](sf)).to_pandas()
+    cust = pd.read_parquet(f"{sf}/customer.parquet")
+    orders = pd.read_parquet(f"{sf}/orders.parquet")
+    active = set(orders.loc[orders.o_orderdate >= "2001-01-01", "o_custkey"])
+    want = cust.loc[~cust.c_custkey.isin(active), ["c_custkey", "c_name"]]
+    assert len(got) > 0
+    assert sorted(got.c_custkey) == sorted(want.c_custkey)
+    assert set(got.columns) == {"c_custkey", "c_name"}

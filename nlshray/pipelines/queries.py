@@ -840,6 +840,56 @@ def sampled_docs(sf_dir: str, fraction: float = 0.2):
     return docs.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
 
 
+#: Data-mix weights for ``resampled_corpus``: source -> sampling weight.
+#: >1 upsamples (docs repeat), <1 downsamples (seeded Bernoulli keep).
+_MIX_WEIGHTS = [2.5, 1.0, 0.5, 0.25]
+
+
+def _mix_weight(source_index: int) -> float:
+    return _MIX_WEIGHTS[source_index % len(_MIX_WEIGHTS)]
+
+
+def resampled_corpus(sf_dir: str):
+    """Data-mix reweighting (the LLM pre-training mix op): resample the
+    corpus so each source contributes ``weight`` x its raw share —
+    e.g. upsample curated sources 2.5x, keep web at 0.25x.
+
+    A doc with weight ``w`` yields ``floor(w)`` guaranteed copies plus
+    one more iff ``splitmix64(doc_id ^ seed) < frac(w) * 2^64`` — a pure
+    function of (doc_id, source, seed): identical at any parallelism,
+    resume-safe, and replayable in SQL (the oracle unnests
+    ``range(n_copies)``). Stochastic-rounding resamplers built on an RNG
+    stream would tie the mix to the block layout.
+
+    Output: one row per EMITTED copy — (doc_id, copy, source, n_chars),
+    copy = 0..n_copies-1; downsampled-away docs emit no rows.
+    """
+    from nlshray.hashing import _seed_mix, splitmix64
+
+    mix = _seed_mix(CFG.seed + 17)
+    n_src = 20
+    base = np.array([int(_mix_weight(i)) for i in range(n_src)], dtype=np.int64)
+    frac_thr = np.array(
+        [np.uint64(int((_mix_weight(i) % 1.0) * float(2**64))) for i in range(n_src)],
+        dtype=np.uint64,
+    )
+
+    def expand(t: pa.Table):
+        src = pc.cast(
+            pc.utf8_slice_codeunits(t["source"], 3, 32), pa.int64()
+        ).to_numpy() % n_src
+        ids = t["doc_id"].to_numpy().astype(np.uint64)
+        n_copies = base[src] + (splitmix64(ids ^ mix) < frac_thr[src])
+        rep = np.repeat(np.arange(len(ids)), n_copies)
+        ends = np.cumsum(n_copies)
+        copy = np.arange(ends[-1] if len(ends) else 0) - np.repeat(ends - n_copies, n_copies)
+        picked = t.take(pa.array(rep))
+        return picked.append_column("copy", pa.array(copy, pa.int64()))
+
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+    return docs.map_batches(expand, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def novel_docs_incremental(sf_dir: str):
     """Incremental (new-vs-seen) exact dedup — the daily-crawl filter
     (``stages/incremental.py``): seen = even-doc_id half of the corpus,
@@ -1303,6 +1353,7 @@ QUERIES = {
     "quality_scores_sql": quality_scores_sql,
     "source_summary": source_summary,
     "sampled_docs": sampled_docs,
+    "resampled_corpus": resampled_corpus,
     "novel_docs_incremental": novel_docs_incremental,
     "novel_docs_near_incremental": novel_docs_near_incremental,
     "top_docs_per_lang": top_docs_per_lang,
@@ -1865,6 +1916,40 @@ def _build_stratified_oracle(fraction: float = 0.2) -> str:
     """
 
 
+def _build_resampled_oracle() -> str:
+    """Replays the data-mix resampler: per source-index weight class,
+    n_copies = floor(w) + (splitmix64(doc_id ^ seed17) < frac(w)*2^64),
+    then unnest(range(n_copies)) emits one row per copy."""
+    from nlshray.hashing import _seed_mix
+
+    mix = int(_seed_mix(CFG.seed + 17))
+    base_case = " ".join(
+        f"WHEN {i} THEN {int(w)}" for i, w in enumerate(_MIX_WEIGHTS)
+    )
+    thr_case = " ".join(
+        f"WHEN {i} THEN {int(np.uint64(int((w % 1.0) * float(2**64))))}::UBIGINT"
+        for i, w in enumerate(_MIX_WEIGHTS)
+    )
+    return f"""
+        WITH seeded AS (
+          SELECT doc_id, source, n_chars,
+                 (CAST(SUBSTR(source, 4) AS BIGINT) % 20) % {len(_MIX_WEIGHTS)} AS widx,
+                 xor(CAST(doc_id AS UBIGINT), {mix}::UBIGINT) AS x
+          FROM documents
+        ),
+        {_sql_splitmix('r', 'seeded', 'x', 'source, n_chars, widx').strip()},
+        counts AS (
+          SELECT doc_id, source, n_chars,
+                 (CASE widx {base_case} END)
+                 + (CASE WHEN z < (CASE widx {thr_case} END) THEN 1 ELSE 0 END)
+                 AS n_copies
+          FROM r6
+        )
+        SELECT doc_id, unnest(range(n_copies)) AS copy, source, n_chars
+        FROM counts
+    """
+
+
 def _build_near_dup_pairs_oracle() -> str:
     """Confirmed near-dup pairs at the real threshold (0.8) — the
     flagship pipeline's pair output, bit-exact from first principles."""
@@ -1936,6 +2021,7 @@ ORACLE_SQL = {
     "near_dup_clusters": _build_near_dup_clusters_oracle(),
     "novel_docs_near_incremental": _build_novel_near_oracle(),
     "sampled_docs": _build_sampled_docs_oracle(),
+    "resampled_corpus": _build_resampled_oracle(),
     "stratified_sample_by_lang": _build_stratified_oracle(),
     "top_docs_per_lang": """
         SELECT doc_id, lang, n_chars FROM documents

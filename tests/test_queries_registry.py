@@ -82,3 +82,37 @@ def test_inactive_customers_anti_join(ray_session):
     assert len(got) > 0
     assert sorted(got.c_custkey) == sorted(want.c_custkey)
     assert set(got.columns) == {"c_custkey", "c_name"}
+
+
+def test_resampled_corpus_weights_and_determinism(ray_session):
+    """Mix resampler: per-source copy counts follow the weight class and
+    the emitted set is identical across runs (pure hash function)."""
+    import numpy as np
+    import pandas as pd
+
+    from nlshray.pipelines.dedup import to_arrow
+    from nlshray.pipelines.queries import QUERIES, _mix_weight
+
+    sf = "/root/testdata/sf0.001"
+    a = to_arrow(QUERIES["resampled_corpus"](sf)).to_pandas()
+    b = to_arrow(QUERIES["resampled_corpus"](sf)).to_pandas()
+    key = ["doc_id", "copy"]
+    pd.testing.assert_frame_equal(
+        a.sort_values(key).reset_index(drop=True),
+        b.sort_values(key).reset_index(drop=True),
+    )
+
+    src_idx = a.source.str.removeprefix("src").astype(int) % 20
+    w = src_idx.map(_mix_weight)
+    copies = a.groupby("doc_id").copy.max() + 1
+    wmax = a.assign(w=w).groupby("doc_id").w.first()
+    # every emitted doc's copy count is floor(w) or floor(w)+1
+    assert ((copies == np.floor(wmax)) | (copies == np.floor(wmax) + 1)).all()
+    # weight-1.0 sources emit exactly one copy per doc, never more
+    assert (copies[wmax == 1.0] == 1).all()
+    # aggregate mix moves toward the weights: upsampled class beats downsampled
+    docs = pd.read_parquet(f"{sf}/documents.parquet")
+    n_raw = len(docs)
+    emitted = len(a)
+    expect = docs.source.str.removeprefix("src").astype(int).mod(20).map(_mix_weight).sum()
+    assert abs(emitted - expect) < 0.1 * n_raw

@@ -182,10 +182,14 @@ def q5_region_volume(sf_dir: str, *, region_name: str = "ASIA"):
         sum by nation act as the combiner; the final groupby moves only
         (#blocks x #nations) tiny rows.
     """
-    nation = to_arrow(
-        _pq(sf_dir, "nation", columns=["n_nationkey", "n_name", "n_regionkey"]).materialize()
+    import pyarrow.parquet as papq
+
+    # dims are small by definition: read them driver-side (one file, one
+    # process) instead of paying four streaming-executor spin-ups
+    nation = papq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name", "n_regionkey"]
     )
-    region = to_arrow(_pq(sf_dir, "region", columns=["r_regionkey", "r_name"]).materialize())
+    region = papq.read_table(f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"])
     rkeys = {
         rk
         for rk, rn in zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist())
@@ -207,7 +211,7 @@ def q5_region_volume(sf_dir: str, *, region_name: str = "ASIA"):
     in_region[nat_keys] = True
 
     def _dim_ref(table: str, key: str, nat: str):
-        t = to_arrow(_pq(sf_dir, table, columns=[key, nat]).materialize())
+        t = papq.read_table(f"{sf_dir}/{table}.parquet", columns=[key, nat])
         k = t[key].to_numpy().astype(np.int64)
         n = t[nat].to_numpy().astype(np.int64)
         keep = (n <= max_nat) & in_region[np.minimum(n, max_nat)]
@@ -840,6 +844,43 @@ def sampled_docs(sf_dir: str, fraction: float = 0.2):
     return docs.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def quantized_embeddings(sf_dir: str):
+    """Int8 symmetric quantization of the embedding column — the storage
+    -compression prep for shipping a 100-TB embedding table (4 bytes ->
+    1 byte per dim + one float scale per vector; the PQ ANN member is the
+    search-side counterpart, this is the export-side one).
+
+    Per vector: scale = max(|e_i|), q_i = round(e_i / scale * 127).
+    Arithmetic runs in float64 on both sides (engine and oracle), so the
+    comparison is bit-exact. Output is flattened to one row per
+    (vec_id, pos) so the DuckDB oracle can replay it with a positional
+    unnest zip — list-typed result columns would compare as opaque
+    strings in the driver's hash.
+    """
+
+    def quantize(t: pa.Table):
+        ids = t["vec_id"].to_numpy()
+        col = t["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        vals = col.flatten().to_numpy()
+        d = len(vals) // max(len(t), 1)
+        emb = vals.reshape(len(t), d).astype(np.float64)
+        mx = np.abs(emb).max(axis=1)
+        safe = np.where(mx > 0, mx, 1.0)
+        q = np.rint(emb / safe[:, None] * 127.0).astype(np.int64)
+        q[mx == 0] = 0
+        return {
+            "vec_id": np.repeat(ids, d),
+            "pos": np.tile(np.arange(d, dtype=np.int64), len(t)),
+            "q": q.ravel(),
+            "scale": np.repeat(mx, d),
+        }
+
+    emb = _pq(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return emb.map_batches(quantize, batch_format="pyarrow", zero_copy_batch=True)
+
+
 #: Data-mix weights for ``resampled_corpus``: source -> sampling weight.
 #: >1 upsamples (docs repeat), <1 downsamples (seeded Bernoulli keep).
 _MIX_WEIGHTS = [2.5, 1.0, 0.5, 0.25]
@@ -1354,6 +1395,7 @@ QUERIES = {
     "source_summary": source_summary,
     "sampled_docs": sampled_docs,
     "resampled_corpus": resampled_corpus,
+    "quantized_embeddings": quantized_embeddings,
     "novel_docs_incremental": novel_docs_incremental,
     "novel_docs_near_incremental": novel_docs_near_incremental,
     "top_docs_per_lang": top_docs_per_lang,
@@ -2022,6 +2064,21 @@ ORACLE_SQL = {
     "novel_docs_near_incremental": _build_novel_near_oracle(),
     "sampled_docs": _build_sampled_docs_oracle(),
     "resampled_corpus": _build_resampled_oracle(),
+    "quantized_embeddings": """
+        WITH m AS (
+          SELECT vec_id, embedding,
+                 list_max(list_transform(embedding,
+                          x -> abs(CAST(x AS DOUBLE)))) AS scale
+          FROM embeddings
+        )
+        SELECT vec_id,
+               unnest(range(len(embedding))) AS pos,
+               CASE WHEN scale = 0 THEN 0 ELSE CAST(ROUND(
+                 CAST(unnest(embedding) AS DOUBLE) / scale * 127, 0) AS BIGINT)
+               END AS q,
+               scale
+        FROM m
+    """,
     "stratified_sample_by_lang": _build_stratified_oracle(),
     "top_docs_per_lang": """
         SELECT doc_id, lang, n_chars FROM documents

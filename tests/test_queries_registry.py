@@ -116,3 +116,28 @@ def test_resampled_corpus_weights_and_determinism(ray_session):
     emitted = len(a)
     expect = docs.source.str.removeprefix("src").astype(int).mod(20).map(_mix_weight).sum()
     assert abs(emitted - expect) < 0.1 * n_raw
+
+
+def test_quantized_embeddings_roundtrip(ray_session):
+    """Int8 quantization reconstructs within half a quantization step."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as papq
+
+    from nlshray.pipelines.dedup import to_arrow
+    from nlshray.pipelines.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = to_arrow(QUERIES["quantized_embeddings"](sf)).to_pandas()
+    src = papq.read_table(f"{sf}/embeddings.parquet").to_pandas()
+    d = len(src.embedding.iloc[0])
+    assert len(got) == len(src) * d
+    assert got.q.abs().max() <= 127
+
+    one = src.iloc[0]
+    rows = got[got.vec_id == one.vec_id].sort_values("pos")
+    e = np.asarray(one.embedding, dtype=np.float64)
+    scale = rows.scale.iloc[0]
+    assert scale == np.abs(e).max()
+    recon = rows.q.to_numpy() * scale / 127.0
+    assert np.abs(recon - e).max() <= scale / 127.0 * 0.5 + 1e-12

@@ -586,3 +586,18 @@ def decode_png(data: bytes) -> np.ndarray:
 def decode_gif(data: bytes) -> np.ndarray:
     """GIF bytes -> uint8 (H,W,3) RGB; see ``_decode_gif_impl``."""
     return _format_guard(_decode_gif_impl, data, "GIF")
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline JPEG bytes -> uint8 HxW or (H,W,3) RGB; pure numpy
+    (``nlshray.functions.jpeg``). Progressive/arithmetic files raise."""
+    from nlshray.functions.jpeg import decode_jpeg as _impl
+
+    return _format_guard(_impl, data, "JPEG")
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 90, **kwargs) -> bytes:
+    """Encode uint8 HxW / HxWx3 to baseline JPEG (fixture/test path)."""
+    from nlshray.functions.jpeg import encode_jpeg as _impl
+
+    return _impl(img, quality, **kwargs)

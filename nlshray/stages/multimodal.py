@@ -1,13 +1,13 @@
 """Multimodal stages: binary payload columns through actor pools.
 
 Image/audio/video ride as ``binary`` columns with typed metadata.
-Decoding is REAL for the formats the standard library can carry — WAV
-PCM, BMP, PPM/PGM (pure numpy/struct), PNG (stdlib zlib inflate +
-per-row unfilter) and GIF (pure-Python LZW; all in
-``nlshray.functions.media``) — producing real
+Decoding is REAL for the formats pure numpy + stdlib can carry — WAV
+PCM, BMP, PPM/PGM (numpy/struct), PNG (stdlib zlib inflate + per-row
+unfilter), GIF (pure-Python LZW) and baseline JPEG (numpy DCT +
+per-image Huffman; ``nlshray.functions.jpeg``) — producing real
 feature vectors (audio per-window RMS, image histogram+moments).
-Formats whose entropy coders aren't in the stdlib (jpeg/mp3/webm)
-stay clearly stubbed: ``NotImplementedError``
+Formats whose codecs are genuinely out of reach here (mp3/webm,
+progressive JPEG) stay clearly stubbed: ``NotImplementedError``
 unless ``fake=True`` substitutes a deterministic hash-derived vector so
 the plumbing is exercised end-to-end either way.
 """
@@ -35,7 +35,7 @@ _MAGICS: list[tuple[bytes, str]] = [
 ]
 
 # formats with a real stdlib-only decoder in nlshray.functions.media
-DECODABLE = frozenset({"wav", "bmp", "ppm", "pgm", "png", "gif"})
+DECODABLE = frozenset({"wav", "bmp", "ppm", "pgm", "png", "gif", "jpeg"})
 
 
 def _image_decoders() -> dict:
@@ -45,6 +45,7 @@ def _image_decoders() -> dict:
     from nlshray.functions.media import (
         decode_bmp,
         decode_gif,
+        decode_jpeg,
         decode_png,
         decode_ppm,
     )
@@ -55,6 +56,7 @@ def _image_decoders() -> dict:
         "pgm": decode_ppm,
         "png": decode_png,
         "gif": decode_gif,
+        "jpeg": decode_jpeg,
     }
 
 
@@ -106,7 +108,8 @@ class MediaDecoder:
         if not self.fake:
             raise NotImplementedError(
                 f"decoding {fmt!r} requires a codec library not present in "
-                "this environment (real decoders cover wav/bmp/ppm/pgm/png/gif); "
+                "this environment (real decoders cover "
+                "wav/bmp/ppm/pgm/png/gif/baseline-jpeg); "
                 "pass fake=True for deterministic stub features"
             )
         seed = np.frombuffer(

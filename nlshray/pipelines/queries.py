@@ -844,6 +844,69 @@ def sampled_docs(sf_dir: str, fraction: float = 0.2):
     return docs.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def corpus_diff(sf_dir: str):
+    """Snapshot diff (the crawl-over-crawl audit): FULL OUTER join of
+    two corpus snapshots on doc_id -> one row per added / removed /
+    changed doc. The "new" snapshot is derived deterministically from
+    the same table so the oracle can replay it: doc_id % 10 == 0 docs
+    are dropped (removed), % 7 == 0 docs are uppercased (changed), and
+    % 13 == 0 docs reappear under doc_id + 1,000,000 (added).
+
+    Both sides project to (doc_id, text) at the read; the one shuffle
+    is the hash-partitioned full-outer ``Dataset.join`` — the join-type
+    matrix counterpart to the inner (top_customers / q5), as-of, range
+    and anti (inactive_customers) joins elsewhere in this file.
+    """
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def old_side(t: pa.Table):
+        return {"doc_id": t["doc_id"], "text_old": t["text"]}
+
+    def new_side(t: pa.Table):
+        ids = t["doc_id"].to_numpy()
+        kept = t.filter(pa.array(ids % 10 != 0))
+        kids = kept["doc_id"].to_numpy()
+        txt = pc.if_else(
+            pa.array(kids % 7 == 0),
+            pc.utf8_upper(kept["text"].combine_chunks()),
+            kept["text"].combine_chunks(),
+        )
+        base = pa.table({"doc_id": pa.array(kids), "text_new": txt})
+        adds = t.filter(pa.array(ids % 13 == 0))
+        atxt = pc.binary_join_element_wise(
+            adds["text"].combine_chunks(),
+            pa.array(["v2"] * len(adds)),
+            " ",
+        )
+        extra = pa.table(
+            {"doc_id": pa.array(adds["doc_id"].to_numpy() + 1_000_000), "text_new": atxt}
+        )
+        return pa.concat_tables([base, extra])
+
+    old = docs.map_batches(old_side, batch_format="pyarrow", zero_copy_batch=True)
+    new = docs.map_batches(new_side, batch_format="pyarrow", zero_copy_batch=True)
+    joined = old.join(new, join_type="full_outer", num_partitions=NPARTS, on=("doc_id",))
+
+    def classify(t: pa.Table):
+        told, tnew = t["text_old"], t["text_new"]
+        removed = pc.is_null(tnew)
+        added = pc.is_null(told)
+        changed = pc.and_kleene(
+            pc.and_(pc.is_valid(told), pc.is_valid(tnew)),
+            pc.not_equal(told, tnew),
+        )
+        keep = pc.or_(pc.or_(removed, added), pc.fill_null(changed, False))
+        kept = t.filter(keep)
+        status = pc.if_else(
+            pc.is_null(kept["text_new"]),
+            pa.scalar("removed"),
+            pc.if_else(pc.is_null(kept["text_old"]), pa.scalar("added"), pa.scalar("changed")),
+        )
+        return pa.table({"doc_id": kept["doc_id"], "status": status})
+
+    return joined.map_batches(classify, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def quantized_embeddings(sf_dir: str):
     """Int8 symmetric quantization of the embedding column — the storage
     -compression prep for shipping a 100-TB embedding table (4 bytes ->
@@ -1396,6 +1459,7 @@ QUERIES = {
     "sampled_docs": sampled_docs,
     "resampled_corpus": resampled_corpus,
     "quantized_embeddings": quantized_embeddings,
+    "corpus_diff": corpus_diff,
     "novel_docs_incremental": novel_docs_incremental,
     "novel_docs_near_incremental": novel_docs_near_incremental,
     "top_docs_per_lang": top_docs_per_lang,
@@ -2064,6 +2128,22 @@ ORACLE_SQL = {
     "novel_docs_near_incremental": _build_novel_near_oracle(),
     "sampled_docs": _build_sampled_docs_oracle(),
     "resampled_corpus": _build_resampled_oracle(),
+    "corpus_diff": """
+        WITH old AS (SELECT doc_id, text AS text_old FROM documents),
+        new AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 7 = 0 THEN upper(text) ELSE text END AS text_new
+          FROM documents WHERE doc_id % 10 != 0
+          UNION ALL
+          SELECT doc_id + 1000000, text || ' v2' FROM documents WHERE doc_id % 13 = 0
+        )
+        SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+               CASE WHEN n.text_new IS NULL THEN 'removed'
+                    WHEN o.text_old IS NULL THEN 'added'
+                    ELSE 'changed' END AS status
+        FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+        WHERE n.text_new IS NULL OR o.text_old IS NULL OR o.text_old != n.text_new
+    """,
     "quantized_embeddings": """
         WITH m AS (
           SELECT vec_id, embedding,

@@ -141,3 +141,26 @@ def test_quantized_embeddings_roundtrip(ray_session):
     assert scale == np.abs(e).max()
     recon = rows.q.to_numpy() * scale / 127.0
     assert np.abs(recon - e).max() <= scale / 127.0 * 0.5 + 1e-12
+
+
+def test_corpus_diff_statuses(ray_session):
+    """Full-outer snapshot diff: statuses follow the derivation rules."""
+    import pandas as pd
+
+    from nlshray.pipelines.dedup import to_arrow
+    from nlshray.pipelines.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = to_arrow(QUERIES["corpus_diff"](sf)).to_pandas()
+    docs = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id"])
+    ids = docs.doc_id
+
+    removed = set(got.loc[got.status == "removed", "doc_id"])
+    added = set(got.loc[got.status == "added", "doc_id"])
+    changed = set(got.loc[got.status == "changed", "doc_id"])
+    assert removed == set(ids[ids % 10 == 0])
+    assert added == set(ids[ids % 13 == 0] + 1_000_000)
+    # changed = uppercased survivors (% 7, not % 10) whose text actually changes
+    assert changed <= set(ids[(ids % 7 == 0) & (ids % 10 != 0)])
+    assert removed.isdisjoint(changed) and added.isdisjoint(changed)
+    assert len(got) == len(removed) + len(added) + len(changed)

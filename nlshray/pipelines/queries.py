@@ -1282,6 +1282,45 @@ def knn_cosine(sf_dir: str):
     return _round(to_arrow(out), {"sim": 6})
 
 
+def _quantize_rows(emb: np.ndarray) -> np.ndarray:
+    """Per-row symmetric int8 quantization (same kernel as
+    ``quantized_embeddings``), returned as float64 integer values."""
+    mx = np.abs(emb).max(axis=1)
+    safe = np.where(mx > 0, mx, 1.0)
+    q = np.rint(emb / safe[:, None] * 127.0)
+    q[mx == 0] = 0
+    return q
+
+
+def knn_cosine_int8(sf_dir: str):
+    """Top-10 by cosine over int8-QUANTIZED vectors — the memory-scale
+    serving path (1 byte/dim in the object store instead of 4): cosine is
+    scale-invariant, so the per-vector quantization scale cancels and the
+    metric is a pure function of the integer codes. All dot products are
+    sums of integers < 2^24 — exactly representable in float64 — so the
+    DuckDB replay (quantize in SQL, ``list_cosine_similarity`` on the
+    codes) is value-exact, unlike any other approximate kNN member.
+    """
+    from nlshray.stages.ann import vectors_from_batch
+
+    emb, q, qids = _query_vectors(sf_dir)
+    dim = q.shape[1]
+    q8 = _quantize_rows(q)
+
+    def quantize(t: pa.Table):
+        m = _quantize_rows(vectors_from_batch(t["embedding"], dim))
+        return {
+            "vec_id": t["vec_id"],
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(m.ravel(), pa.float64()), dim
+            ),
+        }
+
+    emb8 = emb.map_batches(quantize, batch_format="pyarrow", zero_copy_batch=True)
+    out = knn_bruteforce(emb8, q8, qids, k=10, dim=dim)
+    return _round(to_arrow(out), {"sim": 6})
+
+
 def knn_cosine_lsh(sf_dir: str):
     """Hyperplane-LSH approximate top-10 (rows-only; approximate by
     design — recall vs brute force asserted in tests instead)."""
@@ -1470,6 +1509,7 @@ QUERIES = {
     "substring_dups": substring_dups,
     "simhash_pairs": simhash_pairs,
     "knn_cosine": knn_cosine,
+    "knn_cosine_int8": knn_cosine_int8,
     "knn_cosine_lsh": knn_cosine_lsh,
     "knn_hnsw": knn_hnsw_graph,
     "knn_ivf": knn_ivf_probe,
@@ -2408,6 +2448,32 @@ ORACLE_SQL = {
             PARTITION BY query_id
             ORDER BY list_cosine_similarity(qe, CAST(embedding AS DOUBLE[])) DESC,
                      vec_id
+        ) <= 10
+    """,
+    "knn_cosine_int8": """
+        WITH m AS (
+          SELECT vec_id, embedding,
+                 list_max(list_transform(embedding,
+                          x -> abs(CAST(x AS DOUBLE)))) AS mx
+          FROM embeddings
+        ),
+        qz AS (
+          SELECT vec_id,
+                 CASE WHEN mx = 0
+                      THEN list_transform(embedding, x -> 0.0)
+                      ELSE list_transform(embedding,
+                           x -> ROUND(CAST(x AS DOUBLE) / mx * 127, 0))
+                 END AS e8
+          FROM m
+        ),
+        q AS (SELECT vec_id AS query_id, e8 AS qe FROM qz WHERE vec_id < 5)
+        SELECT query_id, vec_id AS neighbor_id,
+               ROUND(list_cosine_similarity(qe, e8), 6) AS sim
+        FROM q, qz
+        WHERE vec_id != query_id
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY query_id
+            ORDER BY list_cosine_similarity(qe, e8) DESC, vec_id
         ) <= 10
     """,
     "embedding_novelty_incremental": """

@@ -164,3 +164,20 @@ def test_corpus_diff_statuses(ray_session):
     assert changed <= set(ids[(ids % 7 == 0) & (ids % 10 != 0)])
     assert removed.isdisjoint(changed) and added.isdisjoint(changed)
     assert len(got) == len(removed) + len(added) + len(changed)
+
+
+def test_knn_cosine_int8_recall_vs_exact(ray_session):
+    """Quantized-cosine top-10 stays close to the float top-10."""
+    from nlshray.pipelines.dedup import to_arrow
+    from nlshray.pipelines.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    exact = to_arrow(QUERIES["knn_cosine"](sf)).to_pandas()
+    q8 = to_arrow(QUERIES["knn_cosine_int8"](sf)).to_pandas()
+    assert len(q8) == len(exact) == 50
+    recalls = []
+    for qid, grp in exact.groupby("query_id"):
+        a = set(grp.neighbor_id)
+        b = set(q8.loc[q8.query_id == qid, "neighbor_id"])
+        recalls.append(len(a & b) / len(a))
+    assert sum(recalls) / len(recalls) >= 0.8

@@ -844,6 +844,68 @@ def sampled_docs(sf_dir: str, fraction: float = 0.2):
     return docs.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def source_lang_rollup(sf_dir: str):
+    """ROLLUP(source, lang) in ONE streaming pass — the corpus-composition
+    report at every granularity: (source, lang), (source), and the grand
+    total, distinguished by ``level`` (0/1/2, = number of rolled-up keys).
+
+    Per block, pyarrow's C++ ``Table.group_by`` collapses the batch to
+    per-(source, lang) partials and the two coarser levels are derived
+    from THAT tiny table, so all three levels ride ONE small shuffle —
+    the combiner pattern; a naive UNION of three separate groupbys would
+    scan and shuffle the input three times.
+    """
+    docs = _pq(sf_dir, "documents", columns=["source", "lang", "n_chars"])
+    ALL = "*ALL*"
+
+    def partials(t: pa.Table):
+        g = t.group_by(["source", "lang"]).aggregate(
+            [("n_chars", "sum"), ("n_chars", "count")]
+        )
+        n0 = len(g)
+        g1 = g.group_by(["source"]).aggregate(
+            [("n_chars_sum", "sum"), ("n_chars_count", "sum")]
+        )
+        n1 = len(g1)
+        out = {
+            "source": pa.concat_arrays(
+                [
+                    g["source"].combine_chunks(),
+                    g1["source"].combine_chunks(),
+                    pa.array([ALL]),
+                ]
+            ),
+            "lang": pa.concat_arrays(
+                [g["lang"].combine_chunks(), pa.array([ALL] * (n1 + 1))]
+            ),
+            "level": np.concatenate(
+                [np.zeros(n0, np.int64), np.ones(n1, np.int64), [2]]
+            ),
+            "c": np.concatenate(
+                [
+                    g["n_chars_sum"].to_numpy(),
+                    g1["n_chars_sum_sum"].to_numpy(),
+                    [g["n_chars_sum"].to_numpy().sum()],
+                ]
+            ),
+            "d": np.concatenate(
+                [
+                    g["n_chars_count"].to_numpy(),
+                    g1["n_chars_count_sum"].to_numpy(),
+                    [g["n_chars_count"].to_numpy().sum()],
+                ]
+            ),
+        }
+        return out
+
+    agg = (
+        docs.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["source", "lang", "level"], num_partitions=NPARTS)
+        .aggregate(Sum("d", alias_name="n_docs"), Sum("c", alias_name="sum_chars"))
+    )
+    return to_arrow(agg)
+
+
 def corpus_diff(sf_dir: str):
     """Snapshot diff (the crawl-over-crawl audit): FULL OUTER join of
     two corpus snapshots on doc_id -> one row per added / removed /
@@ -1499,6 +1561,7 @@ QUERIES = {
     "resampled_corpus": resampled_corpus,
     "quantized_embeddings": quantized_embeddings,
     "corpus_diff": corpus_diff,
+    "source_lang_rollup": source_lang_rollup,
     "novel_docs_incremental": novel_docs_incremental,
     "novel_docs_near_incremental": novel_docs_near_incremental,
     "top_docs_per_lang": top_docs_per_lang,
@@ -2168,6 +2231,14 @@ ORACLE_SQL = {
     "novel_docs_near_incremental": _build_novel_near_oracle(),
     "sampled_docs": _build_sampled_docs_oracle(),
     "resampled_corpus": _build_resampled_oracle(),
+    "source_lang_rollup": """
+        SELECT coalesce(source, '*ALL*') AS source,
+               coalesce(lang, '*ALL*')   AS lang,
+               GROUPING(source) + GROUPING(lang) AS level,
+               COUNT(*)                      AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT)  AS sum_chars
+        FROM documents GROUP BY ROLLUP(source, lang)
+    """,
     "corpus_diff": """
         WITH old AS (SELECT doc_id, text AS text_old FROM documents),
         new AS (

@@ -181,3 +181,21 @@ def test_knn_cosine_int8_recall_vs_exact(ray_session):
         b = set(q8.loc[q8.query_id == qid, "neighbor_id"])
         recalls.append(len(a & b) / len(a))
     assert sum(recalls) / len(recalls) >= 0.8
+
+
+def test_source_lang_rollup_levels_consistent(ray_session):
+    """ROLLUP invariants: each level re-aggregates the one below it."""
+    from nlshray.pipelines.dedup import to_arrow
+    from nlshray.pipelines.queries import QUERIES
+
+    got = to_arrow(QUERIES["source_lang_rollup"]("/root/testdata/sf0.001")).to_pandas()
+    l0 = got[got.level == 0]
+    l1 = got[got.level == 1].set_index("source")
+    l2 = got[got.level == 2]
+    assert len(l2) == 1 and l2.iloc[0].source == "*ALL*" and l2.iloc[0].lang == "*ALL*"
+    assert l2.iloc[0].n_docs == l0.n_docs.sum() == l1.n_docs.sum()
+    assert l2.iloc[0].sum_chars == l0.sum_chars.sum()
+    per_src = l0.groupby("source")[["n_docs", "sum_chars"]].sum()
+    for src, row in per_src.iterrows():
+        assert l1.loc[src].n_docs == row.n_docs
+        assert l1.loc[src].sum_chars == row.sum_chars

@@ -504,6 +504,44 @@ def events_range_pairs(sf_dir: str):
 # dedup family over documents
 # ---------------------------------------------------------------------------
 
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def events_pivot(sf_dir: str):
+    """Pivot: per-user event counts spread across one column per event
+    type (the wide-format activity matrix). Per block, a 2D bincount over
+    (local user code, event-type code) collapses the batch to one partial
+    row per user seen — the combiner — and the single shuffle moves only
+    those already-wide partials; the final groupby just sums them."""
+    ev = _pq(sf_dir, "events", columns=["user_id", "event_type"])
+    type_arr = pa.array(_EVENT_TYPES)
+    n_types = len(_EVENT_TYPES)
+
+    def partial(t: pa.Table):
+        codes = pc.index_in(t["event_type"], type_arr)
+        if codes.null_count:
+            raise ValueError("event_type outside the declared category set")
+        codes = codes.to_numpy(zero_copy_only=False)
+        users, inv = np.unique(t["user_id"].to_numpy(), return_inverse=True)
+        counts = np.zeros((len(users), n_types), dtype=np.int64)
+        np.add.at(counts, (inv, codes.astype(np.int64)), 1)
+        out = {"user_id": users}
+        for j, name in enumerate(_EVENT_TYPES):
+            out[f"n_{name}"] = counts[:, j]
+        return out
+
+    agg = (
+        ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id", num_partitions=NPARTS)
+        .aggregate(
+            *[Sum(f"n_{name}", alias_name=f"n_{name}") for name in _EVENT_TYPES]
+        )
+    )
+    t = to_arrow(agg)
+    total = np.sum([t[f"n_{n}"].to_numpy() for n in _EVENT_TYPES], axis=0)
+    return t.append_column("n_total", pa.array(total, pa.int64()))
+
+
 def exact_dup_docs(sf_dir: str):
     """Exact dedup groups: keep_id = min doc_id per identical text."""
     docs = _pq(sf_dir, "documents", columns=["doc_id", "text"])
@@ -1562,6 +1600,7 @@ QUERIES = {
     "quantized_embeddings": quantized_embeddings,
     "corpus_diff": corpus_diff,
     "source_lang_rollup": source_lang_rollup,
+    "events_pivot": events_pivot,
     "novel_docs_incremental": novel_docs_incremental,
     "novel_docs_near_incremental": novel_docs_near_incremental,
     "top_docs_per_lang": top_docs_per_lang,
@@ -2231,6 +2270,16 @@ ORACLE_SQL = {
     "novel_docs_near_incremental": _build_novel_near_oracle(),
     "sampled_docs": _build_sampled_docs_oracle(),
     "resampled_corpus": _build_resampled_oracle(),
+    "events_pivot": """
+        SELECT user_id,
+               COUNT(*) FILTER (event_type = 'click')    AS n_click,
+               COUNT(*) FILTER (event_type = 'error')    AS n_error,
+               COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+               COUNT(*) FILTER (event_type = 'signup')   AS n_signup,
+               COUNT(*) FILTER (event_type = 'view')     AS n_view,
+               COUNT(*)                                  AS n_total
+        FROM events GROUP BY user_id
+    """,
     "source_lang_rollup": """
         SELECT coalesce(source, '*ALL*') AS source,
                coalesce(lang, '*ALL*')   AS lang,

@@ -199,3 +199,21 @@ def test_source_lang_rollup_levels_consistent(ray_session):
     for src, row in per_src.iterrows():
         assert l1.loc[src].n_docs == row.n_docs
         assert l1.loc[src].sum_chars == row.sum_chars
+
+
+def test_events_pivot_counts(ray_session):
+    """Pivot columns sum to the per-user event count."""
+    import pandas as pd
+
+    from nlshray.pipelines.dedup import to_arrow
+    from nlshray.pipelines.queries import _EVENT_TYPES, QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = to_arrow(QUERIES["events_pivot"](sf)).to_pandas()
+    ev = pd.read_parquet(f"{sf}/events.parquet", columns=["user_id", "event_type"])
+    assert len(got) == ev.user_id.nunique()
+    wide = got.set_index("user_id")
+    assert (wide[[f"n_{t}" for t in _EVENT_TYPES]].sum(axis=1) == wide.n_total).all()
+    want = ev.groupby(["user_id", "event_type"]).size()
+    for (uid, et), n in want.items():
+        assert wide.loc[uid, f"n_{et}"] == n

@@ -457,6 +457,24 @@ def events_sliding(sf_dir: str):
     return _round(to_arrow(out), {"max_value": 6})
 
 
+def events_debounced(sf_dir: str, *, min_gap_hours: int = 24):
+    """Rapid-repeat collapse: a (user, event_type) row survives only if
+    the previous same-key event is more than ``min_gap_hours`` older —
+    the telemetry/crawl-snapshot debounce (``stages/window.py
+    debounce``, LAG semantics so the rule is SQL-replayable)."""
+    from nlshray.stages.window import debounce
+
+    ds = _pq(sf_dir, "events", columns=["event_id", "user_id", "event_type", "ts"])
+    return debounce(
+        ds,
+        keys=["user_id", "event_type"],
+        ts="ts",
+        id_col="event_id",
+        min_gap_seconds=min_gap_hours * 3600,
+        num_partitions=NPARTS,
+    )
+
+
 def events_asof_orders(sf_dir: str):
     """As-of join: each event enriched with the user's most recent order
     at or before the event time (ties: greatest o_orderkey). The
@@ -1601,6 +1619,7 @@ QUERIES = {
     "corpus_diff": corpus_diff,
     "source_lang_rollup": source_lang_rollup,
     "events_pivot": events_pivot,
+    "events_debounced": events_debounced,
     "novel_docs_incremental": novel_docs_incremental,
     "novel_docs_near_incremental": novel_docs_near_incremental,
     "top_docs_per_lang": top_docs_per_lang,
@@ -2270,6 +2289,19 @@ ORACLE_SQL = {
     "novel_docs_near_incremental": _build_novel_near_oracle(),
     "sampled_docs": _build_sampled_docs_oracle(),
     "resampled_corpus": _build_resampled_oracle(),
+    "events_debounced": """
+        WITH e AS (
+          SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+          FROM events
+        )
+        SELECT event_id, user_id, event_type, ts_us FROM e
+        QUALIFY LAG(ts_us) OVER (
+                  PARTITION BY user_id, event_type ORDER BY ts_us, event_id
+                ) IS NULL
+             OR ts_us - LAG(ts_us) OVER (
+                  PARTITION BY user_id, event_type ORDER BY ts_us, event_id
+                ) > 86400000000
+    """,
     "events_pivot": """
         SELECT user_id,
                COUNT(*) FILTER (event_type = 'click')    AS n_click,

@@ -124,3 +124,48 @@ def session_window(
     return ds.groupby(key, num_partitions=num_partitions).map_groups(
         sessions, batch_format="pyarrow"
     )
+
+
+def debounce(
+    ds: ray.data.Dataset,
+    *,
+    keys: list[str],
+    ts: str,
+    id_col: str,
+    min_gap_seconds: int,
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """Event debounce: within each key group, keep a row only if the
+    PREVIOUS row (by ``(ts, id_col)`` order) is more than
+    ``min_gap_seconds`` older — the rapid-repeat collapse applied to
+    crawl-snapshot streams and telemetry (LAG semantics: the comparison
+    is against the previous RAW event, so the rule is a pure window
+    function and SQL-replayable; comparing against the previous KEPT
+    event would be an iterative chain).
+
+    One hash shuffle on the keys, then a segmented kernel: lexsort the
+    group once, one vectorized diff, one take. Output rows are the
+    surviving originals with ``ts`` re-emitted as int64 microseconds
+    (``ts_us``) for hash-exact comparison.
+
+    Partitioning assumption: one key group's rows fit one worker.
+    """
+    gap_us = np.int64(min_gap_seconds) * 1_000_000
+
+    def keep(t: pa.Table) -> pa.Table:
+        us = (
+            t[ts].to_numpy(zero_copy_only=False).astype("datetime64[us]").view(np.int64)
+        )
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, us))
+        us_sorted = us[order]
+        kept = np.empty(us_sorted.shape[0], np.bool_)
+        kept[0] = True
+        np.greater(us_sorted[1:] - us_sorted[:-1], gap_us, out=kept[1:])
+        picked = t.take(pa.array(order[kept]))
+        out = picked.drop_columns([ts])
+        return out.append_column("ts_us", pa.array(us_sorted[kept]))
+
+    return ds.groupby(keys, num_partitions=num_partitions).map_groups(
+        keep, batch_format="pyarrow"
+    )

@@ -185,3 +185,38 @@ def test_range_self_join_golden(ray_session):
     )
     got = set(zip(out["left_id"].to_pylist(), out["right_id"].to_pylist()))
     assert got == {(1, 2), (2, 3), (2, 4), (3, 4)}
+
+
+def test_debounce_lag_semantics(ray_session):
+    """debounce keeps a row iff the previous RAW same-key event is older
+    than the gap (LAG semantics, per-key)."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from nlshray.stages.window import debounce
+
+    ts = np.array(
+        ["2024-01-01T00:00", "2024-01-01T00:30", "2024-01-01T02:00",
+         "2024-01-01T02:20", "2024-01-01T09:00",  # key A chain
+         "2024-01-01T00:00"],                      # key B singleton
+        dtype="datetime64[us]",
+    )
+    t = pa.table(
+        {
+            "event_id": pa.array(list(range(6)), pa.int64()),
+            "k": pa.array(["a"] * 5 + ["b"]),
+            "ts": pa.array(ts),
+        }
+    )
+    out = debounce(
+        rd.from_arrow(t), keys=["k"], ts="ts", id_col="event_id",
+        min_gap_seconds=3600, num_partitions=2,
+    ).take_all()
+    kept = sorted(r["event_id"] for r in out)
+    # id1 is 30min after id0 (dropped); id2 is 90min after id1 (kept);
+    # id3 is 20min after id2 (dropped); id4 is hours later (kept)
+    assert kept == [0, 2, 4, 5]
+    row0 = next(r for r in out if r["event_id"] == 0)
+    assert row0["ts_us"] == ts[0].astype("datetime64[us]").astype(np.int64)

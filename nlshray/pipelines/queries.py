@@ -3255,6 +3255,72 @@ def distinct_tokens_hll(sf_dir: str):
 QUERIES["distinct_tokens_hll"] = distinct_tokens_hll
 
 
+def distinct_tokens_by_lang_hll(sf_dir: str):
+    """GROUPED HyperLogLog: one distinct-token sketch PER LANGUAGE —
+    sketches as mergeable per-key aggregates (the per-domain distinct
+    count you'd run at 100 TB). Unlike the global ``distinct_tokens_hll``
+    (driver max-merge of one 16 KiB partial per block), the grouped
+    variant merges INSIDE the shuffle: each block emits one register
+    partial per language it saw, and a ``groupby(lang).map_groups``
+    max-merges them — the driver never touches a register. Output is
+    every nonzero (lang, register, rho) — the whole sketch, bit-exact
+    against the SQL replay of tokenize -> hash -> route -> rank -> max.
+    """
+    from nlshray.functions.hll import M, hll_partial
+    from nlshray.functions.shingles import _SPLIT_PATTERN
+    from nlshray.hashing import hash_utf8_array
+
+    docs = _pq(sf_dir, "documents", columns=["text", "lang"])
+
+    def partials(t: pa.Table):
+        arr = t["text"]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        toks = pc.split_pattern_regex(pc.utf8_lower(arr), _SPLIT_PATTERN)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        n_per_doc = pc.list_value_length(toks).to_numpy()
+        flat = toks.flatten()
+        keep = pc.greater(pc.utf8_length(flat), 0)
+        hashes = hash_utf8_array(flat.filter(keep), seed=0)
+        langs = np.asarray(t["lang"].to_pylist(), dtype=object)
+        tok_lang = np.repeat(langs, n_per_doc)[keep.to_numpy(zero_copy_only=False)]
+        out_lang, out_regs = [], []
+        for lang in np.unique(tok_lang):
+            regs = hll_partial(
+                np.ascontiguousarray(hashes[tok_lang == lang], np.uint64)
+            )
+            out_lang.append(lang)
+            out_regs.append(regs.tobytes())
+        return {
+            "lang": np.array(out_lang, dtype=object),
+            "regs": np.array(out_regs, dtype=object),
+        }
+
+    def merge_group(t: pa.Table) -> pa.Table:
+        merged = np.zeros(M, np.uint8)
+        for raw in t["regs"].to_pylist():
+            np.maximum(merged, np.frombuffer(raw, np.uint8), out=merged)
+        nz = np.flatnonzero(merged)
+        lang = t["lang"][0].as_py()
+        return pa.table(
+            {
+                "lang": pa.array([lang] * len(nz)),
+                "register": pa.array(nz.astype(np.int64)),
+                "rho": pa.array(merged[nz].astype(np.int64)),
+            }
+        )
+
+    return (
+        docs.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("lang", num_partitions=NPARTS)
+        .map_groups(merge_group, batch_format="pyarrow")
+    )
+
+
+QUERIES["distinct_tokens_by_lang_hll"] = distinct_tokens_by_lang_hll
+
+
 def _build_hll_oracle() -> str:
     """Replays tokenization, the token hash (same chain as the minhash
     oracle) and the HLL register routing/rank in SQL: register = top 14
@@ -3298,6 +3364,51 @@ def _build_hll_oracle() -> str:
 
 
 ORACLE_SQL["distinct_tokens_hll"] = _build_hll_oracle()
+
+
+def _build_hll_by_lang_oracle() -> str:
+    """The ``_build_hll_oracle`` chain with ``lang`` carried through
+    every CTE and the final register max grouped by (lang, register)."""
+    from nlshray.hashing import _seed_mix
+
+    seedmix = int(_seed_mix(0))
+    low50 = (1 << 50) - 1
+    fold_step = f"(({_sql_mulmod('acc', _SQL_POLY)}) + CAST(x AS HUGEINT)) % {_M64}"
+    return f"""
+        WITH tokarr AS (
+          SELECT doc_id, lang,
+                 list_filter(regexp_split_to_array(lower(text), '[^0-9a-z_]+'),
+                             t -> t <> '') AS toks
+          FROM documents
+        ),
+        tok AS (SELECT doc_id, lang, u.tok FROM tokarr, unnest(toks) AS u(tok)),
+        folded AS (
+          SELECT doc_id, lang,
+            list_reduce(
+              list_prepend(0::HUGEINT,
+                list_transform(regexp_split_to_array(tok, ''),
+                               c -> unicode(c)::HUGEINT)),
+              (acc, x) -> {fold_step}
+            ) AS raw
+          FROM tok
+        ),
+        seeded AS (SELECT doc_id, lang,
+                          xor(CAST(raw AS UBIGINT), {seedmix}::UBIGINT) AS x
+                   FROM folded),
+        {_sql_splitmix('t', 'seeded', 'x', 'lang').strip()},
+        hl AS (
+          SELECT lang,
+                 CAST(z >> 50 AS BIGINT) AS register,
+                 CAST(CASE WHEN (z & {low50}::UBIGINT) = 0::UBIGINT THEN 51
+                      ELSE 50 - length(bin(z & {low50}::UBIGINT)) + 1
+                      END AS BIGINT) AS rho
+          FROM t6
+        )
+        SELECT lang, register, MAX(rho) AS rho FROM hl GROUP BY lang, register
+    """
+
+
+ORACLE_SQL["distinct_tokens_by_lang_hll"] = _build_hll_by_lang_oracle()
 
 
 def doc_keywords_tfidf(sf_dir: str, k: int = 3):

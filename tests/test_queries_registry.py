@@ -217,3 +217,34 @@ def test_events_pivot_counts(ray_session):
     want = ev.groupby(["user_id", "event_type"]).size()
     for (uid, et), n in want.items():
         assert wide.loc[uid, f"n_{et}"] == n
+
+
+def test_grouped_hll_consistent_with_global(ray_session):
+    """Max-merging the per-lang sketches reproduces the global sketch
+    (register max is associative), and each estimate is sane."""
+    import numpy as np
+
+    from nlshray.functions.hll import M, hll_estimate
+    from nlshray.pipelines.dedup import to_arrow
+    from nlshray.pipelines.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    per = to_arrow(QUERIES["distinct_tokens_by_lang_hll"](sf)).to_pandas()
+    glob = to_arrow(QUERIES["distinct_tokens_hll"](sf)).to_pandas()
+
+    merged = np.zeros(M, np.uint8)
+    for _, row in per.iterrows():
+        merged[row.register] = max(merged[row.register], row.rho)
+    want = np.zeros(M, np.uint8)
+    want[glob.register] = glob.rho
+    assert np.array_equal(merged, want)
+
+    import duckdb
+    true_total = duckdb.sql(
+        f"""SELECT count(DISTINCT u.tok) FROM (
+              SELECT list_filter(regexp_split_to_array(lower(text), '[^0-9a-z_]+'),
+                                 t -> t <> '') AS toks
+              FROM read_parquet('{sf}/documents.parquet')), unnest(toks) AS u(tok)"""
+    ).fetchone()[0]
+    est = hll_estimate(want)
+    assert abs(est - true_total) / true_total < 0.05

@@ -153,3 +153,46 @@ def l2_pairwise(p: np.ndarray, q: np.ndarray) -> np.ndarray:
         - 2.0 * (p @ q.T)
     )
     return np.sqrt(np.maximum(sq, 0.0))
+
+
+def levenshtein_batch(left: list[str], right: list[str]) -> np.ndarray:
+    """Exact Levenshtein distance for a BATCH of string pairs at once.
+
+    The DP recurrence's left-to-right dependency (``cur[j-1] + 1``) is a
+    prefix minimum: ``cur[j] = min_k<=j (tent[k] + (j - k))``, so each DP
+    row is one ``np.minimum.accumulate`` over (pairs, len_b) instead of a
+    per-cell Python loop — O(max_len) vectorized row steps for the whole
+    batch. Rows finish at their own length: when the row index hits a
+    pair's actual left length, its distance is captured at its actual
+    right length, so padding never leaks into results.
+    """
+    n = len(left)
+    if n == 0:
+        return np.zeros(0, np.int64)
+    enc = [np.frombuffer(s.encode("utf-32-le"), np.uint32) for s in left]
+    encb = [np.frombuffer(s.encode("utf-32-le"), np.uint32) for s in right]
+    la = np.array([len(a) for a in enc], np.int64)
+    lb = np.array([len(b) for b in encb], np.int64)
+    La, Lb = int(la.max(initial=0)), int(lb.max(initial=0))
+    A = np.zeros((n, max(La, 1)), np.uint32)
+    B = np.full((n, max(Lb, 1)), np.uint32(0xFFFFFFFF), np.uint32)
+    for r, (a, b) in enumerate(zip(enc, encb)):
+        A[r, : len(a)] = a
+        B[r, : len(b)] = b
+
+    cols = np.arange(Lb + 1, dtype=np.int64)
+    prev = np.broadcast_to(cols, (n, Lb + 1)).copy()
+    res = np.empty(n, np.int64)
+    done0 = la == 0
+    res[done0] = lb[done0]
+    for i in range(1, La + 1):
+        cost = (A[:, i - 1][:, None] != B).astype(np.int64)
+        tent = np.empty((n, Lb + 1), np.int64)
+        tent[:, 0] = i
+        np.minimum(prev[:, 1:] + 1, prev[:, :-1] + cost, out=tent[:, 1:])
+        cur = np.minimum.accumulate(tent - cols, axis=1) + cols
+        hit = la == i
+        if hit.any():
+            res[hit] = cur[hit, lb[hit]]
+        prev = cur
+    return res

@@ -858,6 +858,67 @@ def near_dup_clusters_t1(sf_dir: str):
     return to_arrow(res.clusters)
 
 
+def edit_distance_pairs(sf_dir: str):
+    """Edit-distance verification of the flagship's confirmed near-dup
+    pairs — the character-level second opinion a curation pipeline runs
+    before destructive collapse (shingle-Jaccard can score reorderings
+    high; Levenshtein cannot).
+
+    Plan: the pair list is small relative to the corpus, so the texts of
+    pair-involved docs are gathered with a broadcast id probe (corpus
+    streams, never shuffles) and shipped once via ``ray.put``; each pair
+    block then runs the batched prefix-min Levenshtein kernel
+    (``functions/distances.levenshtein_batch`` — one vectorized
+    ``minimum.accumulate`` per DP row for the whole batch). Oracle:
+    the full minhash-chain SQL composed with DuckDB ``levenshtein``.
+    """
+    from nlshray.functions.distances import levenshtein_batch
+
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+    res = dedup_docs(docs, CFG, num_partitions=NPARTS)
+    pairs = res.pairs.select_columns(["left_id", "right_id"])
+    pair_tbl = to_arrow(pairs.materialize())
+    if pair_tbl.num_rows == 0:
+        return pa.table(
+            {
+                "left_id": pa.array([], pa.int64()),
+                "right_id": pa.array([], pa.int64()),
+                "edit_distance": pa.array([], pa.int64()),
+            }
+        )
+    ids = np.unique(
+        np.concatenate(
+            [pair_tbl["left_id"].to_numpy(), pair_tbl["right_id"].to_numpy()]
+        )
+    )
+    ids_ref = ray.put(ids)
+
+    def gather(t: pa.Table) -> pa.Table:
+        wanted = ray.get(ids_ref)
+        d = t["doc_id"].to_numpy()
+        idx = np.minimum(np.searchsorted(wanted, d), len(wanted) - 1)
+        return t.filter(pa.array(wanted[idx] == d))
+
+    texts = to_arrow(
+        docs.map_batches(gather, batch_format="pyarrow", zero_copy_batch=True).materialize()
+    )
+    tmap_ref = ray.put(
+        dict(zip(texts["doc_id"].to_pylist(), texts["text"].to_pylist()))
+    )
+
+    def dist(t: pa.Table):
+        m = ray.get(tmap_ref)
+        lt = [m[i] for i in t["left_id"].to_pylist()]
+        rt = [m[i] for i in t["right_id"].to_pylist()]
+        return {
+            "left_id": t["left_id"],
+            "right_id": t["right_id"],
+            "edit_distance": levenshtein_batch(lt, rt),
+        }
+
+    return pairs.map_batches(dist, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def quality_scores_sql(sf_dir: str):
     """The SQL-expressible core of the quality operator (everything but
     the hash-based fingerprint/lang columns of ``quality_scores``) —
@@ -1620,6 +1681,7 @@ QUERIES = {
     "source_lang_rollup": source_lang_rollup,
     "events_pivot": events_pivot,
     "events_debounced": events_debounced,
+    "edit_distance_pairs": edit_distance_pairs,
     "novel_docs_incremental": novel_docs_incremental,
     "novel_docs_near_incremental": novel_docs_near_incremental,
     "top_docs_per_lang": top_docs_per_lang,
@@ -2226,6 +2288,19 @@ def _build_near_dup_pairs_oracle() -> str:
     """
 
 
+def _build_edit_distance_pairs_oracle() -> str:
+    """The flagship pair chain composed with DuckDB ``levenshtein`` on
+    the pair texts."""
+    return f"""
+        WITH {_near_dup_chain_sql().strip()}
+        SELECT c.left_id, c.right_id,
+               levenshtein(dl.text, dr.text) AS edit_distance
+        FROM conf c
+        JOIN documents dl ON dl.doc_id = c.left_id
+        JOIN documents dr ON dr.doc_id = c.right_id
+    """
+
+
 def _build_novel_near_oracle() -> str:
     """Incremental near-dup novelty: seen = even-doc_id docs, new = odd.
     A new doc is NON-novel iff some seen doc shares its text group
@@ -2285,6 +2360,7 @@ ORACLE_SQL = {
     "simhash_pairs": _build_simhash_oracle(),
     "minhash_signatures": _build_minhash_oracle(),
     "near_dup_pairs": _build_near_dup_pairs_oracle(),
+    "edit_distance_pairs": _build_edit_distance_pairs_oracle(),
     "near_dup_clusters": _build_near_dup_clusters_oracle(),
     "novel_docs_near_incremental": _build_novel_near_oracle(),
     "sampled_docs": _build_sampled_docs_oracle(),

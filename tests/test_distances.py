@@ -109,3 +109,31 @@ def test_l2_forms():
     pw = l2_pairwise(p, q)
     np.testing.assert_allclose(pw[0, 0], 5.0)
     np.testing.assert_allclose(pw[1, 1], 0.0)
+
+
+def _lev_ref(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_levenshtein_batch_vs_scalar_dp():
+    from nlshray.functions.distances import levenshtein_batch
+
+    rng = np.random.default_rng(7)
+    alphabet = list("abcde é中")
+    lefts, rights = [], []
+    for _ in range(120):
+        la, lb = rng.integers(0, 18, size=2)
+        lefts.append("".join(rng.choice(alphabet, la)))
+        rights.append("".join(rng.choice(alphabet, lb)))
+    lefts += ["", "", "abc", "kitten", "flaw"]
+    rights += ["", "xyz", "", "sitting", "lawn"]
+    got = levenshtein_batch(lefts, rights)
+    want = np.array([_lev_ref(a, b) for a, b in zip(lefts, rights)])
+    np.testing.assert_array_equal(got, want)
+    assert levenshtein_batch([], []).shape == (0,)

@@ -475,6 +475,27 @@ def events_debounced(sf_dir: str, *, min_gap_hours: int = 24):
     )
 
 
+def events_running_totals(sf_dir: str):
+    """Per-user running totals: each event annotated with the count and
+    fixed-point sum of that user's events up to and including it in
+    ``(ts, event_id)`` order — the cumulative-window member of the
+    events family (tumbling ★, session ★, sliding ★, debounce ★,
+    cumulative ★). Hash-exact vs a ROWS-frame SQL window oracle because
+    values are floor-quantized to 1e-4 and summed in int64
+    (``stages/window.py running_totals``)."""
+    from nlshray.stages.window import running_totals
+
+    ds = _pq(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    return running_totals(
+        ds,
+        key="user_id",
+        ts="ts",
+        value="value",
+        id_col="event_id",
+        num_partitions=NPARTS,
+    )
+
+
 def events_asof_orders(sf_dir: str):
     """As-of join: each event enriched with the user's most recent order
     at or before the event time (ties: greatest o_orderkey). The
@@ -1681,6 +1702,7 @@ QUERIES = {
     "source_lang_rollup": source_lang_rollup,
     "events_pivot": events_pivot,
     "events_debounced": events_debounced,
+    "events_running_totals": events_running_totals,
     "edit_distance_pairs": edit_distance_pairs,
     "novel_docs_incremental": novel_docs_incremental,
     "novel_docs_near_incremental": novel_docs_near_incremental,
@@ -2377,6 +2399,21 @@ ORACLE_SQL = {
              OR ts_us - LAG(ts_us) OVER (
                   PARTITION BY user_id, event_type ORDER BY ts_us, event_id
                 ) > 86400000000
+    """,
+    "events_running_totals": """
+        WITH e AS (
+          SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                 CAST(FLOOR(value * 10000) AS BIGINT) AS v_c
+          FROM events
+        )
+        SELECT event_id,
+               CAST(ROW_NUMBER() OVER w AS BIGINT) AS running_n,
+               CAST(SUM(v_c) OVER w AS BIGINT)     AS running_sum_c
+        FROM e
+        WINDOW w AS (
+          PARTITION BY user_id ORDER BY ts_us, event_id
+          ROWS UNBOUNDED PRECEDING
+        )
     """,
     "events_pivot": """
         SELECT user_id,

@@ -126,6 +126,53 @@ def session_window(
     )
 
 
+def running_totals(
+    ds: ray.data.Dataset,
+    *,
+    key: str,
+    ts: str,
+    value: str,
+    id_col: str,
+    scale: int = 10_000,
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """Per-key running totals — the cumulative (ROWS UNBOUNDED
+    PRECEDING) window: for each row, the count and sum of all same-key
+    rows at or before it in ``(ts, id_col)`` order.
+
+    Hash-exact against a SQL window oracle by construction: the float
+    ``value`` is floor-quantized to fixed point (``floor(v * scale)`` —
+    FLOOR is exact on the shared float64 product, unlike ROUND whose
+    half-rule differs between numpy and SQL engines) and the running sum
+    accumulates in int64, so summation order cannot perturb bits.
+
+    One hash shuffle on ``key``, then a segmented kernel: lexsort the
+    group once, ``np.cumsum`` the quantized values, emit
+    ``(id_col, running_n, running_sum_c)`` — one output row per input
+    row. Partitioning assumption: one key's rows fit one worker."""
+    scale_f = float(scale)
+
+    def cum(t: pa.Table) -> dict[str, np.ndarray]:
+        us = (
+            t[ts].to_numpy(zero_copy_only=False).astype("datetime64[us]").view(np.int64)
+        )
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        v_c = np.floor(
+            t[value].to_numpy(zero_copy_only=False) * scale_f
+        ).astype(np.int64)
+        order = np.lexsort((ids, us))
+        n = us.shape[0]
+        return {
+            id_col: ids[order],
+            "running_n": np.arange(1, n + 1, dtype=np.int64),
+            "running_sum_c": np.cumsum(v_c[order]),
+        }
+
+    return ds.groupby(key, num_partitions=num_partitions).map_groups(
+        cum, batch_format="pyarrow"
+    )
+
+
 def debounce(
     ds: ray.data.Dataset,
     *,

@@ -220,3 +220,48 @@ def test_debounce_lag_semantics(ray_session):
     assert kept == [0, 2, 4, 5]
     row0 = next(r for r in out if r["event_id"] == 0)
     assert row0["ts_us"] == ts[0].astype("datetime64[us]").astype(np.int64)
+
+
+def test_running_totals_vs_pandas(ray_session):
+    """running_totals matches a pandas expanding-window reference on a
+    random multi-user stream, including the fixed-point quantization."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from nlshray.stages.window import running_totals
+
+    rng = np.random.default_rng(7)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, 17, n).astype(np.int64),
+            "ts": pd.to_datetime(
+                rng.integers(0, 10**6, n), unit="s"
+            ).astype("datetime64[us]"),
+            "value": rng.normal(scale=50.0, size=n),
+        }
+    )
+    out = running_totals(
+        rd.from_pandas(df), key="user_id", ts="ts", value="value",
+        id_col="event_id", num_partitions=3,
+    ).take_all()
+    got = (
+        pd.DataFrame(out).set_index("event_id").sort_index()
+    )
+
+    ref = df.copy()
+    ref["v_c"] = np.floor(ref["value"].to_numpy() * 10000.0).astype(np.int64)
+    ref = ref.sort_values(["user_id", "ts", "event_id"], kind="stable")
+    ref["running_n"] = ref.groupby("user_id").cumcount() + 1
+    ref["running_sum_c"] = ref.groupby("user_id")["v_c"].cumsum()
+    ref = ref.set_index("event_id").sort_index()
+
+    assert len(got) == n
+    assert (got["running_n"].to_numpy() == ref["running_n"].to_numpy()).all()
+    assert (
+        got["running_sum_c"].to_numpy() == ref["running_sum_c"].to_numpy()
+    ).all()

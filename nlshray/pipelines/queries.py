@@ -3368,6 +3368,168 @@ def distinct_tokens_hll(sf_dir: str):
 QUERIES["distinct_tokens_hll"] = distinct_tokens_hll
 
 
+def source_similarity(sf_dir: str):
+    """Pairwise vocabulary overlap between corpus sources: exact Jaccard
+    of each source pair's distinct-token-hash sets — the corpus-level
+    'which feeds are near-mirrors of each other' diagnostic that decides
+    source-level dedup priorities.
+
+    Scale plan (no token-keyed groupby — near-unique keys are
+    pathological, see BASELINE.md): per block, a partial pass ORs each
+    token's source-bit into a bitmask and dedups (token_hash, mask)
+    locally; ONE shuffle on ``token_hash % NPARTS`` (a tiny fixed key
+    space) OR-merges the masks per token and collapses each partition to
+    a (mask, n_tokens) histogram — at most 2^n_sources rows, in practice
+    a handful. Pair intersections fall out of the histogram with one
+    small matmul on the driver; per-pair output is integer-exact
+    (``jaccard_ppm = n_common * 1e6 // n_union``)."""
+    from nlshray.functions.shingles import _SPLIT_PATTERN
+    from nlshray.hashing import hash_utf8_array
+
+    docs = _pq(sf_dir, "documents", columns=["source", "text"])
+
+    src_parts = docs.map_batches(
+        lambda t: pa.table({"source": pc.unique(t["source"])}),
+        batch_format="pyarrow",
+    ).take_all()
+    sources = sorted({r["source"] for r in src_parts})
+    n_src = len(sources)
+    if n_src > 63:
+        raise ValueError("source_similarity supports up to 63 sources")
+    source_arr = pa.array(sources)
+
+    def partial(t: pa.Table) -> dict[str, np.ndarray]:
+        text = t["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        toks = pc.split_pattern_regex(pc.utf8_lower(text), _SPLIT_PATTERN)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(t), dtype=np.int64), lengths)
+        flat = toks.flatten()
+        keep = pc.greater(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
+        hashes = hash_utf8_array(flat.filter(pa.array(keep)), seed=0)
+        bits = pc.index_in(t["source"], source_arr).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        masks = np.int64(1) << bits[doc_idx[keep]]
+        order = np.argsort(hashes, kind="stable")
+        h, m = hashes[order], masks[order]
+        starts = np.concatenate([[0], np.flatnonzero(np.diff(h)) + 1])
+        merged = np.bitwise_or.reduceat(m, starts)
+        hu = h[starts]
+        return {
+            "part": (hu % np.uint64(NPARTS)).astype(np.int64),
+            "token_hash": hu.view(np.int64),
+            "mask": merged,
+        }
+
+    def histogram(t: pa.Table) -> dict[str, np.ndarray]:
+        h = t["token_hash"].to_numpy(zero_copy_only=False)
+        m = t["mask"].to_numpy(zero_copy_only=False)
+        order = np.argsort(h, kind="stable")
+        h, m = h[order], m[order]
+        starts = np.concatenate([[0], np.flatnonzero(np.diff(h)) + 1])
+        merged = np.bitwise_or.reduceat(m, starts)
+        masks, counts = np.unique(merged, return_counts=True)
+        return {"mask": masks, "n_tokens": counts.astype(np.int64)}
+
+    hist = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("part", num_partitions=NPARTS)
+        .map_groups(histogram, batch_format="pyarrow")
+    )
+    tbl = to_arrow(hist)
+    masks = tbl["mask"].to_numpy(zero_copy_only=False)
+    counts = tbl["n_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
+    bits = ((masks[:, None] >> np.arange(n_src, dtype=np.int64)) & 1).astype(
+        np.int64
+    )
+    inter = (bits * counts[:, None]).T @ bits  # (n_src, n_src)
+    sizes = counts @ bits  # (n_src,)
+
+    ia, ib, nc, nu, ppm, sa, sb = [], [], [], [], [], [], []
+    for i in range(n_src):
+        for j in range(i + 1, n_src):
+            c = int(inter[i, j])
+            u = int(sizes[i] + sizes[j] - c)
+            sa.append(sources[i])
+            sb.append(sources[j])
+            nc.append(c)
+            nu.append(u)
+            ppm.append(c * 1_000_000 // u if u else 0)
+    return pa.table(
+        {
+            "source_a": pa.array(sa),
+            "source_b": pa.array(sb),
+            "n_common": pa.array(nc, pa.int64()),
+            "n_union": pa.array(nu, pa.int64()),
+            "jaccard_ppm": pa.array(ppm, pa.int64()),
+        }
+    )
+
+
+QUERIES["source_similarity"] = source_similarity
+
+
+def _build_source_similarity_oracle() -> str:
+    """Replays the token-hash chain (same CTEs as the HLL oracle) per
+    (source, token), distincts the hash sets, and derives pairwise
+    intersection/union with a self-join; jaccard_ppm uses integer
+    division so every compared column is integer-exact."""
+    from nlshray.hashing import _seed_mix
+
+    seedmix = int(_seed_mix(0))
+    fold_step = f"(({_sql_mulmod('acc', _SQL_POLY)}) + CAST(x AS HUGEINT)) % {_M64}"
+    return f"""
+        WITH tokarr AS (
+          SELECT doc_id, source,
+                 list_filter(regexp_split_to_array(lower(text), '[^0-9a-z_]+'),
+                             t -> t <> '') AS toks
+          FROM documents
+        ),
+        tok AS (
+          SELECT DISTINCT source, u.tok
+          FROM tokarr, unnest(toks) AS u(tok)
+        ),
+        folded AS (
+          SELECT 0::BIGINT AS doc_id, source,
+            list_reduce(
+              list_prepend(0::HUGEINT,
+                list_transform(regexp_split_to_array(tok, ''),
+                               c -> unicode(c)::HUGEINT)),
+              (acc, x) -> {fold_step}
+            ) AS raw
+          FROM tok
+        ),
+        seeded AS (SELECT doc_id, source, xor(CAST(raw AS UBIGINT), {seedmix}::UBIGINT) AS x FROM folded),
+        {_sql_splitmix('t', 'seeded', 'x', 'source').strip()},
+        sh AS (SELECT DISTINCT source, z FROM t6),
+        sizes AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY source),
+        inter AS (
+          SELECT a.source AS sa, b.source AS sb, COUNT(*) AS nc
+          FROM sh a JOIN sh b ON a.z = b.z AND a.source < b.source
+          GROUP BY 1, 2
+        )
+        SELECT p.sa AS source_a, p.sb AS source_b,
+               COALESCE(i.nc, 0) AS n_common,
+               p.na + p.nb - COALESCE(i.nc, 0) AS n_union,
+               CASE WHEN p.na + p.nb - COALESCE(i.nc, 0) = 0 THEN 0
+                    ELSE COALESCE(i.nc, 0) * 1000000
+                         // (p.na + p.nb - COALESCE(i.nc, 0))
+               END AS jaccard_ppm
+        FROM (
+          SELECT a.source AS sa, b.source AS sb, a.n AS na, b.n AS nb
+          FROM sizes a JOIN sizes b ON a.source < b.source
+        ) p
+        LEFT JOIN inter i ON i.sa = p.sa AND i.sb = p.sb
+    """
+
+
+ORACLE_SQL["source_similarity"] = _build_source_similarity_oracle()
+
+
 def distinct_tokens_by_lang_hll(sf_dir: str):
     """GROUPED HyperLogLog: one distinct-token sketch PER LANGUAGE —
     sketches as mergeable per-key aggregates (the per-domain distinct

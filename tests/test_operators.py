@@ -729,3 +729,37 @@ def test_semantic_dup_pairs_kmeans_semdedup(ray_session):
         strategy="kmeans", n_clusters=8, fit_sample_frac=0.5,
     )
     assert km == km2
+
+
+def test_source_similarity_known_overlap(ray_session, tmp_path):
+    """source_similarity on a hand-built corpus with known vocabulary
+    overlaps: srcA={a,b,c}, srcB={b,c,d}, srcC={x}. Jaccard(A,B)=2/4,
+    (A,C)=(B,C)=0; duplicate tokens within/across docs of one source
+    must not inflate set sizes."""
+    import pyarrow.parquet as pq
+
+    from nlshray.pipelines.queries import source_similarity
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                ["a b c", "b c b", "b c d d", "x x"]
+            ),
+            "lang": pa.array(["en"] * 4),
+            "source": pa.array(["srcA", "srcA", "srcB", "srcC"]),
+            "n_chars": pa.array([5, 5, 7, 3], pa.int64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    got = source_similarity(str(tmp_path))
+    rows = {
+        (r["source_a"], r["source_b"]): r
+        for r in got.to_pylist()
+    }
+    assert set(rows) == {("srcA", "srcB"), ("srcA", "srcC"), ("srcB", "srcC")}
+    ab = rows[("srcA", "srcB")]
+    assert ab["n_common"] == 2 and ab["n_union"] == 4
+    assert ab["jaccard_ppm"] == 500_000
+    assert rows[("srcA", "srcC")]["n_common"] == 0
+    assert rows[("srcB", "srcC")]["n_union"] == 4  # {b,c,d} U {x}

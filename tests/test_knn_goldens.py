@@ -30,15 +30,22 @@ SF_DIR = "/root/testdata/sf0.001"
 MEMBERS = [
     "knn_cosine_lsh", "knn_hnsw", "knn_ivf", "knn_pq",
     "knn_neural", "knn_neural_trained",
+    # SemDeDup k-means dedup: hash-sampled fit + fixed-iter Lloyd ->
+    # pure function of (data, seed); pinned exactly like the kNN sets
+    "semantic_dup_pairs",
 ]
 
 
 def _canonical(tbl) -> list[list]:
+    if "query_id" in tbl.column_names:
+        cols = ("query_id", "neighbor_id", "sim")
+    else:                      # semantic_dup_pairs: (left_id, right_id, cosine)
+        cols = ("left_id", "right_id", "cosine")
     rows = sorted(
         zip(
-            tbl["query_id"].to_pylist(),
-            tbl["neighbor_id"].to_pylist(),
-            tbl["sim"].to_pylist(),
+            tbl[cols[0]].to_pylist(),
+            tbl[cols[1]].to_pylist(),
+            tbl[cols[2]].to_pylist(),
         )
     )
     return [[int(q), int(n), float(s)] for q, n, s in rows]

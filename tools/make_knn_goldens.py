@@ -19,16 +19,24 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 MEMBERS = [
     "knn_cosine_lsh", "knn_hnsw", "knn_ivf", "knn_pq",
     "knn_neural", "knn_neural_trained",
+    # the seventh rows-only member: SemDeDup k-means embedding dedup —
+    # hash-sampled fit + fixed-iteration Lloyd make it a pure function
+    # of (data, seed), so its pair set pins exactly like the kNN sets
+    "semantic_dup_pairs",
 ]
 SF_DIR = "/root/testdata/sf0.001"
 
 
 def canonical(tbl) -> list[list]:
+    if "query_id" in tbl.column_names:
+        cols = ("query_id", "neighbor_id", "sim")
+    else:                      # semantic_dup_pairs: (left_id, right_id, cosine)
+        cols = ("left_id", "right_id", "cosine")
     rows = sorted(
         zip(
-            tbl["query_id"].to_pylist(),
-            tbl["neighbor_id"].to_pylist(),
-            tbl["sim"].to_pylist(),
+            tbl[cols[0]].to_pylist(),
+            tbl[cols[1]].to_pylist(),
+            tbl[cols[2]].to_pylist(),
         )
     )
     return [[int(q), int(n), float(s)] for q, n, s in rows]

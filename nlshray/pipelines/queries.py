@@ -3241,6 +3241,37 @@ ORACLE_SQL["vocab_top_tokens"] = """
 """
 
 
+def heavy_hitter_tokens(sf_dir: str, threshold: int = 100):
+    """Threshold heavy hitters (``stages/heavy.heavy_hitter_tokens``):
+    every token with exact corpus count >= threshold, found by a
+    CountMin-sketch candidate pass (broadcast once via ``ray.put``) in
+    front of an exact second pass — the sketch prunes, never answers,
+    so the output is exact and SQL-replayable while the merge shuffle
+    is bounded by the d*w sketch cells instead of the open-vocabulary
+    tail a top-k combiner must move."""
+    from nlshray.stages.heavy import heavy_hitter_tokens as _hh
+
+    docs = _pq(sf_dir, "documents", columns=["text"])
+    return _hh(
+        docs, threshold=threshold, seed=CFG.seed, num_partitions=NPARTS
+    )
+
+
+QUERIES["heavy_hitter_tokens"] = heavy_hitter_tokens
+
+ORACLE_SQL["heavy_hitter_tokens"] = """
+    WITH tok AS (
+      SELECT u.tok FROM (
+        SELECT list_filter(regexp_split_to_array(lower(text),
+                 '[^0-9a-z_]+'), t -> t <> '') AS toks
+        FROM documents
+      ), unnest(toks) AS u(tok)
+    ),
+    cnt AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY tok)
+    SELECT tok, n FROM cnt WHERE n >= 100 ORDER BY n DESC, tok
+"""
+
+
 def capped_docs_per_source(sf_dir: str, cap: int = 15):
     """Per-provenance quota sampling (``stages/topk.capped_sample``): at
     most ``cap`` docs per source, chosen by splitmix64(doc_id ^ seed)

@@ -763,3 +763,44 @@ def test_source_similarity_known_overlap(ray_session, tmp_path):
     assert ab["jaccard_ppm"] == 500_000
     assert rows[("srcA", "srcC")]["n_common"] == 0
     assert rows[("srcB", "srcC")]["n_union"] == 4  # {b,c,d} U {x}
+
+
+def test_heavy_hitter_tokens_cms_exact(ray_session):
+    """CountMin candidate pass + exact second pass: output equals a
+    direct count at any sketch width — including w=64, where every
+    cell collides and the sketch passes nearly the whole vocabulary
+    through (the exact pass must still filter it to the true set) —
+    and is independent of block layout."""
+    from collections import Counter
+
+    from nlshray.stages.heavy import heavy_hitter_tokens
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i:04d}" for i in range(3000)]
+    docs = []
+    for i in range(300):
+        toks = list(rng.choice(vocab, size=40))
+        if i % 3 == 0:
+            toks += ["hot_alpha"] * 5
+        if i % 5 == 0:
+            toks += ["hot_beta"] * 4
+        docs.append(" ".join(toks))
+    truth = Counter()
+    for dtext in docs:
+        truth.update(dtext.split())
+    thr = 60
+    want = sorted(
+        ((n, t) for t, n in truth.items() if n >= thr),
+        key=lambda x: (-x[0], x[1]),
+    )
+    assert len(want) >= 2  # both planted heavies survive the threshold
+    t = pa.table({"text": pa.array(docs, pa.string())})
+    for width in (1 << 14, 64):
+        got = heavy_hitter_tokens(
+            rd.from_arrow(t).repartition(7), threshold=thr, w=width
+        ).take_all()
+        assert [(r["n"], r["tok"]) for r in got] == want, width
+    got2 = heavy_hitter_tokens(
+        rd.from_arrow(t).repartition(2), threshold=thr
+    ).take_all()
+    assert [(r["n"], r["tok"]) for r in got2] == want

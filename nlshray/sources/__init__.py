@@ -8,5 +8,6 @@ column pruning at the read and resumable directory layouts at the write
 """
 
 from nlshray.sources.pages import read_docs, read_pages, write_partitioned
+from nlshray.sources.warc import read_warc
 
-__all__ = ["read_pages", "read_docs", "write_partitioned"]
+__all__ = ["read_pages", "read_docs", "read_warc", "write_partitioned"]

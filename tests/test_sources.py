@@ -145,3 +145,84 @@ def test_write_partitioned_hive_layout(ray_session, tmp_path):
     )
     want = _sorted_rows(rd.from_arrow(t), ["doc_id", "text", "n_chars"])
     assert back == want
+
+
+def _pages_rows(n=60):
+    from nlshray.fixtures import generate_pages
+
+    t = generate_pages(n, seed=5)
+    return t, [
+        (
+            t["url"][i].as_py(),
+            t["warc_ts"][i].as_py(),
+            t["html"][i].as_py(),
+            t["lang"][i].as_py(),
+        )
+        for i in range(t.num_rows)
+    ]
+
+
+def test_warc_roundtrip_plain_and_gzip(ray_session, tmp_path):
+    """encode -> read round trip, both containers: url/ts/html/lang
+    byte-identical in row order (one read task per file preserves it)."""
+    from nlshray.sources.warc import encode_warc, read_warc
+
+    t, rows = _pages_rows(60)
+    plain = tmp_path / "a.warc"
+    gz = tmp_path / "b.warc.gz"
+    plain.write_bytes(encode_warc(rows))
+    gz.write_bytes(encode_warc(rows, per_record_gzip=True))
+    for path in (plain, gz):
+        got = pa.concat_tables(
+            ray.get(read_warc(str(path), rows_per_block=17).to_arrow_refs())
+        )
+        assert got["url"].to_pylist() == t["url"].to_pylist()
+        assert got["html"].to_pylist() == t["html"].to_pylist()
+        assert got["warc_ts"].to_pylist() == t["warc_ts"].to_pylist()
+        assert got["lang"].to_pylist() == t["lang"].to_pylist()
+
+
+def test_warc_skips_non_response_records(tmp_path):
+    """request/warcinfo records interleaved with responses are dropped
+    by the reader (the Common Crawl layout)."""
+    import io
+    from datetime import datetime
+
+    from nlshray.sources.warc import encode_warc, iter_warc_records
+
+    resp = encode_warc([("http://x/1", datetime(2026, 1, 1), b"<p>hi", "en")])
+    info = (
+        b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 4\r\n\r\nabcd\r\n\r\n"
+    )
+    blob = info + resp + info
+    recs = list(iter_warc_records(io.BufferedReader(io.BytesIO(blob))))
+    assert [h["warc-type"] for h, _ in recs] == ["warcinfo", "response", "warcinfo"]
+    # and through the datasource only the response row comes out
+    from nlshray.sources.warc import read_warc
+
+    p = tmp_path / "mix.warc"
+    p.write_bytes(blob)
+    got = read_warc(str(p)).take_all()
+    assert len(got) == 1 and got[0]["url"] == "http://x/1"
+    assert got[0]["html"] == b"<p>hi"
+
+
+def test_warc_feeds_extraction_identically(ray_session, tmp_path):
+    """The byte-identical extraction invariant holds across the wire
+    format: extract(warc-read pages) == extract(in-memory pages)."""
+    from nlshray.sources.warc import encode_warc, read_warc
+    from nlshray.stages.extract import extract_stage
+
+    t, rows = _pages_rows(80)
+    p = tmp_path / "c.warc.gz"
+    p.write_bytes(encode_warc(rows, per_record_gzip=True))
+    via_warc = _sorted_rows(
+        extract_stage(read_warc(str(p)).repartition(4)), ["url", "text"]
+    )
+    direct = _sorted_rows(
+        extract_stage(
+            rd.from_arrow(t.select(["url", "warc_ts", "html", "lang"]))
+        ),
+        ["url", "text"],
+    )
+    assert via_warc == direct

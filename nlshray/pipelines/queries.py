@@ -879,6 +879,30 @@ def near_dup_clusters_t1(sf_dir: str):
     return to_arrow(res.clusters)
 
 
+def cross_near_dup_pairs(sf_dir: str):
+    """Decontamination join (``stages/crossdup.cross_near_dups``): every
+    (corpus_doc, probe_doc) exact or near duplicate at the flagship
+    threshold, probes = docs with doc_id % 10 == 7. The plan broadcasts
+    the probe side's band keys so the corpus never self-pairs — its band
+    rows only shuffle when they land in a probe bucket; driver state is
+    bounded by the probe side, never the corpus. Oracle: the flagship
+    union chain filtered to cross-side pairs and expanded through the
+    exact-dup membership map."""
+    from nlshray.stages.crossdup import cross_near_dups
+
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def flag(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "is_probe", pa.array(t["doc_id"].to_numpy() % 10 == 7)
+        )
+
+    flagged = docs.map_batches(
+        flag, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return to_arrow(cross_near_dups(flagged, CFG, num_partitions=NPARTS))
+
+
 def edit_distance_pairs(sf_dir: str):
     """Edit-distance verification of the flagship's confirmed near-dup
     pairs — the character-level second opinion a curation pipeline runs
@@ -1691,6 +1715,7 @@ QUERIES = {
     "packed_sequences": packed_sequences,
     "minhash_signatures": minhash_signatures,
     "near_dup_pairs": near_dup_pairs,
+    "cross_near_dup_pairs": cross_near_dup_pairs,
     "near_dup_clusters": near_dup_clusters,
     "near_dup_clusters_t1": near_dup_clusters_t1,
     "quality_scores_sql": quality_scores_sql,
@@ -2352,6 +2377,42 @@ def _build_novel_near_oracle() -> str:
     """
 
 
+def _build_cross_near_dups_oracle() -> str:
+    """Decontamination join: probes = docs with doc_id % 10 = 7, corpus =
+    the rest. Semantics = the flagship union chain filtered to cross-side
+    pairs: exact cross dups are probe-touched text groups (J = 1.0);
+    near cross pairs are confirmed rep pairs expanded through the
+    exact-dup membership map with one member on each side. Band keys and
+    Jaccard are pure functions of the text, so the engine's
+    probe-bucket-filtered candidate generation and the oracle's full
+    candidate set decide identically on every cross pair (a cross pair's
+    probe-side rep is probe-touched by definition, so its bucket always
+    survives the engine's broadcast filter)."""
+    return f"""
+        WITH {_near_dup_chain_sql().strip()},
+        exact_cross AS (
+          SELECT c.doc_id AS corpus_id, p.doc_id AS probe_id, 1.0 AS jaccard
+          FROM rep c JOIN rep p ON p.rep_id = c.rep_id
+          WHERE c.doc_id % 10 <> 7 AND p.doc_id % 10 = 7
+        ),
+        cpair AS (
+          SELECT left_id AS a, right_id AS b, jac FROM conf
+          UNION ALL
+          SELECT right_id AS a, left_id AS b, jac FROM conf
+        ),
+        near_cross AS (
+          SELECT mc.doc_id AS corpus_id, mp.doc_id AS probe_id,
+                 cp.jac AS jaccard
+          FROM cpair cp
+          JOIN rep mc ON mc.rep_id = cp.a AND mc.doc_id % 10 <> 7
+          JOIN rep mp ON mp.rep_id = cp.b AND mp.doc_id % 10 = 7
+        )
+        SELECT corpus_id, probe_id, ROUND(jaccard, 6) AS jaccard
+        FROM (SELECT * FROM exact_cross UNION ALL SELECT * FROM near_cross)
+        ORDER BY corpus_id, probe_id
+    """
+
+
 def _build_near_dup_clusters_oracle() -> str:
     """Full dedup clustering at threshold 0.8: connected components over
     confirmed pairs + exact-dup edges via a recursive min-label CTE
@@ -2382,6 +2443,7 @@ ORACLE_SQL = {
     "simhash_pairs": _build_simhash_oracle(),
     "minhash_signatures": _build_minhash_oracle(),
     "near_dup_pairs": _build_near_dup_pairs_oracle(),
+    "cross_near_dup_pairs": _build_cross_near_dups_oracle(),
     "edit_distance_pairs": _build_edit_distance_pairs_oracle(),
     "near_dup_clusters": _build_near_dup_clusters_oracle(),
     "novel_docs_near_incremental": _build_novel_near_oracle(),

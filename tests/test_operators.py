@@ -804,3 +804,79 @@ def test_heavy_hitter_tokens_cms_exact(ray_session):
         rd.from_arrow(t).repartition(2), threshold=thr
     ).take_all()
     assert [(r["n"], r["tok"]) for r in got2] == want
+
+
+def test_cross_near_dups_equals_union_plan(ray_session):
+    """Decontamination join: the probe-bucket-broadcast plan must equal
+    the semantic definition — run the flagship dedup over the UNION and
+    keep cross-side pairs expanded through the exact-dup rep map. Also:
+    planted exact and near cross dups are found, and the result is
+    independent of block layout."""
+    from collections import defaultdict
+
+    from nlshray.pipelines.dedup import dedup_docs
+    from nlshray.stages.crossdup import cross_near_dups
+
+    cfg = DedupConfig()
+    rng = np.random.default_rng(23)
+    vocab = [f"tok{i}" for i in range(400)]
+    corpus = [" ".join(rng.choice(vocab, 60)) for _ in range(120)]
+    corpus[11] = corpus[3]  # corpus-internal exact dup group
+    probes = []
+    probes.append(corpus[3])                       # exact cross dup (x2 members)
+    near = corpus[7].split()
+    near[0] = "CHANGED"
+    probes.append(" ".join(near))                  # near cross dup
+    probes.append(" ".join(rng.choice(vocab, 60))) # unrelated
+    texts = corpus + probes
+    ids = list(range(len(texts)))
+    t = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "is_probe": pa.array([i >= len(corpus) for i in ids]),
+        }
+    )
+
+    got_t = to_arrow(
+        cross_near_dups(rd.from_arrow(t).repartition(5), cfg)
+    )
+    got = set(
+        zip(got_t["corpus_id"].to_pylist(), got_t["probe_id"].to_pylist())
+    )
+
+    # semantic definition: union dedup + cross-side expansion
+    res = dedup_docs(
+        rd.from_arrow(t.select(["doc_id", "text"])), cfg, num_partitions=4
+    )
+    docs_rep = to_arrow(res.docs)
+    members = defaultdict(list)
+    for d, r in zip(
+        docs_rep["doc_id"].to_pylist(), docs_rep["rep_id"].to_pylist()
+    ):
+        members[r].append(d)
+    is_probe = {i: i >= len(corpus) for i in ids}
+    want = set()
+    for r, mem in members.items():  # exact cross: within one text group
+        cs = [m for m in mem if not is_probe[m]]
+        ps = [m for m in mem if is_probe[m]]
+        want.update((c, p) for c in cs for p in ps)
+    pairs_t = to_arrow(res.pairs)
+    for a, b in zip(
+        pairs_t["left_id"].to_pylist(), pairs_t["right_id"].to_pylist()
+    ):
+        for ra, rb in ((a, b), (b, a)):
+            cs = [m for m in members[ra] if not is_probe[m]]
+            ps = [m for m in members[rb] if is_probe[m]]
+            want.update((c, p) for c in cs for p in ps)
+    assert got == want
+    # planted dups found: exact pair for both members of the dup group,
+    # near pair for the perturbed probe
+    p_exact, p_near = len(corpus), len(corpus) + 1
+    assert (3, p_exact) in got and (11, p_exact) in got
+    assert (7, p_near) in got
+    assert not any(p == len(corpus) + 2 for _, p in got)  # unrelated clean
+
+    # block-layout independence
+    got2_t = to_arrow(cross_near_dups(rd.from_arrow(t).repartition(2), cfg))
+    assert got_t.equals(got2_t)

@@ -4514,3 +4514,55 @@ ORACLE_SQL["latest_event_per_user"] = """
       FROM events
     ) WHERE rn = 1
 """
+
+
+def lm_perplexity_scores(sf_dir: str):
+    """CCNet-style LM quality signal (`stages/lm.py`): fit an MLE
+    bigram model ON the corpus (combiner partial counts, one bounded
+    groupby), broadcast the integer micro-nat cost table once, score
+    every doc by negative log-likelihood. Integer costs make the
+    per-doc sum order-independent, so the whole chain — tokenize,
+    bigram counts, -ln(c12/c1) rounded to micro-nats, per-doc sum,
+    perplexity — replays bit-exactly in SQL."""
+    from nlshray.stages.lm import lm_perplexity
+
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+    return lm_perplexity(
+        docs, seed=CFG.seed, num_partitions=NPARTS
+    )
+
+
+QUERIES["lm_perplexity_scores"] = lm_perplexity_scores
+
+ORACLE_SQL["lm_perplexity_scores"] = """
+    WITH tokarr AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text),
+               '[^0-9a-z_]+'), t -> t <> '') AS toks
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, toks[i] AS t1, toks[i + 1] AS t2
+      FROM tokarr, unnest(range(1, len(toks))) AS i(i)
+    ),
+    bc AS (
+      SELECT t1, t2, CAST(count(*) AS BIGINT) AS c12
+      FROM bg GROUP BY t1, t2
+    ),
+    pfx AS (
+      SELECT t1, CAST(sum(c12) AS BIGINT) AS c1 FROM bc GROUP BY t1
+    ),
+    cost AS (
+      SELECT bc.t1, bc.t2,
+             CAST(round(-ln(CAST(bc.c12 AS DOUBLE) / pfx.c1) * 1000000)
+                  AS BIGINT) AS c
+      FROM bc JOIN pfx ON bc.t1 = pfx.t1
+    )
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(co.c) AS BIGINT) AS nll_micro,
+           round(exp(CAST(sum(co.c) AS DOUBLE) / 1000000.0 / count(*)),
+                 6) AS ppl
+    FROM bg g JOIN cost co ON g.t1 = co.t1 AND g.t2 = co.t2
+    GROUP BY g.doc_id
+"""

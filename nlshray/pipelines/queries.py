@@ -4566,3 +4566,74 @@ ORACLE_SQL["lm_perplexity_scores"] = """
     FROM bg g JOIN cost co ON g.t1 = co.t1 AND g.t2 = co.t2
     GROUP BY g.doc_id
 """
+
+
+def ccnet_tiers(sf_dir: str):
+    """CCNet head/middle/tail corpus tiering (`stages/lm.py`,
+    Wenzek et al. 2020 §4.3): score every doc's bigram-LM perplexity,
+    then split EACH LANGUAGE at its exact 0.33/0.66 perplexity
+    quantiles. The whole chain — integer micro-nat scoring, the
+    ceil(q*n)-rank threshold rule, the tier compares — replays
+    bit-exactly in SQL (thresholds via explicit ROW_NUMBER, not any
+    engine's quantile convention)."""
+    from nlshray.stages.lm import lm_perplexity, perplexity_tiers
+
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    scores = lm_perplexity(
+        docs, seed=CFG.seed, num_partitions=NPARTS, carry_cols=("lang",)
+    )
+    out = perplexity_tiers(scores, group_col="lang")
+    return out.select_columns(["doc_id", "lang", "ppl", "tier"])
+
+
+QUERIES["ccnet_tiers"] = ccnet_tiers
+
+ORACLE_SQL["ccnet_tiers"] = """
+    WITH tokarr AS (
+      SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(lower(text),
+               '[^0-9a-z_]+'), t -> t <> '') AS toks
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, lang, toks[i] AS t1, toks[i + 1] AS t2
+      FROM tokarr, unnest(range(1, len(toks))) AS i(i)
+    ),
+    bc AS (
+      SELECT t1, t2, CAST(count(*) AS BIGINT) AS c12
+      FROM bg GROUP BY t1, t2
+    ),
+    pfx AS (
+      SELECT t1, CAST(sum(c12) AS BIGINT) AS c1 FROM bc GROUP BY t1
+    ),
+    cost AS (
+      SELECT bc.t1, bc.t2,
+             CAST(round(-ln(CAST(bc.c12 AS DOUBLE) / pfx.c1) * 1000000)
+                  AS BIGINT) AS c
+      FROM bc JOIN pfx ON bc.t1 = pfx.t1
+    ),
+    scores AS (
+      SELECT g.doc_id, g.lang,
+             round(exp(CAST(sum(co.c) AS DOUBLE) / 1000000.0 / count(*)),
+                   6) AS ppl
+      FROM bg g JOIN cost co ON g.t1 = co.t1 AND g.t2 = co.t2
+      GROUP BY g.doc_id, g.lang
+    ),
+    ranked AS (
+      SELECT lang, ppl,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY ppl) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM scores
+    ),
+    thr AS (
+      SELECT lang,
+             MIN(CASE WHEN rn >= ceil(0.33 * n) THEN ppl END) AS t_head,
+             MIN(CASE WHEN rn >= ceil(0.66 * n) THEN ppl END) AS t_mid
+      FROM ranked GROUP BY lang
+    )
+    SELECT s.doc_id, s.lang, s.ppl,
+           CASE WHEN s.ppl <= t.t_head THEN 'head'
+                WHEN s.ppl <= t.t_mid THEN 'middle'
+                ELSE 'tail' END AS tier
+    FROM scores s JOIN thr t ON s.lang = t.lang
+"""

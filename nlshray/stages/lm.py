@@ -173,9 +173,12 @@ def score_perplexity(
     id_col: str = "doc_id",
     seed: int = 0,
     unseen_cost: int | None = None,
+    carry_cols: tuple[str, ...] = (),
 ) -> ray.data.Dataset:
     """Per-document (doc_id, n_bigrams, nll_micro, ppl) under the
-    bigram model in ``counts``.
+    bigram model in ``counts``. ``carry_cols`` ride along filtered to
+    the surviving rows (e.g. ``lang`` for per-language tiering) — the
+    score is a pure function of the same batch, so no join is needed.
 
     ``unseen_cost`` (micro-nats) is the backoff charged for bigrams
     absent from the model — required when scoring a corpus the model
@@ -227,19 +230,78 @@ def score_perplexity(
         ppl = np.round(
             np.exp(nll[keep] / MICRO / np.maximum(nbg[keep], 1)), 6
         )
-        ids_col = t[id_col]
-        if isinstance(ids_col, pa.ChunkedArray):
-            ids_col = ids_col.combine_chunks()
-        return pa.table(
-            {
-                id_col: ids_col.filter(pa.array(keep)),
-                "n_bigrams": pa.array(nbg[keep], pa.int64()),
-                "nll_micro": pa.array(nll[keep], pa.int64()),
-                "ppl": pa.array(ppl, pa.float64()),
-            }
-        )
+        keep_mask = pa.array(keep)
+        cols = {id_col: t[id_col].combine_chunks().filter(keep_mask)
+                if isinstance(t[id_col], pa.ChunkedArray)
+                else t[id_col].filter(keep_mask)}
+        for c in carry_cols:
+            arr = t[c]
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            cols[c] = arr.filter(keep_mask)
+        cols["n_bigrams"] = pa.array(nbg[keep], pa.int64())
+        cols["nll_micro"] = pa.array(nll[keep], pa.int64())
+        cols["ppl"] = pa.array(ppl, pa.float64())
+        return pa.table(cols)
 
     return docs.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def perplexity_tiers(
+    scores: ray.data.Dataset,
+    group_col: str = "lang",
+    ppl_col: str = "ppl",
+    q_head: float = 0.33,
+    q_mid: float = 0.66,
+) -> ray.data.Dataset:
+    """CCNet's deliverable (Wenzek et al. 2020 §4.3): split each
+    language's documents into head/middle/tail tiers by perplexity.
+
+    ``scores`` is a per-doc scores dataset (small scalar columns — a
+    few dozen bytes/doc, so materializing it is cheap at any corpus
+    scale; the CORPUS is never materialized). Thresholds are EXACT
+    per-group quantiles via :func:`grouped_quantiles_float`'s
+    two-pass straddling-bucket plan (ceil(q*n)-rank rule, replayed
+    explicitly in the SQL oracle with ROW_NUMBER rather than relying
+    on any engine's quantile convention). The tiny threshold table
+    rides into the tier map as a closure; tier assignment is a
+    vectorized dictionary-encode + two compares.
+    """
+    from nlshray.stages.quantiles import grouped_quantiles_float
+
+    scores = scores.materialize()
+    thr = grouped_quantiles_float(scores, group_col, ppl_col, [q_head, q_mid])
+    qh = f"q_{int(round(q_head * 100))}"
+    qm = f"q_{int(round(q_mid * 100))}"
+    th = {
+        g: (h, m)
+        for g, h, m in zip(
+            thr[group_col].to_pylist(),
+            thr[qh].to_pylist(),
+            thr[qm].to_pylist(),
+        )
+    }
+
+    def tier_fn(t: pa.Table) -> pa.Table:
+        enc = t[group_col]
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        enc = pc.dictionary_encode(enc)
+        dic = enc.dictionary.to_pylist()  # group cardinality, not rows
+        th_h = np.array([th[g][0] for g in dic], np.float64)
+        th_m = np.array([th[g][1] for g in dic], np.float64)
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        ppl = t[ppl_col].to_numpy(zero_copy_only=False)
+        tier = np.where(
+            ppl <= th_h[idx],
+            "head",
+            np.where(ppl <= th_m[idx], "middle", "tail"),
+        )
+        return t.append_column("tier", pa.array(tier, pa.string()))
+
+    return scores.map_batches(
+        tier_fn, batch_format="pyarrow", zero_copy_batch=True
+    )
 
 
 def lm_perplexity(
@@ -248,11 +310,17 @@ def lm_perplexity(
     id_col: str = "doc_id",
     seed: int = 0,
     num_partitions: int = 8,
+    carry_cols: tuple[str, ...] = (),
 ) -> ray.data.Dataset:
     """Self-scored corpus perplexity: fit on ``docs``, score ``docs``."""
     counts = fit_bigram_counts(
         docs, text_col=text_col, num_partitions=num_partitions
     )
     return score_perplexity(
-        docs, counts, text_col=text_col, id_col=id_col, seed=seed
+        docs,
+        counts,
+        text_col=text_col,
+        id_col=id_col,
+        seed=seed,
+        carry_cols=carry_cols,
     )

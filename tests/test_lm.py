@@ -118,3 +118,65 @@ def test_lm_repetitive_doc_scores_lower(ray_session):
     got = lm_perplexity(rd.from_arrow(_docs(texts))).to_pandas()
     got = got.set_index("doc_id")
     assert got.loc[0, "ppl"] < got.loc[9, "ppl"]
+
+
+def test_perplexity_tiers_thresholds(ray_session):
+    """Tier split follows the ceil(q*n)-rank rule per group, exactly."""
+    from nlshray.stages.lm import lm_perplexity, perplexity_tiers
+
+    rng = np.random.default_rng(11)
+    vocab = ["t%d" % i for i in range(10)]
+    texts, langs = [], []
+    for i in range(150):
+        texts.append(" ".join(rng.choice(vocab, size=rng.integers(3, 25))))
+        langs.append(["en", "de", "fr"][i % 3])
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(150), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+        }
+    )
+    scores = lm_perplexity(rd.from_arrow(t), carry_cols=("lang",))
+    got = perplexity_tiers(scores, group_col="lang").to_pandas()
+    assert set(got["tier"]) <= {"head", "middle", "tail"}
+    for lang, grp in got.groupby("lang"):
+        vals = np.sort(grp["ppl"].values)
+        n = len(vals)
+        th = vals[max(int(np.ceil(0.33 * n)), 1) - 1]
+        tm = vals[max(int(np.ceil(0.66 * n)), 1) - 1]
+        want = np.where(
+            grp["ppl"] <= th, "head",
+            np.where(grp["ppl"] <= tm, "middle", "tail"),
+        )
+        assert (grp["tier"].values == want).all(), lang
+        # every tier non-empty at this n
+        assert set(grp["tier"]) == {"head", "middle", "tail"}, lang
+
+
+def test_perplexity_tiers_parallelism_independent(ray_session):
+    from nlshray.stages.lm import lm_perplexity, perplexity_tiers
+
+    rng = np.random.default_rng(5)
+    vocab = ["w%d" % i for i in range(8)]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(120), pa.int64()),
+            "text": pa.array(
+                [" ".join(rng.choice(vocab, size=rng.integers(2, 20)))
+                 for _ in range(120)], pa.string()),
+            "lang": pa.array((["en", "de"] * 60), pa.string()),
+        }
+    )
+
+    def run(parts):
+        ds = rd.from_arrow(t)
+        if parts:
+            ds = ds.repartition(parts)
+        s = lm_perplexity(ds, carry_cols=("lang",))
+        return (
+            perplexity_tiers(s, group_col="lang")
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+
+    assert run(None).equals(run(11))

@@ -4637,3 +4637,28 @@ ORACLE_SQL["ccnet_tiers"] = """
                 ELSE 'tail' END AS tier
     FROM scores s JOIN thr t ON s.lang = t.lang
 """
+
+
+def quantiles_sketch_by_lang(sf_dir: str):
+    """One-pass APPROXIMATE grouped quantiles (`stages/qsketch.py`,
+    KLL-style mergeable rank sketch — the scale path next to the
+    exact two-pass `length_quantiles_by_lang`). Rows-only by design
+    (approximate by contract, like the kNN members); pytest gates the
+    rank error vs the exact operator at <= 2% and weight conservation
+    exactly."""
+    from nlshray.stages.qsketch import grouped_sketch_quantiles
+
+    docs = _pq(sf_dir, "documents", columns=["lang", "n_chars"])
+
+    def to_f64(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"lang": t["lang"], "n_chars": t["n_chars"].cast(pa.float64())}
+        )
+
+    ds = docs.map_batches(to_f64, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_sketch_quantiles(
+        ds, "lang", "n_chars", [0.25, 0.5, 0.75, 0.9], k=256, seed=CFG.seed
+    )
+
+
+QUERIES["quantiles_sketch_by_lang"] = quantiles_sketch_by_lang

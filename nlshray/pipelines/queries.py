@@ -4662,3 +4662,52 @@ def quantiles_sketch_by_lang(sf_dir: str):
 
 
 QUERIES["quantiles_sketch_by_lang"] = quantiles_sketch_by_lang
+
+
+WEIGHTED_SAMPLE_K = 100
+
+
+def weighted_sample_docs(sf_dir: str):
+    """Weight-proportional without-replacement sample (A-ES,
+    Efraimidis-Spirakis 2006; `stages/topk.weighted_sample`): the
+    mixture-building op — sample docs proportional to length. Keys
+    are pure functions of (doc_id, seed), so the sample is
+    parallelism-independent and the oracle replays the identical
+    splitmix chain + `-ln(((z>>11)+1)/2^53)/w` key in SQL."""
+    from nlshray.stages.topk import weighted_sample
+
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    return weighted_sample(
+        docs, "n_chars", WEIGHTED_SAMPLE_K, seed=CFG.seed
+    ).select_columns(["doc_id", "lang", "n_chars"])
+
+
+QUERIES["weighted_sample_docs"] = weighted_sample_docs
+
+
+def _build_weighted_sample_oracle(k: int) -> str:
+    from nlshray.hashing import _seed_mix
+
+    mix = int(_seed_mix(CFG.seed))
+    return f"""
+        WITH seeded AS (
+          SELECT doc_id, lang, n_chars,
+                 xor(CAST(doc_id AS UBIGINT), {mix}::UBIGINT) AS x
+          FROM documents
+        ),
+        {_sql_splitmix('w', 'seeded', 'x', 'lang, n_chars').strip()},
+        keyed AS (
+          SELECT doc_id, lang, n_chars,
+                 -ln((CAST(z >> 11 AS DOUBLE) + 1.0)
+                     / 9007199254740992.0) / n_chars AS key
+          FROM w6
+          WHERE n_chars > 0
+        )
+        SELECT doc_id, lang, n_chars FROM keyed
+        ORDER BY key, doc_id LIMIT {k}
+    """
+
+
+ORACLE_SQL["weighted_sample_docs"] = _build_weighted_sample_oracle(
+    WEIGHTED_SAMPLE_K
+)

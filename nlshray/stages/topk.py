@@ -226,3 +226,48 @@ def assign_splits(
         return t.append_column("split", pa.array(names[idx], pa.string()))
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def weighted_sample(
+    ds: ray.data.Dataset,
+    weight_col: str,
+    k: int,
+    *,
+    seed: int = 42,
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Weighted sampling WITHOUT replacement, Efraimidis-Spirakis
+    A-ES (2006): each row's sort key is ``-ln(u)/w`` with ``u`` a
+    (0,1] uniform DERIVED from ``splitmix64(id ^ seed)`` (top 53 bits,
+    +1 so u is never 0); the ``k`` smallest keys are exactly a
+    weight-proportional without-replacement sample. The key is a pure
+    function of (id, seed, weight) — parallelism-independent,
+    resumable, and SQL-replayable (the oracle recomputes the same
+    splitmix chain in HUGEINT and the same ``-ln(((z>>11)+1)/2^53)/w``
+    key; the mixture-building use case: sample docs proportional to
+    quality/length for a training mix).
+
+    Same two-phase plan as ``stratified_sample``: per-block partial
+    top-k (at most k rows leave any block), one coalesced final
+    combine — zero all-to-all shuffles. Weights must be positive;
+    nonpositive-weight rows are excluded (they'd carry infinite keys).
+    """
+
+    def kern(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        ids = t[id_col].to_numpy()
+        z = splitmix64(ids.astype(np.uint64) ^ _seed_mix(seed))
+        u = ((z >> np.uint64(11)).astype(np.float64) + 1.0) / float(1 << 53)
+        w = t[weight_col].to_numpy().astype(np.float64)
+        key = np.where(w > 0, -np.log(u) / np.maximum(w, 1e-300), np.inf)
+        order = np.lexsort((ids, key))
+        order = order[np.isfinite(key[order])][:k]
+        return t.take(pa.array(np.sort(order)))
+
+    partial = ds.map_batches(
+        kern, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return partial.repartition(1).map_batches(
+        kern, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -248,3 +248,48 @@ def test_assign_splits_two_way(ray_session):
               for k in ("train", "valid", "test")}
     assert counts["test"] == 0
     assert abs(counts["train"] / 2000 - 0.9) < 0.03
+
+
+def test_weighted_sample_parallelism_independent_and_biased(ray_session):
+    """A-ES: same sample at any partitioning; heavy weights are
+    overrepresented vs uniform (statistical gate on a fixed seed)."""
+    import ray.data as rd
+    from nlshray.stages.topk import weighted_sample
+
+    n = 2000
+    # weights: doc_id < 200 get weight 50, rest weight 1
+    w = np.where(np.arange(n) < 200, 50, 1).astype(np.int64)
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n), pa.int64()),
+            "w": pa.array(w, pa.int64()),
+        }
+    )
+
+    def run(parts):
+        ds = rd.from_arrow(t)
+        if parts:
+            ds = ds.repartition(parts)
+        out = weighted_sample(ds, "w", 100, seed=9).to_pandas()
+        return sorted(out["doc_id"].tolist())
+
+    a, b = run(None), run(17)
+    assert a == b and len(a) == 100
+    # heavy group holds 200*50/(200*50+1800) ~ 84.7% of total weight;
+    # uniform sampling would give ~10%. Gate well between the two.
+    heavy = sum(1 for d in a if d < 200)
+    assert heavy > 55, heavy
+
+
+def test_weighted_sample_excludes_nonpositive(ray_session):
+    import ray.data as rd
+    from nlshray.stages.topk import weighted_sample
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "w": pa.array([0, -5, 3, 2], pa.int64()),
+        }
+    )
+    out = weighted_sample(rd.from_arrow(t), "w", 10, seed=1).to_pandas()
+    assert sorted(out["doc_id"]) == [3, 4]

@@ -12,27 +12,27 @@ outlier (boilerplate, noise, wrong language).
 Two streaming passes, zero driver-side row loops:
 
 1. **Fit (combiner)** — each block tokenizes (same ``[0-9a-z_]+``
-   tokenizer as the vocab/decontam/heavy-hitter operators), forms
-   within-doc adjacent token pairs vectorized (one Arrow slice + one
-   boolean mask, no per-row work), ``value_counts`` the joined
-   ``t1\\x1ft2`` keys, and emits the block's partial counts — at most
-   (block-vocab)^2 rows but in practice the block's distinct-bigram
-   count. A bounded ``groupby(bg).sum`` merges them; the merged table
-   is the model and is collected to the driver. CLOSED-VOCABULARY
-   ASSUMPTION, documented: the model table is O(distinct bigrams). On
-   an open web vocabulary, prune the merged table with a min-count
-   threshold before broadcasting (rare bigrams contribute the most
-   noise to the estimate anyway); the scoring pass then needs a
-   backoff cost for unseen bigrams — both are one-line changes here.
-2. **Score** — the driver derives, ONCE: the sorted 64-bit token-hash
-   vocabulary (collision-checked; a collision would fail the SQL
-   oracle exactly as in ``repetition_stats``), per-prefix totals
-   ``c1(t1) = sum_t2 c12``, and a sorted array of bigram codes
-   ``id(t1)*V + id(t2)`` with the per-bigram INTEGER cost
-   ``round(-ln(c12/c1) * 1e6)`` (micro-nats). The three arrays are
-   broadcast with one ``ray.put``; every block factorizes its tokens
-   by ``searchsorted``, gathers per-bigram integer costs, and
-   ``bincount``-sums them per document.
+   tokenizer as the vocab/decontam/heavy-hitter operators), HASHES its
+   tokens once, forms within-doc adjacent PAIR HASHES vectorized, and
+   run-length-counts the sorted pair hashes — token strings never
+   leave the block, so the merge groupby moves three int64 columns
+   (the string version spent 90 s in the shuffle at 50k web pages;
+   this spends seconds). A bounded ``groupby(bh)`` merges partials;
+   the merged table is the model and is collected to the driver.
+   MODEL-FITS-ON-DRIVER ASSUMPTION, documented: the model table is
+   O(distinct bigrams) — 7.3M rows / ~170 MB at 50k pages. On an open
+   web vocabulary, prune with ``min_count`` (rare bigrams contribute
+   the most noise to the estimate anyway) and score with a backoff
+   cost for unseen bigrams.
+2. **Score** — the driver derives, ONCE: per-prefix totals
+   ``c1(h1) = sum_h2 c12`` and a sorted array of pair hashes with the
+   per-bigram INTEGER cost ``round(-ln(c12/c1) * 1e6)`` (micro-nats).
+   Both arrays are broadcast with one ``ray.put``; every block hashes
+   its tokens, ``searchsorted``s its pair hashes, gathers integer
+   costs, and ``bincount``-sums them per document. Hash space is safe
+   for the same reason ``repetition_stats`` documents: a 64-bit
+   collision would change counts and FAIL the string-space SQL
+   oracle, which stays bit-green.
 
 Integer micro-nat costs are the exactness trick: each unique bigram's
 cost is rounded to an int ONCE, so the per-document sum is an integer
@@ -56,12 +56,10 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data
-from ray.data.aggregate import Sum
 
 from nlshray.hashing import hash_utf8_array
 
 _SPLIT_PATTERN = r"[^0-9a-z_]+"
-_SEP = "\x1f"  # never appears inside a [0-9a-z_]+ token
 MICRO = 1_000_000
 
 
@@ -96,74 +94,151 @@ def fit_bigram_counts(
     text_col: str = "text",
     num_partitions: int = 8,
     min_count: int = 1,
+    seed: int = 0,
 ) -> pa.Table:
-    """Merged corpus bigram counts as a small ``(t1, t2, c12)`` table.
+    """Merged corpus bigram counts as a ``(bh, h1, c12)`` table — all
+    64-bit HASH space, no strings.
 
-    The per-block partial is a ``value_counts`` over joined
-    ``t1\\x1ft2`` keys (the separator is internal only — the SQL
-    oracle joins on the two token columns, which this splits back
-    into). ``min_count`` prunes the merged model for open-vocabulary
-    corpora.
+    Token strings never leave their block: each round-A task hashes
+    its tokens once (``hash_utf8_array``), forms within-doc pair
+    hashes ``bh = splitmix64(h1 * FNV ^ h2)``, run-length-counts the
+    SORTED pair hashes, and shards the partial by ``bh % P``; round B
+    merges each shard with one numpy sort + ``reduceat``. Only int64
+    triples ever move. ``h1`` rides along as the run head (constant
+    per ``bh`` modulo hash collision — a collision would make the
+    string-space SQL oracle fail, the same argument
+    ``repetition_stats`` documents). ``min_count`` prunes the merged
+    model for open-vocabulary corpora (prefix totals are then taken
+    over the pruned rows — document that choice if you prune).
     """
 
-    def partial(t: pa.Table) -> pa.Table:
-        flat, doc_idx = _block_token_stream(t, text_col)
-        n = len(flat)
-        if n < 2:
-            return pa.table(
-                {"bg": pa.array([], pa.string()), "c12": pa.array([], pa.int64())}
-            )
-        same_doc = doc_idx[:-1] == doc_idx[1:]
-        joined = pc.binary_join_element_wise(
-            flat.slice(0, n - 1), flat.slice(1), _SEP
-        )
-        joined = joined.filter(pa.array(same_doc))
-        vc = pc.value_counts(joined)
-        return pa.table(
-            {
-                "bg": vc.field("values"),
-                "c12": vc.field("counts").cast(pa.int64()),
-            }
-        )
-
-    merged = (
-        docs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("bg", num_partitions=num_partitions)
-        .aggregate(Sum("c12", alias_name="c12"))
-        .take_all()  # the model itself — O(distinct bigrams), the ONLY collect
-    )
-    bgs = pa.array([r["bg"] for r in merged], pa.string())
-    c12 = pa.array([r["c12"] for r in merged], pa.int64())
+    # raw two-round task shuffle (same plan shape as
+    # ``stages/pairs._pairs_task_shuffle``): Dataset.groupby.aggregate
+    # walks its 7.3M groups in Python (measured 90 s at 50k web pages);
+    # these two numpy rounds do the identical merge in ~2 s.
+    P = max(1, num_partitions)
+    refs = docs.select_columns([text_col]).to_arrow_refs()
+    if not refs:
+        return _empty_counts()
+    a_out = [
+        _lm_shard.options(num_returns=P).remote(r, text_col, seed, P)
+        for r in refs
+    ]
+    if P == 1:
+        a_out = [[r] for r in a_out]
+    b_out = [
+        _lm_merge.remote(*[a_out[b][p] for b in range(len(a_out))])
+        for p in range(P)
+    ]
+    tbl = pa.concat_tables(ray.get(b_out))
     if min_count > 1:
-        keep = pc.greater_equal(c12, min_count)
-        bgs, c12 = bgs.filter(keep), c12.filter(keep)
-    parts = pc.split_pattern(bgs, _SEP)
-    t1, t2 = pc.list_element(parts, 0), pc.list_element(parts, 1)
-    return pa.table({"t1": t1, "t2": t2, "c12": c12})
+        tbl = tbl.filter(pc.greater_equal(tbl["c12"], min_count))
+    return tbl
 
 
-def build_cost_model(counts: pa.Table, seed: int = 0):
-    """(sorted vocab hashes, sorted bigram codes, int64 micro-nat costs,
-    V) derived once on the driver from the merged counts table."""
-    t1h = hash_utf8_array(counts["t1"], seed=seed)
-    t2h = hash_utf8_array(counts["t2"], seed=seed)
-    vocab = np.unique(np.concatenate([t1h, t2h]))
-    if len(np.unique(vocab)) != len(vocab):  # pragma: no cover
-        raise RuntimeError("token hash collision")
-    V = np.int64(len(vocab))
-    id1 = np.searchsorted(vocab, t1h).astype(np.int64)
-    id2 = np.searchsorted(vocab, t2h).astype(np.int64)
+def _empty_counts() -> pa.Table:
+    return pa.table(
+        {
+            "bh": pa.array([], pa.int64()),
+            "h1": pa.array([], pa.int64()),
+            "c12": pa.array([], pa.int64()),
+        }
+    )
+
+
+def _block_pair_counts(
+    t: pa.Table, text_col: str, seed: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """One block's (bh, h1, c12) partial — uint64/uint64/int64."""
+    flat, doc_idx = _block_token_stream(t, text_col)
+    n = len(flat)
+    e = np.empty(0, np.uint64)
+    if n < 2:
+        return e, e, np.empty(0, np.int64)
+    h = hash_utf8_array(flat, seed=seed)
+    same_doc = doc_idx[:-1] == doc_idx[1:]
+    h1, h2 = h[:-1][same_doc], h[1:][same_doc]
+    if h1.size == 0:
+        return e, e, np.empty(0, np.int64)
+    bh = _pair_hash(h1, h2)
+    order = np.argsort(bh, kind="stable")
+    sb = bh[order]
+    starts = np.flatnonzero(np.r_[True, sb[1:] != sb[:-1]])
+    counts = np.diff(np.r_[starts, sb.size]).astype(np.int64)
+    return sb[starts], h1[order][starts], counts
+
+
+@ray.remote
+def _lm_shard(block: pa.Table, text_col: str, seed: int, P: int):
+    """Round A: one block's partial counts, split into P hash
+    partitions by ``bh % P``."""
+    bh, h1, c12 = _block_pair_counts(block, text_col, seed)
+    part = (bh % np.uint64(P)).astype(np.int64)
+    order = np.argsort(part, kind="stable")
+    cuts = np.searchsorted(part[order], np.arange(1, P))
+    out = [
+        (b, u, c)
+        for b, u, c in zip(
+            np.split(bh[order], cuts),
+            np.split(h1[order], cuts),
+            np.split(c12[order], cuts),
+        )
+    ]
+    return out[0] if P == 1 else tuple(out)
+
+
+@ray.remote
+def _lm_merge(*chunks) -> pa.Table:
+    """Round B: sum one bh-partition's counts across all blocks
+    (numpy sort + reduceat; h1 is constant per bh modulo collision —
+    a collision would fail the string-space SQL oracle)."""
+    if not chunks:
+        return _empty_counts()
+    bh = np.concatenate([c[0] for c in chunks])
+    h1 = np.concatenate([c[1] for c in chunks])
+    c12 = np.concatenate([c[2] for c in chunks])
+    if bh.size == 0:
+        return _empty_counts()
+    order = np.argsort(bh, kind="stable")
+    sb, sh, sc = bh[order], h1[order], c12[order]
+    starts = np.flatnonzero(np.r_[True, sb[1:] != sb[:-1]])
+    sums = np.add.reduceat(sc, starts)
+    return pa.table(
+        {
+            "bh": pa.array(sb[starts].view(np.int64), pa.int64()),
+            "h1": pa.array(sh[starts].view(np.int64), pa.int64()),
+            "c12": pa.array(sums.astype(np.int64), pa.int64()),
+        }
+    )
+
+
+_PAIR_MULT = np.uint64(0x100000001B3)  # FNV-64 prime
+
+
+def _pair_hash(h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+    """Order-sensitive 64-bit combine of two token hashes."""
+    from nlshray.hashing import splitmix64
+
+    return splitmix64((h1 * _PAIR_MULT) ^ h2)
+
+
+def build_cost_model(counts: pa.Table):
+    """(sorted bigram pair-hashes, int64 micro-nat costs) derived once
+    on the driver from the merged counts table."""
+    bh = counts["bh"].to_numpy(zero_copy_only=False).view(np.uint64)
+    h1 = counts["h1"].to_numpy(zero_copy_only=False).view(np.uint64)
     c12 = counts["c12"].to_numpy(zero_copy_only=False).astype(np.int64)
     # prefix totals c1 over the model's OWN rows (= unigram count of t1
     # as a bigram prefix; matches the SQL replay's SUM(c12) GROUP BY t1)
-    c1 = np.bincount(id1, weights=c12, minlength=int(V))
-    codes = id1 * V + id2
+    _, inv = np.unique(h1, return_inverse=True)
+    c1 = np.bincount(inv, weights=c12)
+    codes = bh.copy()
     order = np.argsort(codes)
     codes = codes[order]
     if len(codes) and (codes[1:] == codes[:-1]).any():  # pragma: no cover
-        raise RuntimeError("bigram code collision")
-    cost = np.round(-np.log(c12 / c1[id1]) * MICRO).astype(np.int64)[order]
-    return vocab, codes, cost, V
+        raise RuntimeError("bigram pair-hash collision")
+    cost = np.round(-np.log(c12 / c1[inv]) * MICRO).astype(np.int64)[order]
+    return codes, cost
 
 
 def score_perplexity(
@@ -187,10 +262,10 @@ def score_perplexity(
     with fewer than two tokens produce no bigrams and are dropped,
     exactly as the SQL replay's inner join drops them.
     """
-    model_ref = ray.put(build_cost_model(counts, seed=seed))
+    model_ref = ray.put(build_cost_model(counts))
 
     def score(t: pa.Table) -> pa.Table:
-        vocab, codes, cost, V = ray.get(model_ref)
+        codes, cost = ray.get(model_ref)
         flat, doc_idx = _block_token_stream(t, text_col)
         n = len(flat)
         n_docs = t.num_rows
@@ -199,17 +274,9 @@ def score_perplexity(
             nbg = np.zeros(n_docs, dtype=np.int64)
         else:
             h = hash_utf8_array(flat, seed=seed)
-            ids = np.searchsorted(vocab, h)
-            known = (ids < len(vocab)) & (vocab[np.minimum(ids, len(vocab) - 1)] == h)
             same_doc = doc_idx[:-1] == doc_idx[1:]
-            pair_known = known[:-1] & known[1:]
-            code = np.where(
-                pair_known[: n - 1] & same_doc,
-                ids[:-1] * V + ids[1:],
-                np.int64(-1),
-            )
-            sel = same_doc
-            code, bg_doc = code[sel], doc_idx[:-1][sel]
+            code = _pair_hash(h[:-1][same_doc], h[1:][same_doc])
+            bg_doc = doc_idx[:-1][same_doc]
             pos = np.searchsorted(codes, code)
             pos_c = np.minimum(pos, max(len(codes) - 1, 0))
             hit = (len(codes) > 0) & (codes[pos_c] == code)
@@ -314,7 +381,7 @@ def lm_perplexity(
 ) -> ray.data.Dataset:
     """Self-scored corpus perplexity: fit on ``docs``, score ``docs``."""
     counts = fit_bigram_counts(
-        docs, text_col=text_col, num_partitions=num_partitions
+        docs, text_col=text_col, num_partitions=num_partitions, seed=seed
     )
     return score_perplexity(
         docs,

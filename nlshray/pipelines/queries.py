@@ -4711,3 +4711,63 @@ def _build_weighted_sample_oracle(k: int) -> str:
 ORACLE_SQL["weighted_sample_docs"] = _build_weighted_sample_oracle(
     WEIGHTED_SAMPLE_K
 )
+
+
+def dup_cluster_sizes(sf_dir: str):
+    """Duplication profile of the corpus: histogram of flagship-dedup
+    cluster sizes — (cluster_size, n_clusters, n_docs) — the one-table
+    answer to "how duplicated is this crawl?". Sizes come from the
+    materialized clusters table (the driver-check contract, same
+    precedent as `source_dup_rates`); at 10^9+ docs compute per-cluster
+    sizes with the raw-task count-merge plan (`stages/lm._lm_merge`
+    kernel shape) and histogram the tiny sizes table. Integer-only;
+    the oracle aggregates the recursive-CTE clusters."""
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+    res = dedup_docs(docs, CFG, num_partitions=NPARTS)
+    clus = to_arrow(res.clusters)
+    cid = clus["cluster_id"].to_numpy()
+    _, cnt = np.unique(cid, return_counts=True)
+    size, ncl = np.unique(cnt, return_counts=True)
+    return pa.table(
+        {
+            "cluster_size": pa.array(size.astype(np.int64)),
+            "n_clusters": pa.array(ncl.astype(np.int64)),
+            "n_docs": pa.array((size * ncl).astype(np.int64)),
+        }
+    )
+
+
+QUERIES["dup_cluster_sizes"] = dup_cluster_sizes
+
+
+def _build_dup_cluster_sizes_oracle() -> str:
+    return f"""
+        WITH RECURSIVE {_near_dup_chain_sql().strip()},
+        alledge AS (
+          SELECT left_id AS u, right_id AS v FROM conf
+          UNION ALL
+          SELECT doc_id AS u, rep_id AS v FROM rep WHERE doc_id <> rep_id
+        ),
+        sym AS MATERIALIZED (
+          SELECT u, v FROM alledge UNION SELECT v AS u, u AS v FROM alledge
+        ),
+        reach(doc_id, r) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT s.v, reach.r FROM reach JOIN sym s ON s.u = reach.doc_id
+        ),
+        clus AS (
+          SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id
+        ),
+        sizes AS (
+          SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+          FROM clus GROUP BY cluster_id
+        )
+        SELECT cluster_size,
+               CAST(count(*) AS BIGINT) AS n_clusters,
+               CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+        FROM sizes GROUP BY cluster_size
+    """
+
+
+ORACLE_SQL["dup_cluster_sizes"] = _build_dup_cluster_sizes_oracle()

@@ -66,6 +66,10 @@ class KLLSketch:
         self.levels: list[np.ndarray] = [np.empty(0, np.float64)]
         self.n = 0
         self._compactions = 0
+        # exact extremes, tracked outside the compactors (compaction can
+        # drop the global min/max — DataSketches KLL does the same)
+        self._min = np.inf
+        self._max = -np.inf
 
     # -- construction -------------------------------------------------
     def insert(self, values: np.ndarray) -> "KLLSketch":
@@ -74,6 +78,8 @@ class KLLSketch:
         if v.size == 0:
             return self
         self.n += int(v.size)
+        self._min = min(self._min, float(v.min()))
+        self._max = max(self._max, float(v.max()))
         self.levels[0] = np.concatenate([self.levels[0], v])
         self._compact()
         return self
@@ -85,6 +91,8 @@ class KLLSketch:
             if buf.size:
                 self.levels[h] = np.concatenate([self.levels[h], buf])
         self.n += other.n
+        self._min = min(self._min, other._min)
+        self._max = max(self._max, other._max)
         self._compact()
         return self
 
@@ -146,8 +154,13 @@ class KLLSketch:
         out = np.empty(len(qs))
         for i, q in enumerate(qs):
             target = max(int(np.ceil(q * total)), 1)
-            out[i] = vals[np.searchsorted(cw, target)]
-        return out
+            if target >= total:
+                out[i] = self._max  # exact, tracked outside compaction
+            elif target <= 1:
+                out[i] = self._min
+            else:
+                out[i] = vals[np.searchsorted(cw, target)]
+        return np.maximum(np.minimum(out, self._max), self._min)
 
     def rank(self, value: float) -> int:
         """Estimated number of inserted values <= value."""
@@ -156,6 +169,8 @@ class KLLSketch:
 
     # -- wire format --------------------------------------------------
     def to_rows(self) -> pa.Table:
+        """Wire format: one row per retained item, plus sentinel rows
+        level=-1 (exact min) and level=-2 (exact max)."""
         vals, _ = self._items()
         lv = (
             np.concatenate(
@@ -167,6 +182,9 @@ class KLLSketch:
             if self.n
             else np.empty(0, np.int64)
         )
+        if self.n:
+            lv = np.concatenate([lv, [-1, -2]])
+            vals = np.concatenate([vals, [self._min, self._max]])
         return pa.table(
             {
                 "level": pa.array(lv, pa.int64()),
@@ -178,7 +196,16 @@ class KLLSketch:
     def from_rows(
         cls, level: np.ndarray, value: np.ndarray, k: int, seed: int
     ) -> "KLLSketch":
+        """Rebuild-and-merge from concatenated wire rows of ANY number
+        of sketches (sentinel extremes fold by min/max)."""
         sk = cls(k=k, seed=seed)
+        if len(level) == 0:
+            return sk
+        level = np.asarray(level, np.int64)
+        value = np.asarray(value, np.float64)
+        mn, mx = value[level == -1], value[level == -2]
+        items = level >= 0
+        level, value = level[items], value[items]
         if len(level) == 0:
             return sk
         top = int(level.max())
@@ -186,7 +213,9 @@ class KLLSketch:
             np.asarray(value[level == h], np.float64)
             for h in range(top + 1)
         ]
-        sk.n = int((np.int64(1) << level.astype(np.int64)).sum())
+        sk.n = int((np.int64(1) << level).sum())
+        sk._min = float(mn.min()) if mn.size else float(value.min())
+        sk._max = float(mx.max()) if mx.size else float(value.max())
         sk._compact()
         return sk
 

@@ -128,3 +128,34 @@ def test_sketch_query_vs_exact_on_testdata(ray_session):
         assert row["n_rows"] == len(vals)
         ans = [row[f"q_{int(round(q*100))}"] for q in qs]
         assert _rank_err(vals.astype(float), ans, qs) <= 0.02
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    vals=st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6,
+            allow_nan=False, allow_infinity=False,
+        ),
+        min_size=1, max_size=3000,
+    ),
+    k=st.integers(min_value=8, max_value=64),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_kll_invariants_property(vals, k, seed):
+    """For ANY input: weight is conserved exactly, every answer is a
+    real input value, and quantiles are monotone in q."""
+    v = np.array(vals, np.float64)
+    sk = KLLSketch(k=k, seed=seed)
+    for chunk in np.array_split(v, max(len(v) // 100, 1)):
+        sk.insert(chunk)
+    assert sk.n == len(v)
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9, 1.0]
+    got = sk.quantiles(qs)
+    assert np.isin(got, v).all()
+    assert (np.diff(got) >= 0).all()
+    assert got[-1] == v.max()  # q=1.0 rule: cumweight >= total -> max

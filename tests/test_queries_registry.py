@@ -248,3 +248,13 @@ def test_grouped_hll_consistent_with_global(ray_session):
     ).fetchone()[0]
     est = hll_estimate(want)
     assert abs(est - true_total) / true_total < 0.05
+
+
+def test_dup_cluster_sizes_accounts_every_doc(ray_session):
+    """Histogram mass equals the corpus: sum(size * n_clusters) = n_docs."""
+    from nlshray.pipelines.queries import QUERIES
+
+    got = QUERIES["dup_cluster_sizes"]("/root/testdata/sf0.001").to_pandas()
+    assert (got["n_docs"] == got["cluster_size"] * got["n_clusters"]).all()
+    assert int(got["n_docs"].sum()) == 500
+    assert (got.loc[got["cluster_size"] == 1, "n_clusters"] > 0).all()

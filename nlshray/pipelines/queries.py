@@ -4771,3 +4771,33 @@ def _build_dup_cluster_sizes_oracle() -> str:
 
 
 ORACLE_SQL["dup_cluster_sizes"] = _build_dup_cluster_sizes_oracle()
+
+
+def token_frequency_spectrum(sf_dir: str):
+    """Zipf/Heaps frequency-of-frequencies report
+    (`stages/spectrum.py`): for each occurrence count c, how many
+    distinct tokens occur exactly c times. The full token->count
+    table never converges anywhere — partitions collapse their exact
+    counts to tiny partial spectra (see the stage docstring)."""
+    from nlshray.stages.spectrum import token_frequency_spectrum as _tfs
+
+    docs = _pq(sf_dir, "documents", columns=["text"])
+    return _tfs(docs, seed=CFG.seed, num_partitions=NPARTS)
+
+
+QUERIES["token_frequency_spectrum"] = token_frequency_spectrum
+
+ORACLE_SQL["token_frequency_spectrum"] = """
+    WITH tok AS (
+      SELECT u.tok FROM (
+        SELECT list_filter(regexp_split_to_array(lower(text),
+                 '[^0-9a-z_]+'), t -> t <> '') AS toks
+        FROM documents
+      ), unnest(toks) AS u(tok)
+    ),
+    cnt AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY tok
+    )
+    SELECT c AS occur_count, CAST(count(*) AS BIGINT) AS n_tokens
+    FROM cnt GROUP BY c
+"""

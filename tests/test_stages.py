@@ -291,3 +291,35 @@ def test_extract_batched_kernel_byte_identical():
     ]
     got = _extract_texts_batched(pa.array(fuzz, pa.binary()))
     assert got == [extract_text(h) for h in fuzz]
+
+
+def test_token_frequency_spectrum_mass_and_parallelism(ray_session):
+    """Spectrum mass equals totals: sum(c * n_tokens) = total token
+    occurrences, sum(n_tokens) = distinct tokens; identical at any
+    partitioning."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from nlshray.stages.spectrum import token_frequency_spectrum
+
+    rng = np.random.default_rng(13)
+    vocab = np.array(["w%d" % i for i in range(50)])
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(1, 60)))
+        for _ in range(300)
+    ]
+    t = pa.table({"text": pa.array(texts, pa.string())})
+    got = token_frequency_spectrum(rd.from_arrow(t)).to_pandas()
+    toks = np.concatenate([s.split() for s in texts])
+    uniq, cnts = np.unique(toks, return_counts=True)
+    assert int((got["occur_count"] * got["n_tokens"]).sum()) == len(toks)
+    assert int(got["n_tokens"].sum()) == len(uniq)
+    occ, freq = np.unique(cnts, return_counts=True)
+    assert got["occur_count"].tolist() == occ.tolist()
+    assert got["n_tokens"].tolist() == freq.tolist()
+
+    got2 = token_frequency_spectrum(
+        rd.from_arrow(t).repartition(11)
+    ).to_pandas()
+    assert got.equals(got2)

@@ -4801,3 +4801,50 @@ ORACLE_SQL["token_frequency_spectrum"] = """
     SELECT c AS occur_count, CAST(count(*) AS BIGINT) AS n_tokens
     FROM cnt GROUP BY c
 """
+
+
+def event_funnel(sf_dir: str):
+    """Ordered funnel view -> click -> purchase per user
+    (`stages/window.funnel`): one row per user completing all three
+    steps in strict timestamp order, with the greedy-earliest step
+    times (greedy is complete — see the stage docstring's exchange
+    argument). The oracle replays the same greedy chain as nested
+    MIN-over-filtered joins."""
+    from nlshray.stages.window import funnel
+
+    ds = _pq(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+    return funnel(
+        ds,
+        key="user_id",
+        ts="ts",
+        type_col="event_type",
+        steps=["view", "click", "purchase"],
+        num_partitions=NPARTS,
+    )
+
+
+QUERIES["event_funnel"] = event_funnel
+
+ORACLE_SQL["event_funnel"] = """
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+    ),
+    s0 AS (
+      SELECT user_id, MIN(us) AS t_0 FROM e
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s1 AS (
+      SELECT e.user_id, MIN(us) AS t_1
+      FROM e JOIN s0 USING (user_id)
+      WHERE event_type = 'click' AND us > t_0
+      GROUP BY e.user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(us) AS t_2
+      FROM e JOIN s1 USING (user_id)
+      WHERE event_type = 'purchase' AND us > t_1
+      GROUP BY e.user_id
+    )
+    SELECT s0.user_id, t_0, t_1, t_2
+    FROM s0 JOIN s1 USING (user_id) JOIN s2 USING (user_id)
+"""

@@ -216,3 +216,72 @@ def debounce(
     return ds.groupby(keys, num_partitions=num_partitions).map_groups(
         keep, batch_format="pyarrow"
     )
+
+
+def funnel(
+    ds: ray.data.Dataset,
+    *,
+    key: str,
+    ts: str,
+    type_col: str,
+    steps: list[str],
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """Ordered funnel per key: the classic product-analytics question
+    "which users did step1, THEN step2, THEN step3?". For each key,
+    take the FIRST occurrence of ``steps[0]``, then the first
+    ``steps[1]`` STRICTLY after it, and so on; emit one row per key
+    that completes every step: ``(key, t_0 .. t_{k-1})`` as int64
+    microseconds.
+
+    Greedy-earliest is correct for existence: if any valid ordered
+    assignment exists, the greedy one does (exchange argument — taking
+    the earliest possible step can only leave more room for later
+    steps). One hash shuffle co-locates each key; the kernel is one
+    stable sort plus one vectorized min-scan per step (k scans of the
+    group, k = len(steps), never a Python row loop). Strictly-after
+    (``>``) on both engines makes equal-timestamp chains ineligible,
+    so the SQL replay (nested MIN-over-filtered-join) is exact.
+
+    Partitioning assumption: one key group's rows fit one worker.
+    """
+    if len(steps) < 1:
+        raise ValueError("need at least one funnel step")
+
+    def kern(t: pa.Table) -> pa.Table:
+        us = (
+            t[ts]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .view(np.int64)
+        )
+        et = t[type_col].to_numpy(zero_copy_only=False)
+        times = []
+        t_prev = np.int64(np.iinfo(np.int64).min)
+        for step in steps:
+            m = (et == step) & (us > t_prev)
+            if not m.any():
+                return pa.table(
+                    {
+                        key: t[key].slice(0, 0),
+                        **{
+                            f"t_{i}": pa.array([], pa.int64())
+                            for i in range(len(steps))
+                        },
+                    }
+                )
+            t_prev = us[m].min()
+            times.append(t_prev)
+        return pa.table(
+            {
+                key: t[key].slice(0, 1),
+                **{
+                    f"t_{i}": pa.array([v], pa.int64())
+                    for i, v in enumerate(times)
+                },
+            }
+        )
+
+    return ds.groupby(key, num_partitions=num_partitions).map_groups(
+        kern, batch_format="pyarrow"
+    )

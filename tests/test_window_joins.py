@@ -265,3 +265,65 @@ def test_running_totals_vs_pandas(ray_session):
     assert (
         got["running_sum_c"].to_numpy() == ref["running_sum_c"].to_numpy()
     ).all()
+
+
+def test_funnel_greedy_completeness(ray_session):
+    """Greedy-earliest must find every user with ANY valid ordered
+    chain — checked against a brute-force existence oracle; step
+    times must be the greedy ones; strict ordering enforced."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from nlshray.stages.window import funnel
+
+    rng = np.random.default_rng(21)
+    steps = ["a", "b", "c"]
+    rows = []
+    for user in range(120):
+        n = rng.integers(1, 12)
+        for _ in range(n):
+            rows.append(
+                (
+                    user,
+                    str(rng.choice(["a", "b", "c", "x"])),
+                    np.datetime64(1_600_000_000_000_000 +
+                                  int(rng.integers(0, 1000)) * 1_000_000, "us"),
+                )
+            )
+    t = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array([r[1] for r in rows], pa.string()),
+            "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+        }
+    )
+    got = funnel(
+        rd.from_arrow(t), key="user_id", ts="ts",
+        type_col="event_type", steps=steps,
+    ).to_pandas().set_index("user_id").sort_index()
+
+    # brute force: does ANY strictly-increasing (ta < tb < tc) chain exist?
+    df = t.to_pandas()
+    df["us"] = df["ts"].astype("int64")
+    want = set()
+    greedy = {}
+    for user, g in df.groupby("user_id"):
+        ok = True
+        t_prev = -np.inf
+        times = []
+        for s in steps:
+            cand = g.loc[(g["event_type"] == s) & (g["us"] > t_prev), "us"]
+            if cand.empty:
+                ok = False
+                break
+            t_prev = cand.min()
+            times.append(int(t_prev))
+        if ok:
+            want.add(user)
+            greedy[user] = times
+    assert set(got.index) == want
+    for u in want:
+        assert [got.loc[u, f"t_{i}"] for i in range(3)] == greedy[u]
+    # strictness on the output itself
+    assert (got["t_0"] < got["t_1"]).all() and (got["t_1"] < got["t_2"]).all()

@@ -4848,3 +4848,36 @@ ORACLE_SQL["event_funnel"] = """
     SELECT s0.user_id, t_0, t_1, t_2
     FROM s0 JOIN s1 USING (user_id) JOIN s2 USING (user_id)
 """
+
+
+def embedding_pca(sf_dir: str, k: int = 8):
+    """PCA projection of the embeddings (`stages/pca.py`): streaming
+    covariance -> driver eigh -> broadcast basis -> one matmul per
+    block. Rows-only by design (no SQL eigendecomposition); pytest
+    gates exactness vs direct numpy PCA, basis orthonormality, and
+    variance ordering. Output floats rounded to 6 for stability."""
+    from nlshray.stages.pca import fit_pca, project_pca
+
+    ds = _pq(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    mean, comps, _ev = fit_pca(ds, k)
+    out = project_pca(ds, mean, comps)
+
+    def rnd(t: pa.Table) -> pa.Table:
+        arr = t["pca"]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        k_ = arr.type.list_size
+        vals = np.round(np.asarray(arr.values, np.float64), 6)
+        return pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "pca": pa.FixedSizeListArray.from_arrays(
+                    pa.array(vals, pa.float64()), k_
+                ),
+            }
+        )
+
+    return out.map_batches(rnd, batch_format="pyarrow", zero_copy_batch=True)
+
+
+QUERIES["embedding_pca"] = embedding_pca

@@ -277,9 +277,14 @@ def score_perplexity(
             same_doc = doc_idx[:-1] == doc_idx[1:]
             code = _pair_hash(h[:-1][same_doc], h[1:][same_doc])
             bg_doc = doc_idx[:-1][same_doc]
-            pos = np.searchsorted(codes, code)
-            pos_c = np.minimum(pos, max(len(codes) - 1, 0))
-            hit = (len(codes) > 0) & (codes[pos_c] == code)
+            if len(codes):
+                pos = np.searchsorted(codes, code)
+                pos_c = np.minimum(pos, len(codes) - 1)
+                hit = codes[pos_c] == code
+            else:  # empty model: every bigram is a miss
+                pos_c = np.zeros(code.shape[0], np.int64)
+                cost = np.zeros(1, np.int64)
+                hit = np.zeros(code.shape[0], np.bool_)
             if unseen_cost is None:
                 if not hit.all():
                     raise RuntimeError(

@@ -4881,3 +4881,59 @@ def embedding_pca(sf_dir: str, k: int = 8):
 
 
 QUERIES["embedding_pca"] = embedding_pca
+
+
+def lm_perplexity_by_lang(sf_dir: str):
+    """CCNet faithful: one bigram LM PER LANGUAGE, each doc scored
+    under its own language's model (`stages/lm.py` with
+    ``group_col`` — the group hash is mixed into the pair/prefix
+    keys, so the per-group conditioning costs zero extra passes).
+    The oracle partitions the count/prefix/cost chain by lang."""
+    from nlshray.stages.lm import lm_perplexity
+
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    return lm_perplexity(
+        docs,
+        seed=CFG.seed,
+        num_partitions=NPARTS,
+        carry_cols=("lang",),
+        group_col="lang",
+    )
+
+
+QUERIES["lm_perplexity_by_lang"] = lm_perplexity_by_lang
+
+ORACLE_SQL["lm_perplexity_by_lang"] = """
+    WITH tokarr AS (
+      SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(lower(text),
+               '[^0-9a-z_]+'), t -> t <> '') AS toks
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, lang, toks[i] AS t1, toks[i + 1] AS t2
+      FROM tokarr, unnest(range(1, len(toks))) AS i(i)
+    ),
+    bc AS (
+      SELECT lang, t1, t2, CAST(count(*) AS BIGINT) AS c12
+      FROM bg GROUP BY lang, t1, t2
+    ),
+    pfx AS (
+      SELECT lang, t1, CAST(sum(c12) AS BIGINT) AS c1
+      FROM bc GROUP BY lang, t1
+    ),
+    cost AS (
+      SELECT bc.lang, bc.t1, bc.t2,
+             CAST(round(-ln(CAST(bc.c12 AS DOUBLE) / pfx.c1) * 1000000)
+                  AS BIGINT) AS c
+      FROM bc JOIN pfx ON bc.lang = pfx.lang AND bc.t1 = pfx.t1
+    )
+    SELECT g.doc_id, g.lang,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(co.c) AS BIGINT) AS nll_micro,
+           round(exp(CAST(sum(co.c) AS DOUBLE) / 1000000.0 / count(*)),
+                 6) AS ppl
+    FROM bg g
+    JOIN cost co ON g.lang = co.lang AND g.t1 = co.t1 AND g.t2 = co.t2
+    GROUP BY g.doc_id, g.lang
+"""

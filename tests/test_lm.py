@@ -180,3 +180,42 @@ def test_perplexity_tiers_parallelism_independent(ray_session):
         )
 
     assert run(None).equals(run(11))
+
+
+def test_lm_grouped_conditioning(ray_session):
+    """Per-group models really condition: scoring a doc under its own
+    group's model differs from the pooled model, and matches a
+    per-group reference."""
+    from nlshray.stages.lm import lm_perplexity
+
+    texts = ["a b a b a b", "a b a b", "b a b a b", "a a a a", "a a a"]
+    langs = ["x", "x", "x", "y", "y"]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(5), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+        }
+    )
+    got = (
+        lm_perplexity(
+            rd.from_arrow(t), carry_cols=("lang",), group_col="lang"
+        )
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+    # group y is pure 'a a': p(a|a)=1 -> nll 0, ppl 1
+    assert got.loc[3, "nll_micro"] == 0 and got.loc[3, "ppl"] == 1.0
+    assert got.loc[4, "nll_micro"] == 0
+    # per-group reference for group x
+    want = _ref_scores([texts[i] for i in range(3)])
+    for i in range(3):
+        n, nll, ppl = want[i]
+        assert got.loc[i, "n_bigrams"] == n
+        assert got.loc[i, "nll_micro"] == nll
+        assert got.loc[i, "ppl"] == ppl
+    # pooled model must differ for group y (pooled has p(a|a) < 1)
+    pooled = (
+        lm_perplexity(rd.from_arrow(t))
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+    assert pooled.loc[3, "nll_micro"] > 0

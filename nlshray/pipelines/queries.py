@@ -4937,3 +4937,53 @@ ORACLE_SQL["lm_perplexity_by_lang"] = """
     JOIN cost co ON g.lang = co.lang AND g.t1 = co.t1 AND g.t2 = co.t2
     GROUP BY g.doc_id, g.lang
 """
+
+
+WEIGHTED_GROUP_K = 25
+
+
+def weighted_sample_by_lang(sf_dir: str):
+    """Per-language A-ES weighted sample
+    (`stages/topk.weighted_sample_grouped`): the k longest-doc-biased
+    picks PER LANGUAGE — the per-stratum mixture builder. Identical
+    splitmix key chain to `weighted_sample_docs`, ranked within
+    language; ROW_NUMBER-per-partition SQL replay."""
+    from nlshray.stages.topk import weighted_sample_grouped
+
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    return weighted_sample_grouped(
+        docs, "lang", "n_chars", WEIGHTED_GROUP_K, seed=CFG.seed
+    ).select_columns(["doc_id", "lang", "n_chars"])
+
+
+QUERIES["weighted_sample_by_lang"] = weighted_sample_by_lang
+
+
+def _build_weighted_sample_by_lang_oracle(k: int) -> str:
+    from nlshray.hashing import _seed_mix
+
+    mix = int(_seed_mix(CFG.seed))
+    return f"""
+        WITH seeded AS (
+          SELECT doc_id, lang, n_chars,
+                 xor(CAST(doc_id AS UBIGINT), {mix}::UBIGINT) AS x
+          FROM documents
+        ),
+        {_sql_splitmix('w', 'seeded', 'x', 'lang, n_chars').strip()},
+        keyed AS (
+          SELECT doc_id, lang, n_chars,
+                 -ln((CAST(z >> 11 AS DOUBLE) + 1.0)
+                     / 9007199254740992.0) / n_chars AS key
+          FROM w6
+          WHERE n_chars > 0
+        )
+        SELECT doc_id, lang, n_chars FROM keyed
+        QUALIFY ROW_NUMBER() OVER (
+          PARTITION BY lang ORDER BY key, doc_id
+        ) <= {k}
+    """
+
+
+ORACLE_SQL["weighted_sample_by_lang"] = _build_weighted_sample_by_lang_oracle(
+    WEIGHTED_GROUP_K
+)

@@ -271,3 +271,43 @@ def weighted_sample(
     return partial.repartition(1).map_batches(
         kern, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def weighted_sample_grouped(
+    ds: ray.data.Dataset,
+    group_col: str,
+    weight_col: str,
+    k: int,
+    *,
+    seed: int = 42,
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Per-group A-ES weighted sampling without replacement: within
+    each group, the ``k`` rows with the smallest ``-ln(u)/w`` keys
+    (u derived from ``splitmix64(id ^ seed)`` exactly as
+    ``weighted_sample``) — the per-stratum mixture builder (e.g. k
+    quality-weighted docs PER LANGUAGE). Same two-phase partial-top-k
+    plan; keys are pure functions of (id, seed, weight), so the
+    sample is parallelism-independent and SQL-replayable.
+    Nonpositive-weight rows are excluded.
+    """
+
+    def kern(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        ids = t[id_col].to_numpy()
+        z = splitmix64(ids.astype(np.uint64) ^ _seed_mix(seed))
+        u = ((z >> np.uint64(11)).astype(np.float64) + 1.0) / float(1 << 53)
+        w = t[weight_col].to_numpy().astype(np.float64)
+        key = np.where(w > 0, -np.log(u) / np.maximum(w, 1e-300), np.inf)
+        codes = _group_codes(t[group_col])
+        o, rank = _rank_in_group(codes, key, ids)
+        keep = o[(rank < k) & np.isfinite(key[o])]
+        return t.take(pa.array(np.sort(keep)))
+
+    partial = ds.map_batches(
+        kern, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return partial.repartition(1).map_batches(
+        kern, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -293,3 +293,29 @@ def test_weighted_sample_excludes_nonpositive(ray_session):
     )
     out = weighted_sample(rd.from_arrow(t), "w", 10, seed=1).to_pandas()
     assert sorted(out["doc_id"]) == [3, 4]
+
+
+def test_weighted_sample_grouped_quota_and_determinism(ray_session):
+    import ray.data as rd
+    from nlshray.stages.topk import weighted_sample_grouped
+
+    n = 900
+    langs = np.array(["en", "de", "fr"])[np.arange(n) % 3]
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n), pa.int64()),
+            "lang": pa.array(langs, pa.string()),
+            "w": pa.array(np.ones(n, np.int64)),
+        }
+    )
+
+    def run(parts):
+        ds = rd.from_arrow(t)
+        if parts:
+            ds = ds.repartition(parts)
+        out = weighted_sample_grouped(ds, "lang", "w", 10, seed=4).to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+
+    a, b = run(None), run(9)
+    assert a.equals(b)
+    assert a.groupby("lang").size().tolist() == [10, 10, 10]

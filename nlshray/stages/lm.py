@@ -133,13 +133,10 @@ def fit_bigram_counts(
     if P == 1:
         a_out = [[r] for r in a_out]
     b_out = [
-        _lm_merge.remote(*[a_out[b][p] for b in range(len(a_out))])
+        _lm_merge.remote(min_count, *[a_out[b][p] for b in range(len(a_out))])
         for p in range(P)
     ]
-    tbl = pa.concat_tables(ray.get(b_out))
-    if min_count > 1:
-        tbl = tbl.filter(pc.greater_equal(tbl["c12"], min_count))
-    return tbl
+    return pa.concat_tables(ray.get(b_out))
 
 
 def _empty_counts() -> pa.Table:
@@ -221,10 +218,18 @@ def _lm_shard(
 
 
 @ray.remote
-def _lm_merge(*chunks) -> pa.Table:
+def _lm_merge(min_count: int, *chunks) -> pa.Table:
     """Round B: sum one bh-partition's counts across all blocks
     (numpy sort + reduceat; h1 is constant per bh modulo collision —
-    a collision would fail the string-space SQL oracle)."""
+    a collision would fail the string-space SQL oracle).
+
+    ``min_count`` pruning happens HERE, not on the driver: after the
+    merge this partition holds the COMPLETE global count for each of
+    its keys, so partition-local pruning is exact — and it is what
+    makes the open-vocabulary regime work at all (3.2M synthetic web
+    pages produced 467M distinct bigrams, an 11 GB unprunable model;
+    hapax bigrams are the overwhelming majority and carry the least
+    signal)."""
     if not chunks:
         return _empty_counts()
     bh = np.concatenate([c[0] for c in chunks])
@@ -236,10 +241,14 @@ def _lm_merge(*chunks) -> pa.Table:
     sb, sh, sc = bh[order], h1[order], c12[order]
     starts = np.flatnonzero(np.r_[True, sb[1:] != sb[:-1]])
     sums = np.add.reduceat(sc, starts)
+    ub, uh = sb[starts], sh[starts]
+    if min_count > 1:
+        keep = sums >= min_count
+        ub, uh, sums = ub[keep], uh[keep], sums[keep]
     return pa.table(
         {
-            "bh": pa.array(sb[starts].view(np.int64), pa.int64()),
-            "h1": pa.array(sh[starts].view(np.int64), pa.int64()),
+            "bh": pa.array(ub.view(np.int64), pa.int64()),
+            "h1": pa.array(uh.view(np.int64), pa.int64()),
             "c12": pa.array(sums.astype(np.int64), pa.int64()),
         }
     )

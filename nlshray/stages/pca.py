@@ -64,12 +64,21 @@ def project_pca(
     col: str = "embedding",
     id_col: str = "vec_id",
     out_col: str = "pca",
+    explained_variance: np.ndarray | None = None,
+    eps: float = 1e-12,
 ) -> ray.data.Dataset:
     """(id, list<float64> k-dim projection) — one matmul per block
     against the broadcast basis; centering uses the FIT corpus mean,
-    so a foreign corpus lands in the same space."""
-    basis_ref = ray.put((np.asarray(mean, np.float64),
-                         np.asarray(components, np.float64)))
+    so a foreign corpus lands in the same space. Pass
+    ``explained_variance`` to WHITEN (divide each component by
+    sqrt(var + eps)) — unit-variance coordinates, the usual input to
+    PQ codebook training."""
+    comps = np.asarray(components, np.float64)
+    if explained_variance is not None:
+        comps = comps / np.sqrt(
+            np.asarray(explained_variance, np.float64) + eps
+        )
+    basis_ref = ray.put((np.asarray(mean, np.float64), comps))
     k = components.shape[1]
 
     def proj(t: pa.Table) -> pa.Table:

@@ -93,3 +93,15 @@ def test_pca_foreign_corpus_same_space(ray_session):
     )
     want = (y - m) @ c  # centered by the FIT mean, not y's own
     assert np.allclose(np.stack(got["pca"].values), want, atol=1e-9)
+
+
+def test_pca_whitening_unit_variance(ray_session):
+    x, t = _emb_table(n=600, seed=11)
+    m, c, ev = fit_pca(rd.from_arrow(t), 4)
+    got = (
+        project_pca(rd.from_arrow(t), m, c, explained_variance=ev)
+        .to_pandas().set_index("vec_id").sort_index()
+    )
+    y = np.stack(got["pca"].values)
+    # population variance of each whitened coordinate ~ 1
+    assert np.allclose(y.var(axis=0), 1.0, atol=1e-6)

@@ -15,15 +15,17 @@ Two streaming passes, zero driver-side row loops:
    tokenizer as the vocab/decontam/heavy-hitter operators), HASHES its
    tokens once, forms within-doc adjacent PAIR HASHES vectorized, and
    run-length-counts the sorted pair hashes — token strings never
-   leave the block, so the merge groupby moves three int64 columns
+   leave the block, so the merge moves three int64 columns
    (the string version spent 90 s in the shuffle at 50k web pages;
-   this spends seconds). A bounded ``groupby(bh)`` merges partials;
+   this spends seconds). A raw two-round task shuffle merges partials
+   (round B prunes with ``min_count`` on complete global counts);
    the merged table is the model and is collected to the driver.
    MODEL-FITS-ON-DRIVER ASSUMPTION, documented: the model table is
-   O(distinct bigrams) — 7.3M rows / ~170 MB at 50k pages. On an open
-   web vocabulary, prune with ``min_count`` (rare bigrams contribute
-   the most noise to the estimate anyway) and score with a backoff
-   cost for unseen bigrams.
+   O(distinct bigrams over min_count) — 7.3M rows / ~170 MB unpruned
+   at 50k pages; 467M raw -> 36M rows with min_count=3 at 3.2M pages
+   (measured, BASELINE.md). On an open web vocabulary always prune
+   (rare bigrams contribute the most noise to the estimate anyway)
+   and score with a backoff cost for unseen bigrams.
 2. **Score** — the driver derives, ONCE: per-prefix totals
    ``c1(h1) = sum_h2 c12`` and a sorted array of pair hashes with the
    per-bigram INTEGER cost ``round(-ln(c12/c1) * 1e6)`` (micro-nats).
@@ -441,4 +443,33 @@ def lm_perplexity(
         seed=seed,
         carry_cols=carry_cols,
         group_col=group_col,
+    )
+
+
+def merge_bigram_counts(*tables: pa.Table) -> pa.Table:
+    """Merge any number of fitted count tables by key — bigram counts
+    form a commutative monoid, so daily-crawl increments compose:
+    ``fit(A + B) == merge(fit(A), fit(B))`` exactly (same sort +
+    reduceat kernel as the distributed merge round). Enables
+    incremental model maintenance without refitting the full corpus;
+    re-apply ``min_count`` pruning AFTER merging if pruned inputs are
+    used (a bigram below threshold in each increment can clear it in
+    the union — prune-then-merge undercounts, documented)."""
+    tbls = [t for t in tables if t.num_rows]
+    if not tbls:
+        return _empty_counts()
+    cat = pa.concat_tables(tbls)
+    bh = cat["bh"].to_numpy(zero_copy_only=False).view(np.uint64)
+    h1 = cat["h1"].to_numpy(zero_copy_only=False).view(np.uint64)
+    c12 = cat["c12"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(bh, kind="stable")
+    sb, sh, sc = bh[order], h1[order], c12[order]
+    starts = np.flatnonzero(np.r_[True, sb[1:] != sb[:-1]])
+    sums = np.add.reduceat(sc, starts)
+    return pa.table(
+        {
+            "bh": pa.array(sb[starts].view(np.int64), pa.int64()),
+            "h1": pa.array(sh[starts].view(np.int64), pa.int64()),
+            "c12": pa.array(sums.astype(np.int64), pa.int64()),
+        }
     )

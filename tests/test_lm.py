@@ -219,3 +219,30 @@ def test_lm_grouped_conditioning(ray_session):
         .to_pandas().set_index("doc_id").sort_index()
     )
     assert pooled.loc[3, "nll_micro"] > 0
+
+
+def test_lm_counts_mergeable(ray_session):
+    """fit(A + B) == merge(fit(A), fit(B)) — incremental model
+    maintenance is exact."""
+    from nlshray.stages.lm import fit_bigram_counts, merge_bigram_counts
+
+    rng = np.random.default_rng(17)
+    vocab = ["m%d" % i for i in range(9)]
+    ta = _docs([" ".join(rng.choice(vocab, size=rng.integers(2, 30)))
+                for _ in range(60)])
+    tb_texts = [" ".join(rng.choice(vocab, size=rng.integers(2, 30)))
+                for _ in range(40)]
+    tb = pa.table(
+        {
+            "doc_id": pa.array(range(60, 100), pa.int64()),
+            "text": pa.array(tb_texts, pa.string()),
+        }
+    )
+    both = pa.concat_tables([ta, tb])
+
+    full = fit_bigram_counts(rd.from_arrow(both)).sort_by("bh")
+    inc = merge_bigram_counts(
+        fit_bigram_counts(rd.from_arrow(ta)),
+        fit_bigram_counts(rd.from_arrow(tb)),
+    ).sort_by("bh")
+    assert full.equals(inc)

@@ -4987,3 +4987,55 @@ def _build_weighted_sample_by_lang_oracle(k: int) -> str:
 ORACLE_SQL["weighted_sample_by_lang"] = _build_weighted_sample_by_lang_oracle(
     WEIGHTED_GROUP_K
 )
+
+
+TFIDF_COS_THR = 0.9
+
+
+def tfidf_dup_pairs(sf_dir: str):
+    """TF-IDF cosine near-dup pairs (`stages/tfidf.tfidf_cosine_pairs`)
+    at threshold 0.9 — the lexical-vector member of the dedup family
+    (vs token-set Jaccard and embedding cosine). Threshold compares
+    the ROUNDED cosine on both engines; the oracle replays the
+    tf/df/smoothed-idf chain and the pairwise dot as a self-join."""
+    from nlshray.stages.tfidf import tfidf_cosine_pairs
+
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+    return tfidf_cosine_pairs(docs, TFIDF_COS_THR)
+
+
+QUERIES["tfidf_dup_pairs"] = tfidf_dup_pairs
+
+ORACLE_SQL["tfidf_dup_pairs"] = f"""
+    WITH tokarr AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^0-9a-z_]+'),
+                         t -> t <> '') AS toks
+      FROM documents
+    ),
+    tok AS (SELECT doc_id, u.tok FROM tokarr, unnest(toks) AS u(tok)),
+    tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM tok GROUP BY doc_id, tok),
+    df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY tok),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    w AS (
+      SELECT tf.doc_id, tf.tok,
+             tf.tf * (ln((CAST(n.n AS DOUBLE) + 1)
+                         / (CAST(df.df AS DOUBLE) + 1)) + 1) AS w
+      FROM tf JOIN df USING (tok), n
+    ),
+    nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id),
+    dot AS (
+      SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+             sum(a.w * b.w) AS dp
+      FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT left_id, right_id,
+           round(dp / (na.nrm * nb.nrm), 6) AS cosine
+    FROM dot
+    JOIN nrm na ON left_id = na.doc_id
+    JOIN nrm nb ON right_id = nb.doc_id
+    WHERE round(dp / (na.nrm * nb.nrm), 6) >= {TFIDF_COS_THR}
+
+"""

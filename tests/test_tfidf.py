@@ -112,3 +112,50 @@ def test_doc_frequencies_sparse_partitions(ray_session):
         )
     )
     assert out.num_rows == 3  # one keyword per doc, no crash
+
+
+def test_tfidf_cosine_pairs_vs_sklearn_style_reference(ray_session):
+    """Brute pairs match a direct dense tf-idf cosine computed in
+    numpy on the same corpus; symmetric, no self-pairs, left<right."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from nlshray.stages.tfidf import tfidf_cosine_pairs
+
+    rng = np.random.default_rng(23)
+    vocab = np.array(["tok%d" % i for i in range(20)])
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(3, 25)))
+             for _ in range(120)]
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(120, dtype=np.int64)),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    thr = 0.85
+    got = (
+        tfidf_cosine_pairs(rd.from_arrow(t).repartition(7), thr)
+        .to_pandas().sort_values(["left_id", "right_id"])
+        .reset_index(drop=True)
+    )
+    # dense reference
+    toks = [s.split() for s in texts]
+    vmap = {v: i for i, v in enumerate(vocab)}
+    tf = np.zeros((120, 20))
+    for i, ws in enumerate(toks):
+        for wd in ws:
+            tf[i, vmap[wd]] += 1
+    df = (tf > 0).sum(axis=0)
+    idf = np.log((120 + 1) / (df + 1)) + 1
+    w = tf * idf
+    nrm = np.sqrt((w * w).sum(axis=1))
+    cos = (w @ w.T) / np.outer(nrm, nrm)
+    iu = np.triu_indices(120, k=1)
+    rcos = np.round(cos[iu], 6)
+    sel = rcos >= thr
+    want = sorted(zip(iu[0][sel], iu[1][sel]))
+    assert list(zip(got["left_id"], got["right_id"])) == want
+    for (_, row), (i, j) in zip(got.iterrows(), want):
+        assert abs(row["cosine"] - np.round(cos[i, j], 6)) < 2e-6
+    assert (got["left_id"] < got["right_id"]).all()

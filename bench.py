@@ -716,6 +716,61 @@ def run_cluster_scaling() -> dict:
     return r
 
 
+def run_lm(num_cpus: int) -> dict:
+    """LM-family throughput over the 50k bench fixture: conditional
+    per-language fit + score + CCNet tiering (the BASELINE.md LM row's
+    one-command repro)."""
+    pages_path = _ensure_fixture()
+    import time
+
+    import ray
+
+    ray.init(
+        address="local", num_cpus=num_cpus,
+        include_dashboard=False, logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from nlshray.hashing import doc_ids_from_urls
+    from nlshray.stages.lm import lm_perplexity, perplexity_tiers
+
+    pages = pq.read_table(pages_path, columns=["url", "text", "lang"])
+    ids = doc_ids_from_urls(pages["url"].to_pylist())
+    docs = pa.table(
+        {
+            "doc_id": pa.array(ids.astype("int64")),
+            "text": pages["text"],
+            "lang": pages["lang"],
+        }
+    )
+    ds = rd.from_arrow(docs).repartition(num_cpus * 2).materialize()
+    n = ds.count()
+    t0 = time.perf_counter()
+    scores = lm_perplexity(
+        ds, carry_cols=("lang",), group_col="lang",
+        num_partitions=num_cpus,
+    )
+    out = perplexity_tiers(scores, group_col="lang")
+    n_rows = out.count()
+    wall = time.perf_counter() - t0
+    ray.shutdown()
+    return {
+        "metric": "per-lang LM fit + score + CCNet tiering wall time",
+        "value": round(wall, 3),
+        "unit": "sec",
+        "n_pages": n,
+        "rows": n_rows,
+        "docs_per_sec": round(n / wall, 1),
+        "num_cpus": num_cpus,
+    }
+
+
 if __name__ == "__main__":
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
@@ -727,6 +782,8 @@ if __name__ == "__main__":
         print(json.dumps(run_incremental_bloom()))
     elif "--incremental-near" in sys.argv:
         print(json.dumps(run_incremental_near()))
+    elif "--lm" in sys.argv:
+        print(json.dumps(run_lm(ncpu)))
     elif "--dedup-only" in sys.argv:
         print(json.dumps(run_dedup_only(ncpu, os.environ["NLSHRAY_PAGES_PATH"])))
     else:

@@ -5039,3 +5039,49 @@ ORACLE_SQL["tfidf_dup_pairs"] = f"""
     WHERE round(dp / (na.nrm * nb.nrm), 6) >= {TFIDF_COS_THR}
 
 """
+
+
+def events_profile(sf_dir: str):
+    """One-pass table profiler (`stages/profile.py` — the SUMMARIZE/
+    describe utility): per numeric/timestamp column of events, row
+    count, nulls, min, max, and an order-independent fixed-point sum
+    (floor to 1e-4, summed in int64 — the `events_running_totals`
+    trick), all from per-block scalar partials. SQL replay is a
+    UNION ALL of per-column aggregates."""
+    from nlshray.stages.profile import profile_table
+
+    ev = _pq(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+    return profile_table(ev, ["event_id", "ts", "user_id", "value"])
+
+
+QUERIES["events_profile"] = events_profile
+
+ORACLE_SQL["events_profile"] = """
+    SELECT 'event_id' AS column, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count(event_id) AS BIGINT) AS n_nulls,
+           CAST(min(event_id) AS DOUBLE) AS min_v,
+           CAST(max(event_id) AS DOUBLE) AS max_v,
+           CAST(sum(event_id) AS BIGINT) AS sum_q
+    FROM events
+    UNION ALL
+    SELECT 'ts', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(ts) AS BIGINT),
+           CAST(min(epoch_us(ts)) AS DOUBLE),
+           CAST(max(epoch_us(ts)) AS DOUBLE),
+           CAST(0 AS BIGINT)
+    FROM events
+    UNION ALL
+    SELECT 'user_id', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(user_id) AS BIGINT),
+           CAST(min(user_id) AS DOUBLE),
+           CAST(max(user_id) AS DOUBLE),
+           CAST(sum(user_id) AS BIGINT)
+    FROM events
+    UNION ALL
+    SELECT 'value', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(value) AS BIGINT),
+           CAST(min(value) AS DOUBLE),
+           CAST(max(value) AS DOUBLE),
+           CAST(sum(CAST(floor(value * 10000.0) AS BIGINT)) AS BIGINT)
+    FROM events
+"""

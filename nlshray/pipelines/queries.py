@@ -5085,3 +5085,99 @@ ORACLE_SQL["events_profile"] = """
            CAST(sum(CAST(floor(value * 10000.0) AS BIGINT)) AS BIGINT)
     FROM events
 """
+
+
+def events_hourly_users(sf_dir: str):
+    """Exact DISTINCT-user count per 1-hour window — the windowed
+    count-distinct member (exact, not sketched: per-block DISTINCT
+    (hour, user) partials collapse the duplicates BEFORE the shuffle,
+    then a count per hour — the two-level distinct plan that keeps
+    the exchange bounded by distinct pairs, not events). The grouped
+    HLL op (`distinct_tokens_by_lang_hll`) is the sketch analog."""
+    ds = _pq(sf_dir, "events", columns=["user_id", "ts"])
+
+    def distinct_pairs(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64()).to_numpy()
+        hour = us // 3_600_000_000
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        if uid.size and (uid.min() < 0 or uid.max() >= 10_000_000):
+            raise ValueError("user_id outside packing range [0, 1e7)")
+        key = np.unique(hour * np.int64(10_000_000) + uid)
+        return pa.table(
+            {
+                "window_hour": pa.array(key // 10_000_000, pa.int64()),
+                "user_id": pa.array(key % 10_000_000, pa.int64()),
+            }
+        )
+
+    pairs = ds.map_batches(
+        distinct_pairs, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = (
+        pairs.groupby(["window_hour", "user_id"], num_partitions=NPARTS)
+        .aggregate(Count(alias_name="dup"))
+        .groupby("window_hour", num_partitions=NPARTS)
+        .aggregate(Count(alias_name="n_users"))
+    )
+    return to_arrow(out)
+
+
+QUERIES["events_hourly_users"] = events_hourly_users
+
+ORACLE_SQL["events_hourly_users"] = """
+    SELECT epoch_us(ts) // 3600000000 AS window_hour,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY 1
+"""
+
+
+def cluster_exemplars(sf_dir: str):
+    """Dup-cluster inspection table: for every NON-singleton flagship
+    cluster, the representative (min doc_id == the engine's canonical
+    cluster label) and the member count — what a data curator opens
+    first after a dedup run. Composition over the materialized
+    clusters table (driver-check contract; at scale this is one
+    groupby-count over the clusters Dataset). Oracle aggregates the
+    recursive-CTE clusters."""
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+    res = dedup_docs(docs, CFG, num_partitions=NPARTS)
+    clus = to_arrow(res.clusters)
+    cid = clus["cluster_id"].to_numpy()
+    uniq, inv, cnt = np.unique(cid, return_inverse=True, return_counts=True)
+    keep = cnt >= 2
+    return pa.table(
+        {
+            "cluster_id": pa.array(uniq[keep].astype(np.int64)),
+            "n_members": pa.array(cnt[keep].astype(np.int64)),
+        }
+    )
+
+
+QUERIES["cluster_exemplars"] = cluster_exemplars
+
+
+def _build_cluster_exemplars_oracle() -> str:
+    return f"""
+        WITH RECURSIVE {_near_dup_chain_sql().strip()},
+        alledge AS (
+          SELECT left_id AS u, right_id AS v FROM conf
+          UNION ALL
+          SELECT doc_id AS u, rep_id AS v FROM rep WHERE doc_id <> rep_id
+        ),
+        sym AS MATERIALIZED (
+          SELECT u, v FROM alledge UNION SELECT v AS u, u AS v FROM alledge
+        ),
+        reach(doc_id, r) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT s.v, reach.r FROM reach JOIN sym s ON s.u = reach.doc_id
+        ),
+        clus AS (
+          SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id
+        )
+        SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+        FROM clus GROUP BY cluster_id HAVING count(*) >= 2
+    """
+
+
+ORACLE_SQL["cluster_exemplars"] = _build_cluster_exemplars_oracle()

@@ -5181,3 +5181,111 @@ def _build_cluster_exemplars_oracle() -> str:
 
 
 ORACLE_SQL["cluster_exemplars"] = _build_cluster_exemplars_oracle()
+
+
+def normalized_dup_docs(sf_dir: str):
+    """CCNet-style normalized exact dedup: casefold + whitespace-collapse
+    the text, then run the exact-dup plan on the NORMALIZED key — the
+    cheap pre-pass that kills trivially-reformatted copies (case flips,
+    re-wrapped whitespace) before MinHash ever runs. Same distributed
+    shape as ``exact_dup_docs`` (hash projection, per-block
+    pre-aggregated groups, text never shuffled); the normalization is
+    three vectorized Arrow/RE2 kernels, replayed exactly by the oracle's
+    lower/regexp_replace/trim chain."""
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def norm(t: pa.Table) -> pa.Table:
+        arr = t["text"]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        x = pc.utf8_lower(arr)
+        x = pc.replace_substring_regex(x, r"\s+", " ")
+        x = pc.utf8_trim(x, " ")
+        return pa.table({"doc_id": t["doc_id"], "text": x})
+
+    nd = docs.map_batches(norm, batch_format="pyarrow", zero_copy_batch=True)
+    out = exact_stage(nd, num_partitions=NPARTS)
+    t = to_arrow(out.select_columns(["doc_id", "rep_id", "n_copies"]))
+    return t.rename_columns(["doc_id", "keep_id", "n_copies"])
+
+
+QUERIES["normalized_dup_docs"] = normalized_dup_docs
+
+ORACLE_SQL["normalized_dup_docs"] = r"""
+    SELECT doc_id,
+           MIN(doc_id) OVER (PARTITION BY ntext) AS keep_id,
+           COUNT(*)    OVER (PARTITION BY ntext) AS n_copies
+    FROM (SELECT doc_id,
+                 trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS ntext
+          FROM documents)
+"""
+
+
+def length_pct_rank_by_lang(sf_dir: str):
+    """Windowed PERCENT_RANK over (lang, n_chars) WITHOUT the per-group
+    corpus sort (``stages/quantiles.py:grouped_percent_rank``): histogram
+    partials -> driver CDF -> broadcast searchsorted attach. The
+    percentile-rank column is what score-threshold curation (CCNet
+    head/middle/tail, quality cutoffs) consumes at 100 TB."""
+    from nlshray.stages.quantiles import grouped_percent_rank
+
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    out = grouped_percent_rank(docs, "lang", "n_chars", out_col="pct_rank")
+
+    def rnd(t: pa.Table) -> pa.Table:
+        pct = _round_np(t["pct_rank"].to_numpy(), 10)
+        return t.set_column(
+            t.schema.get_field_index("pct_rank"),
+            "pct_rank",
+            pa.array(pct, pa.float64()),
+        )
+
+    return out.map_batches(rnd, batch_format="pyarrow", zero_copy_batch=True)
+
+
+QUERIES["length_pct_rank_by_lang"] = length_pct_rank_by_lang
+
+ORACLE_SQL["length_pct_rank_by_lang"] = """
+    SELECT doc_id, lang, n_chars,
+           ROUND(PERCENT_RANK() OVER (PARTITION BY lang ORDER BY n_chars),
+                 10) AS pct_rank
+    FROM documents
+"""
+
+
+def compression_ratios(sf_dir: str):
+    """Gopher-style deflate-ratio quality signal: compressed/raw byte
+    ratio per doc (zlib level 6, stdlib only) — low ratio = repetitive
+    boilerplate, high = natural text. No SQL equivalent exists (DuckDB
+    has no deflate scalar), so this is rows-only by design; determinism
+    and parallelism-independence are pinned in pytest instead. The
+    per-row C call is the whole cost — there is no vectorized deflate —
+    so the stage is a plain task-pool ``map_batches`` sized by bytes."""
+    import zlib
+
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        raw = np.array([len(s.encode("utf-8")) for s in texts], np.int64)
+        comp = np.array(
+            [len(zlib.compress(s.encode("utf-8"), 6)) for s in texts],
+            np.int64,
+        )
+        ratio = np.where(raw > 0, comp / np.maximum(raw, 1), 1.0)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_bytes": pa.array(raw),
+                "compression_ratio": pa.array(
+                    _round_np(ratio, 6), pa.float64()
+                ),
+            }
+        )
+
+    return docs.map_batches(
+        fn, batch_format="pyarrow", batch_size=1024, zero_copy_batch=True
+    )
+
+
+QUERIES["compression_ratios"] = compression_ratios

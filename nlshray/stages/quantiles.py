@@ -109,6 +109,68 @@ def grouped_quantiles(
     )
 
 
+def grouped_percent_rank(
+    ds: ray.data.Dataset,
+    group_col: str,
+    value_col: str,
+    out_col: str = "pct_rank",
+) -> ray.data.Dataset:
+    """Attach SQL ``PERCENT_RANK() OVER (PARTITION BY group ORDER BY
+    value)`` to every row — the windowed-rank twin of
+    :func:`grouped_quantiles`, and like it a bounded-int-domain plan
+    with ZERO all-to-all shuffles where the textbook plan is a full
+    per-group sort of the corpus.
+
+    Two streaming passes: (1) per-block (group, value, count) histogram
+    partials merge driver-side into per-group CDFs — at most
+    |domain| x |groups| entries, not corpus size; (2) a broadcast
+    lookup map (sorted values + strictly-below counts per group) is
+    closed over by a ``map_batches`` that attaches
+    ``pct = n_strictly_below / (n_group - 1)`` (0.0 for singleton
+    groups, matching SQL) via one searchsorted per batch-distinct
+    group. Descendant of the reference's rank-the-candidates step
+    (``nlsh/indexer.py:84-95``) generalized to a windowed column."""
+    hist: dict[tuple, int] = {}
+    for b in ds.select_columns([group_col, value_col]).map_batches(
+        _hist_partial,
+        fn_kwargs={"group_col": group_col, "value_col": value_col},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+        for g, v, n in zip(
+            b[group_col].to_pylist(), b["value"].to_pylist(), b["n"].to_pylist()
+        ):
+            hist[(g, v)] = hist.get((g, v), 0) + int(n)
+
+    lookup: dict[str, tuple[np.ndarray, np.ndarray, int]] = {}
+    for g in {g for g, _ in hist}:
+        vals = np.array(sorted(v for gg, v in hist if gg == g), np.int64)
+        counts = np.array([hist[(g, v)] for v in vals], np.int64)
+        below = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        lookup[g] = (vals, below, int(counts.sum()))
+
+    def attach(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column(out_col, pa.array([], pa.float64()))
+        garr = t[group_col]
+        if isinstance(garr, pa.ChunkedArray):
+            garr = garr.combine_chunks()
+        enc = garr.dictionary_encode()
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        v = t[value_col].to_numpy().astype(np.int64)
+        pct = np.zeros(t.num_rows, np.float64)
+        for gi, g in enumerate(enc.dictionary.to_pylist()):
+            vals, below, n = lookup[g]
+            if n <= 1:
+                continue
+            m = codes == gi
+            idx = np.searchsorted(vals, v[m])
+            pct[m] = below[idx] / np.float64(n - 1)
+        return t.append_column(out_col, pa.array(pct, pa.float64()))
+
+    return ds.map_batches(attach, batch_format="pyarrow", zero_copy_batch=True)
+
+
 # ---------------------------------------------------------------------------
 # float / unbounded domains: bucketing pre-map + targeted refine pass
 

@@ -258,3 +258,70 @@ def test_dup_cluster_sizes_accounts_every_doc(ray_session):
     assert (got["n_docs"] == got["cluster_size"] * got["n_clusters"]).all()
     assert int(got["n_docs"].sum()) == 500
     assert (got.loc[got["cluster_size"] == 1, "n_clusters"] > 0).all()
+
+
+def test_normalized_dup_docs_semantics(ray_session):
+    """Casefold + whitespace-collapse dedup: groups must match a pandas
+    replay of the same normalization over the real fixture table."""
+    import pandas as pd
+    import re
+
+    from nlshray.pipelines.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        QUERIES["normalized_dup_docs"](sf)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    df = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    norm = df["text"].map(lambda s: re.sub(r"\s+", " ", s.lower()).strip(" "))
+    df = df.assign(ntext=norm)
+    df["keep_id"] = df.groupby("ntext")["doc_id"].transform("min")
+    df["n_copies"] = df.groupby("ntext")["doc_id"].transform("count")
+    df = df.sort_values("doc_id").reset_index(drop=True)
+    assert got["keep_id"].tolist() == df["keep_id"].tolist()
+    assert got["n_copies"].tolist() == df["n_copies"].tolist()
+    # normalized groups must be a refinement-superset of exact groups:
+    # every exact dup is also a normalized dup
+    exact = (
+        QUERIES["exact_dup_docs"](sf).to_pandas().sort_values("doc_id")
+    )
+    assert (got["n_copies"].values >= exact["n_copies"].values).all()
+
+
+def test_compression_ratios_deterministic_and_sane(ray_session):
+    import zlib
+
+    from nlshray.pipelines.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    a = (
+        QUERIES["compression_ratios"](sf)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        QUERIES["compression_ratios"](sf)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
+    assert len(a) == 500
+    assert ((a["compression_ratio"] > 0) & (a["compression_ratio"] < 2)).all()
+    # spot-check one row against a direct zlib call
+    import pandas as pd
+
+    df = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    row = df.iloc[17]
+    want = len(zlib.compress(row["text"].encode(), 6)) / len(
+        row["text"].encode()
+    )
+    got = float(a.set_index("doc_id").loc[row["doc_id"], "compression_ratio"])
+    assert abs(got - round(want, 6)) < 1e-9
+    # repetitive text compresses harder than the natural-text corpus
+    rep_ratio = len(zlib.compress(b"spam " * 200, 6)) / 1000
+    assert rep_ratio < a["compression_ratio"].median()

@@ -319,3 +319,67 @@ def test_weighted_sample_grouped_quota_and_determinism(ray_session):
     a, b = run(None), run(9)
     assert a.equals(b)
     assert a.groupby("lang").size().tolist() == [10, 10, 10]
+
+
+def test_grouped_percent_rank_matches_pandas(ray_session):
+    """pct_rank == pandas rank(method='min') percent_rank per group."""
+    from nlshray.stages.quantiles import grouped_percent_rank
+
+    t = _tbl(400, seed=21)
+    got = (
+        grouped_percent_rank(rd.from_arrow(t), "lang", "n_chars")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    df = t.to_pandas()
+    # every row must come back exactly once
+    assert sorted(got["doc_id"]) == sorted(df["doc_id"])
+    grp = df.groupby("lang")["n_chars"]
+    rank_min = grp.rank(method="min")
+    n = grp.transform("count")
+    want = ((rank_min - 1) / (n - 1).clip(lower=1)).where(n > 1, 0.0)
+    df = df.assign(pct_rank=want).sort_values("doc_id").reset_index(drop=True)
+    assert np.array_equal(
+        got["pct_rank"].values, df["pct_rank"].values
+    )
+
+
+def test_grouped_percent_rank_parallelism_independent(ray_session):
+    from nlshray.stages.quantiles import grouped_percent_rank
+
+    t = _tbl(300, seed=22)
+    a = (
+        grouped_percent_rank(rd.from_arrow(t), "lang", "n_chars")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        grouped_percent_rank(
+            rd.from_arrow(t).repartition(11), "lang", "n_chars"
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
+
+
+def test_grouped_percent_rank_singleton_group(ray_session):
+    from nlshray.stages.quantiles import grouped_percent_rank
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "lang": pa.array(["en", "en", "zz"]),
+            "n_chars": pa.array([5, 9, 7], pa.int64()),
+        }
+    )
+    got = (
+        grouped_percent_rank(rd.from_arrow(t), "lang", "n_chars")
+        .to_pandas()
+        .set_index("doc_id")["pct_rank"]
+    )
+    assert got[0] == 0.0 and got[1] == 1.0  # two-row group: 0 and 1
+    assert got[2] == 0.0  # singleton group is 0.0 per SQL PERCENT_RANK

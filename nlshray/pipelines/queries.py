@@ -5289,3 +5289,39 @@ def compression_ratios(sf_dir: str):
 
 
 QUERIES["compression_ratios"] = compression_ratios
+
+
+def length_mad_by_lang(sf_dir: str):
+    """Robust per-language stats (median / MAD / robust-z outlier count
+    at k=3) in ONE histogram pass (``stages/quantiles.py:grouped_mad``)
+    — the outlier-resistant twin of ``lang_summary``'s mean/avg. The
+    oracle replays the same quantile_disc median -> deviation median ->
+    filtered count chain in three CTEs."""
+    from nlshray.stages.quantiles import grouped_mad
+
+    docs = _pq(sf_dir, "documents", columns=["lang", "n_chars"])
+    return grouped_mad(docs, "lang", "n_chars", outlier_k=3)
+
+
+QUERIES["length_mad_by_lang"] = length_mad_by_lang
+
+ORACLE_SQL["length_mad_by_lang"] = """
+    WITH medt AS (
+      SELECT lang, quantile_disc(n_chars, 0.5) AS med
+      FROM documents GROUP BY lang
+    ),
+    dev AS (
+      SELECT d.lang, m.med, abs(d.n_chars - m.med) AS ad
+      FROM documents d JOIN medt m USING (lang)
+    ),
+    madt AS (
+      SELECT lang, quantile_disc(ad, 0.5) AS mad FROM dev GROUP BY lang
+    )
+    SELECT dev.lang,
+           CAST(MIN(dev.med) AS BIGINT) AS med,
+           CAST(MIN(madt.mad) AS BIGINT) AS mad,
+           CAST(COUNT(*) FILTER (WHERE dev.ad > 3 * madt.mad) AS BIGINT)
+               AS n_outliers,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM dev JOIN madt USING (lang) GROUP BY dev.lang
+"""

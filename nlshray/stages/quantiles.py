@@ -109,6 +109,78 @@ def grouped_quantiles(
     )
 
 
+def grouped_mad(
+    ds: ray.data.Dataset,
+    group_col: str,
+    value_col: str,
+    outlier_k: int = 3,
+) -> pa.Table:
+    """Robust per-group location/scale report: median, MAD (median
+    absolute deviation, ``quantile_disc`` semantics on both), and the
+    count of rows with ``|v - med| > k * MAD`` — the robust-z outlier
+    filter a corpus-curation pass runs before trusting mean/std.
+
+    ONE streaming pass, zero shuffles: the per-(group, value) histogram
+    is sufficient statistics for every order statistic of every
+    per-value transform, so median, the deviation histogram, MAD and
+    the outlier count are all read off the same driver-merged CDF —
+    where the textbook plan is two full corpus passes with a per-group
+    sort each."""
+    hist: dict[tuple, int] = {}
+    for b in ds.select_columns([group_col, value_col]).map_batches(
+        _hist_partial,
+        fn_kwargs={"group_col": group_col, "value_col": value_col},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+        for g, v, n in zip(
+            b[group_col].to_pylist(), b["value"].to_pylist(), b["n"].to_pylist()
+        ):
+            hist[(g, v)] = hist.get((g, v), 0) + int(n)
+
+    def _disc_median(vals: np.ndarray, counts: np.ndarray) -> int:
+        cdf = np.cumsum(counts)
+        target = max(int(np.ceil(0.5 * int(cdf[-1]))), 1)
+        return int(vals[int(np.searchsorted(cdf, target))])
+
+    groups = sorted({g for g, _ in hist})
+    out: dict[str, list] = {
+        group_col: [], "med": [], "mad": [], "n_outliers": [], "n_rows": []
+    }
+    for g in groups:
+        vals = np.array(sorted(v for gg, v in hist if gg == g), np.int64)
+        counts = np.array([hist[(g, v)] for v in vals], np.int64)
+        med = _disc_median(vals, counts)
+        # deviation histogram: |v - med| with the same counts, re-merged
+        # (two values can map to one deviation)
+        dev = np.abs(vals - med)
+        order = np.argsort(dev, kind="stable")
+        dev_s, cnt_s = dev[order], counts[order]
+        starts = (
+            np.concatenate([[0], np.flatnonzero(np.diff(dev_s)) + 1])
+            if dev_s.shape[0]
+            else np.empty(0, np.int64)
+        )
+        dev_u = dev_s[starts]
+        cnt_u = np.add.reduceat(cnt_s, starts)
+        mad = _disc_median(dev_u, cnt_u)
+        n_out = int(cnt_u[dev_u > outlier_k * mad].sum())
+        out[group_col].append(g)
+        out["med"].append(med)
+        out["mad"].append(mad)
+        out["n_outliers"].append(n_out)
+        out["n_rows"].append(int(counts.sum()))
+    return pa.table(
+        {
+            group_col: pa.array(out[group_col], pa.string()),
+            "med": pa.array(out["med"], pa.int64()),
+            "mad": pa.array(out["mad"], pa.int64()),
+            "n_outliers": pa.array(out["n_outliers"], pa.int64()),
+            "n_rows": pa.array(out["n_rows"], pa.int64()),
+        }
+    )
+
+
 def grouped_percent_rank(
     ds: ray.data.Dataset,
     group_col: str,

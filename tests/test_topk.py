@@ -383,3 +383,34 @@ def test_grouped_percent_rank_singleton_group(ray_session):
     )
     assert got[0] == 0.0 and got[1] == 1.0  # two-row group: 0 and 1
     assert got[2] == 0.0  # singleton group is 0.0 per SQL PERCENT_RANK
+
+
+def test_grouped_mad_matches_numpy(ray_session):
+    """med/mad = quantile_disc(0.5); outliers = |v-med| > 3*mad."""
+    from nlshray.stages.quantiles import grouped_mad
+
+    t = _tbl(500, seed=31)
+    got = grouped_mad(rd.from_arrow(t), "lang", "n_chars").to_pandas()
+    df = t.to_pandas()
+    assert sorted(got["lang"]) == sorted(df["lang"].unique())
+
+    def disc_med(a):
+        a = np.sort(a)
+        return int(a[max(int(np.ceil(0.5 * a.shape[0])), 1) - 1])
+
+    for _, row in got.set_index("lang").iterrows():
+        vals = df.loc[df["lang"] == row.name, "n_chars"].values
+        med = disc_med(vals)
+        mad = disc_med(np.abs(vals - med))
+        assert row["med"] == med and row["mad"] == mad
+        assert row["n_outliers"] == int((np.abs(vals - med) > 3 * mad).sum())
+        assert row["n_rows"] == vals.shape[0]
+
+
+def test_grouped_mad_parallelism_independent(ray_session):
+    from nlshray.stages.quantiles import grouped_mad
+
+    t = _tbl(300, seed=32)
+    a = grouped_mad(rd.from_arrow(t), "lang", "n_chars")
+    b = grouped_mad(rd.from_arrow(t).repartition(9), "lang", "n_chars")
+    assert a.equals(b)

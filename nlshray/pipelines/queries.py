@@ -5325,3 +5325,112 @@ ORACLE_SQL["length_mad_by_lang"] = """
            CAST(COUNT(*) AS BIGINT) AS n_rows
     FROM dev JOIN madt USING (lang) GROUP BY dev.lang
 """
+
+
+def lang_source_mi(sf_dir: str):
+    """Corpus composition audit: entropies H(lang), H(source), H(joint)
+    and mutual information I(lang; source) in nats — "does source
+    predict language?" is the first skew question a mixture curator
+    asks. The corpus-level application of the reference's
+    entropy/KL kernel family (``nlsh/learning/distances.py:76-131``):
+    one bounded groupby-count shuffle (|langs| x |sources| cells),
+    driver arithmetic on the joint histogram, nothing else moves."""
+    docs = _pq(sf_dir, "documents", columns=["lang", "source"])
+    joint = to_arrow(
+        docs.groupby(["lang", "source"], num_partitions=NPARTS).aggregate(
+            Count(alias_name="n")
+        )
+    )
+    langs = joint["lang"].to_pylist()
+    srcs = joint["source"].to_pylist()
+    c = joint["n"].to_numpy().astype(np.float64)
+    n = c.sum()
+    p = c / n
+    # marginals by key accumulation (domain-bounded)
+    pl: dict[str, float] = {}
+    ps: dict[str, float] = {}
+    for la, so, pi in zip(langs, srcs, p):
+        pl[la] = pl.get(la, 0.0) + pi
+        ps[so] = ps.get(so, 0.0) + pi
+    h_lang = -sum(v * np.log(v) for v in pl.values())
+    h_source = -sum(v * np.log(v) for v in ps.values())
+    h_joint = -float(np.sum(p * np.log(p)))
+    mi = h_lang + h_source - h_joint
+    r6 = lambda x: float(_round_np(np.float64(x), 6))
+    return pa.table(
+        {
+            "h_lang": pa.array([r6(h_lang)], pa.float64()),
+            "h_source": pa.array([r6(h_source)], pa.float64()),
+            "h_joint": pa.array([r6(h_joint)], pa.float64()),
+            "mi": pa.array([r6(mi)], pa.float64()),
+            "n_rows": pa.array([int(n)], pa.int64()),
+        }
+    )
+
+
+QUERIES["lang_source_mi"] = lang_source_mi
+
+ORACLE_SQL["lang_source_mi"] = """
+    WITH joint AS (
+      SELECT lang, source, COUNT(*)::DOUBLE AS c FROM documents
+      GROUP BY lang, source
+    ),
+    tot AS (SELECT SUM(c) AS n FROM joint),
+    ml AS (SELECT lang, SUM(c) AS cl FROM joint GROUP BY lang),
+    ms AS (SELECT source, SUM(c) AS cs FROM joint GROUP BY source)
+    SELECT
+      ROUND((SELECT -SUM((cl/n) * LN(cl/n)) FROM ml, tot), 6) AS h_lang,
+      ROUND((SELECT -SUM((cs/n) * LN(cs/n)) FROM ms, tot), 6) AS h_source,
+      ROUND((SELECT -SUM((c/n) * LN(c/n)) FROM joint, tot), 6) AS h_joint,
+      ROUND((SELECT -SUM((cl/n) * LN(cl/n)) FROM ml, tot)
+          + (SELECT -SUM((cs/n) * LN(cs/n)) FROM ms, tot)
+          - (SELECT -SUM((c/n) * LN(c/n)) FROM joint, tot), 6) AS mi,
+      (SELECT CAST(n AS BIGINT) FROM tot) AS n_rows
+"""
+
+
+def modal_length_by_lang(sf_dir: str):
+    """Per-group mode with a DETERMINISTIC tie-break (smallest value
+    among the argmax counts — SQL mode() leaves ties unspecified, so
+    the oracle replays the rule with ROW_NUMBER instead). Same
+    zero-shuffle histogram plan as the quantile/MAD family."""
+    from nlshray.stages.quantiles import _hist_partial
+
+    docs = _pq(sf_dir, "documents", columns=["lang", "n_chars"])
+    hist: dict[tuple, int] = {}
+    for b in docs.map_batches(
+        _hist_partial,
+        fn_kwargs={"group_col": "lang", "value_col": "n_chars"},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+        for g, v, cn in zip(
+            b["lang"].to_pylist(), b["value"].to_pylist(), b["n"].to_pylist()
+        ):
+            hist[(g, v)] = hist.get((g, v), 0) + int(cn)
+    out = {"lang": [], "modal_n_chars": [], "n_modal": []}
+    for g in sorted({g for g, _ in hist}):
+        items = sorted((v, hist[(g, v)]) for gg, v in hist if gg == g)
+        best_v, best_n = min(items, key=lambda t: (-t[1], t[0]))
+        out["lang"].append(g)
+        out["modal_n_chars"].append(int(best_v))
+        out["n_modal"].append(int(best_n))
+    return pa.table(
+        {
+            "lang": pa.array(out["lang"], pa.string()),
+            "modal_n_chars": pa.array(out["modal_n_chars"], pa.int64()),
+            "n_modal": pa.array(out["n_modal"], pa.int64()),
+        }
+    )
+
+
+QUERIES["modal_length_by_lang"] = modal_length_by_lang
+
+ORACLE_SQL["modal_length_by_lang"] = """
+    SELECT lang, n_chars AS modal_n_chars, n AS n_modal FROM (
+      SELECT lang, n_chars, CAST(COUNT(*) AS BIGINT) AS n,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY COUNT(*) DESC, n_chars ASC) AS rn
+      FROM documents GROUP BY lang, n_chars
+    ) WHERE rn = 1
+"""

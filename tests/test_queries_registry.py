@@ -325,3 +325,50 @@ def test_compression_ratios_deterministic_and_sane(ray_session):
     # repetitive text compresses harder than the natural-text corpus
     rep_ratio = len(zlib.compress(b"spam " * 200, 6)) / 1000
     assert rep_ratio < a["compression_ratio"].median()
+
+
+def test_lang_source_mi_matches_numpy_replay(ray_session):
+    import pandas as pd
+
+    from nlshray.pipelines.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = QUERIES["lang_source_mi"](sf).to_pandas().iloc[0]
+    df = pd.read_parquet(f"{sf}/documents.parquet", columns=["lang", "source"])
+    n = len(df)
+
+    def ent(p):
+        return float(-(p * np.log(p)).sum())
+
+    h_l = ent(df["lang"].value_counts().values / n)
+    h_s = ent(df["source"].value_counts().values / n)
+    h_j = ent(df.groupby(["lang", "source"]).size().values / n)
+    assert abs(got["h_lang"] - h_l) < 1e-5
+    assert abs(got["h_source"] - h_s) < 1e-5
+    assert abs(got["h_joint"] - h_j) < 1e-5
+    mi = got["mi"]
+    # information-theoretic invariants (rounding gives 1e-6 slack)
+    assert mi >= -1e-5
+    assert mi <= min(h_l, h_s) + 1e-5
+    assert got["n_rows"] == n
+
+
+def test_modal_length_by_lang_matches_pandas(ray_session):
+    import pandas as pd
+
+    from nlshray.pipelines.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        QUERIES["modal_length_by_lang"](sf)
+        .to_pandas()
+        .set_index("lang")
+        .sort_index()
+    )
+    df = pd.read_parquet(f"{sf}/documents.parquet", columns=["lang", "n_chars"])
+    cnt = df.groupby(["lang", "n_chars"]).size().reset_index(name="n")
+    # deterministic tie-break: max count, then smallest value
+    cnt = cnt.sort_values(["lang", "n", "n_chars"], ascending=[True, False, True])
+    want = cnt.groupby("lang").head(1).set_index("lang").sort_index()
+    assert got["modal_n_chars"].tolist() == want["n_chars"].tolist()
+    assert got["n_modal"].tolist() == want["n"].tolist()

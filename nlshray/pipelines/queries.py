@@ -5434,3 +5434,49 @@ ORACLE_SQL["modal_length_by_lang"] = """
       FROM documents GROUP BY lang, n_chars
     ) WHERE rn = 1
 """
+
+
+# C4-style word blocklist (fixture-vocabulary terms; the real pipeline
+# swaps in its policy list). Leftmost word-boundary match attributes
+# the hit — RE2 semantics on BOTH sides (Arrow C++ and DuckDB).
+_BLOCKLIST = ("spark", "spill", "admin")
+# same RE2 pattern both sides; Arrow's extract_regex requires a NAMED
+# group, DuckDB's regexp_extract takes the group by index
+_BLOCK_RE_ARROW = r"\b(?P<term>" + "|".join(_BLOCKLIST) + r")\b"
+_BLOCK_RE_SQL = r"\b(" + "|".join(_BLOCKLIST) + r")\b"
+
+
+def blocklist_filter(sf_dir: str):
+    """C4-style badword filter: flag every doc containing a blocklist
+    term (word-boundary match), attributing the LEFTMOST hit. One
+    vectorized RE2 kernel per batch (`extract_regex`) — no per-row
+    Python, no shuffle; the policy list ships as a compiled alternation
+    in the task closure. Oracle replays with regexp_extract on the
+    identical pattern."""
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        arr = t["text"]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        hit = pc.extract_regex(arr, _BLOCK_RE_ARROW)
+        term = pc.fill_null(pc.struct_field(hit, 0), "")
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "blocked": pc.not_equal(term, ""),
+                "matched_term": term,
+            }
+        )
+
+    return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+QUERIES["blocklist_filter"] = blocklist_filter
+
+ORACLE_SQL["blocklist_filter"] = rf"""
+    SELECT doc_id,
+           regexp_extract(text, '{_BLOCK_RE_SQL}', 1) <> '' AS blocked,
+           regexp_extract(text, '{_BLOCK_RE_SQL}', 1) AS matched_term
+    FROM documents
+"""

@@ -372,3 +372,37 @@ def test_modal_length_by_lang_matches_pandas(ray_session):
     want = cnt.groupby("lang").head(1).set_index("lang").sort_index()
     assert got["modal_n_chars"].tolist() == want["n_chars"].tolist()
     assert got["n_modal"].tolist() == want["n"].tolist()
+
+
+def test_blocklist_filter_semantics(ray_session):
+    """Word-boundary (not substring) match; leftmost hit attributed."""
+    import re
+
+    import pandas as pd
+
+    from nlshray.pipelines.queries import _BLOCKLIST, QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        QUERIES["blocklist_filter"](sf)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    df = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    pat = re.compile(r"\b(" + "|".join(_BLOCKLIST) + r")\b")
+    want = (
+        df.assign(
+            matched_term=df["text"].map(
+                lambda s: (pat.search(s) or [None]) and (
+                    pat.search(s).group(1) if pat.search(s) else ""
+                )
+            )
+        )
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got["matched_term"].tolist() == want["matched_term"].tolist()
+    assert got["blocked"].tolist() == (want["matched_term"] != "").tolist()
+    # the filter must actually split the corpus (not vacuously all/none)
+    assert 0 < int(got["blocked"].sum()) < len(got)

@@ -5480,3 +5480,85 @@ ORACLE_SQL["blocklist_filter"] = rf"""
            regexp_extract(text, '{_BLOCK_RE_SQL}', 1) AS matched_term
     FROM documents
 """
+
+
+def snapshot_drift_ks(sf_dir: str):
+    """Distribution-drift detector between two crawl snapshots (the
+    even/odd doc_id split, as in ``novel_docs_incremental``): the
+    two-sample Kolmogorov-Smirnov statistic over doc length, exact —
+    ``max |CDF_even(v) - CDF_odd(v)|`` over the observed support. Both
+    empirical CDFs come off ONE histogram pass (the per-(side, value)
+    counts are the sufficient statistics), zero shuffles; the textbook
+    plan sorts both corpora. Output: the KS statistic, the value where
+    the gap peaks (smallest such value — deterministic), and both
+    sample sizes."""
+    from nlshray.stages.quantiles import _hist_partial
+
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        side = pc.if_else(
+            pc.equal(pc.bit_wise_and(t["doc_id"], 1), 0),
+            pa.scalar("even"),
+            pa.scalar("odd"),
+        )
+        return pa.table({"side": side, "n_chars": t["n_chars"]})
+
+    hist: dict[tuple, int] = {}
+    for b in docs.map_batches(
+        tag, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(
+        _hist_partial,
+        fn_kwargs={"group_col": "side", "value_col": "n_chars"},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+        for g, v, n in zip(
+            b["side"].to_pylist(), b["value"].to_pylist(), b["n"].to_pylist()
+        ):
+            hist[(g, v)] = hist.get((g, v), 0) + int(n)
+
+    support = np.array(sorted({v for _, v in hist}), np.int64)
+    ce = np.cumsum([hist.get(("even", int(v)), 0) for v in support]).astype(
+        np.float64
+    )
+    co = np.cumsum([hist.get(("odd", int(v)), 0) for v in support]).astype(
+        np.float64
+    )
+    n_e, n_o = ce[-1], co[-1]
+    gap = np.abs(ce / n_e - co / n_o)
+    i = int(np.argmax(gap))  # first (= smallest value) at the max gap
+    return pa.table(
+        {
+            "ks_stat": pa.array([float(_round_np(gap[i], 6))], pa.float64()),
+            "at_n_chars": pa.array([int(support[i])], pa.int64()),
+            "n_even": pa.array([int(n_e)], pa.int64()),
+            "n_odd": pa.array([int(n_o)], pa.int64()),
+        }
+    )
+
+
+QUERIES["snapshot_drift_ks"] = snapshot_drift_ks
+
+ORACLE_SQL["snapshot_drift_ks"] = """
+    WITH sup AS (SELECT DISTINCT n_chars AS x FROM documents),
+    tot AS (
+      SELECT COUNT(*) FILTER (WHERE doc_id % 2 = 0)::DOUBLE AS ne,
+             COUNT(*) FILTER (WHERE doc_id % 2 = 1)::DOUBLE AS no
+      FROM documents
+    ),
+    gaps AS (
+      SELECT sup.x,
+             ABS((SELECT COUNT(*) FROM documents d
+                  WHERE d.doc_id % 2 = 0 AND d.n_chars <= sup.x) / tot.ne
+               - (SELECT COUNT(*) FROM documents d
+                  WHERE d.doc_id % 2 = 1 AND d.n_chars <= sup.x) / tot.no)
+               AS gap
+      FROM sup, tot
+    )
+    SELECT ROUND((SELECT MAX(gap) FROM gaps), 6) AS ks_stat,
+           (SELECT MIN(x) FROM gaps WHERE gap = (SELECT MAX(gap) FROM gaps))
+               AS at_n_chars,
+           (SELECT CAST(ne AS BIGINT) FROM tot) AS n_even,
+           (SELECT CAST(no AS BIGINT) FROM tot) AS n_odd
+"""

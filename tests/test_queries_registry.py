@@ -406,3 +406,24 @@ def test_blocklist_filter_semantics(ray_session):
     assert got["blocked"].tolist() == (want["matched_term"] != "").tolist()
     # the filter must actually split the corpus (not vacuously all/none)
     assert 0 < int(got["blocked"].sum()) < len(got)
+
+
+def test_snapshot_drift_ks_matches_scipy_free_replay(ray_session):
+    import pandas as pd
+
+    from nlshray.pipelines.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = QUERIES["snapshot_drift_ks"](sf).to_pandas().iloc[0]
+    df = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "n_chars"])
+    a = np.sort(df.loc[df["doc_id"] % 2 == 0, "n_chars"].values)
+    b = np.sort(df.loc[df["doc_id"] % 2 == 1, "n_chars"].values)
+    support = np.unique(np.concatenate([a, b]))
+    ca = np.searchsorted(a, support, side="right") / a.shape[0]
+    cb = np.searchsorted(b, support, side="right") / b.shape[0]
+    gap = np.abs(ca - cb)
+    assert abs(got["ks_stat"] - gap.max()) < 1e-6
+    assert got["at_n_chars"] == int(support[np.argmax(gap)])
+    assert got["n_even"] == a.shape[0] and got["n_odd"] == b.shape[0]
+    # KS invariant: statistic in [0, 1]
+    assert 0.0 <= got["ks_stat"] <= 1.0

@@ -5562,3 +5562,47 @@ ORACLE_SQL["snapshot_drift_ks"] = """
            (SELECT CAST(ne AS BIGINT) FROM tot) AS n_even,
            (SELECT CAST(no AS BIGINT) FROM tot) AS n_odd
 """
+
+
+def line_dedup_docs(sf_dir: str, min_docs: int = 2):
+    """CCNet/Dolma-style cross-document LINE dedup: rewrite every doc
+    dropping each line that occurs in >= ``min_docs`` distinct docs
+    (boilerplate — banners, footers), preserving surviving-line order.
+    Boilerplate lines are the heavy hitters of the within-doc-deduped
+    line stream, so the plan reuses the CountMin candidate filter of
+    ``stages/heavy.py``: sketch pass -> exact candidate count ->
+    broadcast set -> vectorized rewrite (``stages/linededup.py``).
+    Doc text never shuffles; the only per-line rows that move are the
+    CMS-admitted candidates. On the sf corpora no text contains a
+    newline, so this verifies the identity path end-to-end (every doc
+    one unique line, nothing dropped); the multi-line semantics are
+    pinned by tests/test_linededup.py against a pure-python reference.
+    """
+    from nlshray.stages.linededup import line_dedup
+
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+    return line_dedup(docs, min_docs, num_partitions=NPARTS)
+
+
+QUERIES["line_dedup_docs"] = line_dedup_docs
+
+ORACLE_SQL["line_dedup_docs"] = """
+    WITH lines AS (
+      SELECT doc_id,
+             unnest(string_split(text, chr(10))) AS line,
+             unnest(range(1, len(string_split(text, chr(10))) + 1)) AS ord
+      FROM documents
+    ),
+    freq AS (
+      SELECT line, COUNT(DISTINCT doc_id) AS nd FROM lines GROUP BY line
+    )
+    SELECT l.doc_id,
+           COALESCE(
+             string_agg(CASE WHEN f.nd < 2 THEN l.line END,
+                        chr(10) ORDER BY l.ord),
+             '') AS clean_text,
+           COUNT(*) AS n_lines,
+           COUNT(*) FILTER (WHERE f.nd >= 2) AS n_dropped
+    FROM lines l JOIN freq f USING (line)
+    GROUP BY l.doc_id
+"""

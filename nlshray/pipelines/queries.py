@@ -5606,3 +5606,122 @@ ORACLE_SQL["line_dedup_docs"] = """
     FROM lines l JOIN freq f USING (line)
     GROUP BY l.doc_id
 """
+
+
+def containment_pairs(sf_dir: str, threshold: float = 0.9):
+    """Token-set OVERLAP COEFFICIENT (Szymkiewicz-Simpson,
+    ``|A∩B| / min(|A|,|B|)``) over all doc pairs, >= threshold — the
+    subset-detection member of the dedup family: a short doc quoted
+    whole inside a long one scores ~1.0 here while its Jaccard
+    (``ngram_jaccard_pairs``) can be arbitrarily small, so doc-level
+    Jaccard dedup never finds it. Same broadcast-corpus segmented
+    searchsorted kernel as the Jaccard brute member (one corpus scan
+    per doc, no python inner loop); the scalable route for this
+    predicate is the prefix-filtered set-similarity join
+    (``stages/ssjoin``) — LSH banding cannot bound recall for
+    containment because the Jaccard of a true subset pair is
+    unbounded below.
+    """
+    from nlshray.functions.shingles import batch_token_hashes
+
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+
+    ids_c, val_c, len_c = [], [], []
+
+    def tok_sets(t: pa.Table) -> pa.Table:
+        flat, counts = batch_token_hashes(t["text"])
+        ends = np.cumsum(counts)
+        sets = [
+            np.unique(flat[e - c : e]).tolist() for c, e in zip(counts, ends)
+        ]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "toks": pa.array(sets, pa.list_(pa.uint64())),
+            }
+        )
+
+    for b in docs.map_batches(
+        tok_sets, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_size=8192, batch_format="pyarrow"):
+        ids_c.append(np.asarray(b["doc_id"]))
+        col = b["toks"].combine_chunks()
+        val_c.append(np.asarray(col.values, dtype=np.uint64))
+        len_c.append(np.diff(np.asarray(col.offsets)).astype(np.int64))
+    ids = np.concatenate(ids_c) if ids_c else np.empty(0, np.int64)
+    lens = np.concatenate(len_c) if len_c else np.empty(0, np.int64)
+    vals = np.concatenate(val_c) if val_c else np.empty(0, np.uint64)
+    order = np.argsort(ids)
+    seg_ends = np.cumsum(lens)
+    seg_starts = seg_ends - lens
+    take = np.concatenate(
+        [np.arange(seg_starts[i], seg_ends[i]) for i in order]
+    ) if ids.shape[0] else np.empty(0, np.int64)
+    cids = ids[order]
+    csizes = lens[order]
+    cends = np.cumsum(csizes)
+    corpus_ref = ray.put((cids, vals[take], cends, csizes))
+    thr = float(threshold)
+
+    def pairs(t: pa.Table) -> pa.Table:
+        cids_, cflat, cends_, csizes_ = ray.get(corpus_ref)
+        cstarts_ = cends_ - csizes_
+        flat, counts = batch_token_hashes(t["text"])
+        qids = t["doc_id"].to_numpy()
+        qends = np.cumsum(counts)
+        lefts, rights, ovls = [], [], []
+        cs_buf = np.empty(cflat.shape[0] + 1, np.int64)
+        for i in range(qids.shape[0]):
+            mine = np.unique(flat[qends[i] - counts[i] : qends[i]])
+            did = qids[i]
+            if not mine.shape[0]:
+                continue
+            pos = np.searchsorted(mine, cflat)
+            pos[pos == mine.shape[0]] = 0
+            hits = mine[pos] == cflat
+            cs_buf[0] = 0
+            np.cumsum(hits, out=cs_buf[1:])
+            inter = cs_buf[cends_] - cs_buf[cstarts_]
+            denom = np.minimum(mine.shape[0], csizes_)
+            ovl = np.where(denom > 0, inter / np.maximum(denom, 1), 0.0)
+            sel = (ovl >= thr) & (cids_ > did) & (csizes_ > 0)
+            lefts.append(np.full(int(sel.sum()), did, np.int64))
+            rights.append(cids_[sel])
+            ovls.append(_round_np(ovl[sel], 6))
+        return pa.table(
+            {
+                "left_id": pa.array(
+                    np.concatenate(lefts) if lefts else np.empty(0, np.int64)
+                ),
+                "right_id": pa.array(
+                    np.concatenate(rights) if rights else np.empty(0, np.int64)
+                ),
+                "overlap": pa.array(
+                    np.concatenate(ovls) if ovls else np.empty(0, np.float64)
+                ),
+            }
+        )
+
+    return docs.map_batches(
+        pairs, batch_format="pyarrow", zero_copy_batch=True, batch_size=256
+    )
+
+
+QUERIES["containment_pairs"] = containment_pairs
+
+ORACLE_SQL["containment_pairs"] = """
+    WITH toks AS (
+      SELECT doc_id,
+             list_distinct(list_filter(
+               regexp_split_to_array(lower(text), '\\W+'), x -> x != ''
+             )) AS ts
+      FROM documents
+    )
+    SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+           ROUND(CAST(length(list_intersect(a.ts, b.ts)) AS DOUBLE) /
+                 LEAST(length(a.ts), length(b.ts)), 6) AS overlap
+    FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+    WHERE length(a.ts) > 0 AND length(b.ts) > 0
+      AND CAST(length(list_intersect(a.ts, b.ts)) AS DOUBLE) /
+          LEAST(length(a.ts), length(b.ts)) >= 0.9
+"""

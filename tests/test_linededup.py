@@ -130,3 +130,28 @@ def test_line_dedup_oracle_sql_replay_multiline(ray_session, tmp_path):
         .astype({c: got[c].dtype for c in got.columns})
     )
     assert got.equals(want)
+
+
+def test_containment_pairs_finds_subset_jaccard_misses(ray_session, tmp_path):
+    """A short doc quoted whole inside a long one: overlap == 1.0 while
+    Jaccard is far below 0.9 — the pair the Jaccard member can't see."""
+    import pyarrow.parquet as pq
+
+    from nlshray.pipelines.queries import containment_pairs, ngram_jaccard_pairs
+
+    short = "alpha beta gamma delta"
+    long = short + " " + " ".join(f"filler{i}" for i in range(40))
+    other = " ".join(f"zed{i}" for i in range(30))
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array([short, long, other]),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    got = containment_pairs(str(tmp_path)).to_pandas()
+    assert [(r.left_id, r.right_id, r.overlap) for r in got.itertuples()] == [
+        (1, 2, 1.0)
+    ]
+    jac = ngram_jaccard_pairs(str(tmp_path)).to_pandas()
+    assert len(jac) == 0  # Jaccard(short, long) = 4/44 << 0.9

@@ -5725,3 +5725,23 @@ ORACLE_SQL["containment_pairs"] = """
       AND CAST(length(list_intersect(a.ts, b.ts)) AS DOUBLE) /
           LEAST(length(a.ts), length(b.ts)) >= 0.9
 """
+
+
+def ssjoin_jaccard_pairs(sf_dir: str, threshold: float = 0.9):
+    """Exact Jaccard-threshold pairs via the prefix-filtered
+    set-similarity join (``stages/ssjoin`` — AllPairs/Vernica plan):
+    the same predicate as ``ngram_jaccard_pairs`` through a completely
+    different physical plan — token-grouped shuffle with a lossless
+    prefix filter instead of a broadcast corpus — so the two members
+    cross-check each other AND the shared SQL oracle. This is the
+    100-TB route for exact-recall similarity joins; the brute member
+    stops at ``_NGRAM_BF_LIMIT`` docs."""
+    from nlshray.stages.ssjoin import ssjoin_jaccard
+
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+    return ssjoin_jaccard(docs, threshold, num_partitions=NPARTS)
+
+
+QUERIES["ssjoin_jaccard_pairs"] = ssjoin_jaccard_pairs
+
+ORACLE_SQL["ssjoin_jaccard_pairs"] = ORACLE_SQL["ngram_jaccard_pairs"]

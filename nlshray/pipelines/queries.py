@@ -5745,3 +5745,69 @@ def ssjoin_jaccard_pairs(sf_dir: str, threshold: float = 0.9):
 QUERIES["ssjoin_jaccard_pairs"] = ssjoin_jaccard_pairs
 
 ORACLE_SQL["ssjoin_jaccard_pairs"] = ORACLE_SQL["ngram_jaccard_pairs"]
+
+
+def token_entropy(sf_dir: str):
+    """Per-doc unigram Shannon entropy (bits) — the information-density
+    quality signal next to ``repetition_stats`` (fraction-based) and
+    ``compression_ratios`` (deflate-based): templated/spammy docs score
+    low, diverse prose scores near log2(n_types). One segmented kernel
+    per batch: sort (doc, token-hash), run-length the repeats, then
+    ``H = log2(n) - sum(c*log2(c))/n`` per doc segment — the identical
+    formula the oracle evaluates on token STRINGS (a 64-bit token-hash
+    collision would flip the entropy and fail the hash-match)."""
+    from nlshray.functions.nputil import lexsort2, segment_ids
+    from nlshray.functions.shingles import batch_token_hashes
+
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        flat, counts = batch_token_hashes(t["text"])
+        n_tok = counts.astype(np.int64)
+        ent = np.zeros(ids.shape[0], np.float64)
+        if flat.shape[0]:
+            doc_idx = segment_ids(counts)
+            order = lexsort2(flat.astype(np.int64), doc_idx)
+            d_s, f_s = doc_idx[order], flat[order]
+            first = np.concatenate(
+                [[True], (d_s[1:] != d_s[:-1]) | (f_s[1:] != f_s[:-1])]
+            )
+            starts = np.flatnonzero(first)
+            runs = np.diff(np.concatenate([starts, [f_s.shape[0]]]))
+            contrib = runs * np.log2(runs)
+            sums = np.bincount(
+                d_s[starts], weights=contrib, minlength=ids.shape[0]
+            )
+            nz = n_tok > 0
+            ent[nz] = np.log2(n_tok[nz]) - sums[nz] / n_tok[nz]
+        keep = n_tok > 0
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep]),
+                "n_tokens": pa.array(n_tok[keep]),
+                "entropy": pa.array(_round_np(ent[keep], 6)),
+            }
+        )
+
+    return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+QUERIES["token_entropy"] = token_entropy
+
+ORACLE_SQL["token_entropy"] = """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(
+               regexp_split_to_array(lower(text), '\\W+'), x -> x != ''
+             )) AS tok
+      FROM documents
+    ),
+    cnt AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+    tot AS (SELECT doc_id, SUM(c) AS n FROM cnt GROUP BY 1)
+    SELECT t.doc_id,
+           CAST(t.n AS BIGINT) AS n_tokens,
+           ROUND(log2(t.n) - SUM(c.c * log2(c.c)) / t.n, 6) AS entropy
+    FROM cnt c JOIN tot t USING (doc_id)
+    GROUP BY t.doc_id, t.n
+"""

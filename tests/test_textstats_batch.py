@@ -129,3 +129,25 @@ def test_token_repetition_empty_batch():
 
     f = token_repetition_arrays([])
     assert f["n_tokens"].shape == (0,)
+
+
+def test_token_entropy_known_values(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nlshray.pipelines.queries import token_entropy
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                ["a a a a", "a b c d", "a a b b", "...!!!"]
+            ),  # H: 0, 2, 1, (no tokens -> dropped)
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    got = token_entropy(str(tmp_path)).to_pandas().set_index("doc_id")
+    assert list(got.index) == [1, 2, 3]
+    assert got.loc[1].entropy == 0.0 and got.loc[1].n_tokens == 4
+    assert got.loc[2].entropy == 2.0
+    assert got.loc[3].entropy == 1.0

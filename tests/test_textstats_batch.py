@@ -146,7 +146,9 @@ def test_token_entropy_known_values(ray_session, tmp_path):
         }
     )
     pq.write_table(t, tmp_path / "documents.parquet")
-    got = token_entropy(str(tmp_path)).to_pandas().set_index("doc_id")
+    got = (
+        token_entropy(str(tmp_path)).to_pandas().set_index("doc_id").sort_index()
+    )
     assert list(got.index) == [1, 2, 3]
     assert got.loc[1].entropy == 0.0 and got.loc[1].n_tokens == 4
     assert got.loc[2].entropy == 2.0

@@ -5811,3 +5811,190 @@ ORACLE_SQL["token_entropy"] = """
     FROM cnt c JOIN tot t USING (doc_id)
     GROUP BY t.doc_id, t.n
 """
+
+
+def bm25_search(sf_dir: str, n_queries: int = 5, k: int = 10):
+    """Okapi BM25 lexical retrieval (Robertson et al., TREC-3; the
+    Lucene ``ln(1 + (N-df+0.5)/(df+0.5))`` IDF form; k1=1.2, b=0.75):
+    the first ``n_queries`` docs (doc_id < n) are the query set, scored
+    against the whole corpus, top-``k`` per query — the lexical
+    companion to ``knn_cosine`` (same query convention, same output
+    shape). Plan: one stats pass (N, avgdl via exact integer sums, and
+    df restricted to the QUERY term union — a few hundred counters, not
+    the vocabulary), then one scoring pass per batch: matched-token
+    run-length tf, dense (docs x terms) contribution, one small matmul
+    against the (queries x terms) membership matrix, finished by the
+    grouped top-k semigroup combiner (zero shuffles end to end; both
+    broadcasts ride the task closure / ray.put)."""
+    from nlshray.functions.nputil import isin_sorted, lexsort2, segment_ids
+    from nlshray.functions.shingles import batch_token_hashes
+    from nlshray.stages.topk import grouped_topk
+
+    K1, B = 1.2, 0.75
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+
+    # -- query term sets (n_queries rows: a driver-side constant) -----
+    q_rows = sorted(
+        docs.filter(expr=f"doc_id < {n_queries}").take_all(),
+        key=lambda r: r["doc_id"],
+    )
+    q_tab = pa.table(
+        {
+            "doc_id": pa.array([r["doc_id"] for r in q_rows], pa.int64()),
+            "text": pa.array([r["text"] for r in q_rows]),
+        }
+    )
+    qflat, qcounts = batch_token_hashes(q_tab["text"])
+    q_ids = q_tab["doc_id"].to_numpy()
+    qends = np.cumsum(qcounts)
+    q_terms = [
+        np.unique(qflat[e - c : e]) for c, e in zip(qcounts, qends)
+    ]
+    terms = np.unique(np.concatenate(q_terms)) if q_terms else np.empty(
+        0, np.uint64
+    )
+    T = terms.shape[0]
+    member = np.zeros((len(q_terms), T), np.float64)
+    for qi, ts in enumerate(q_terms):
+        member[qi, np.searchsorted(terms, ts)] = 1.0
+
+    # -- stats pass: N, sum(dl), df over the query-term union ---------
+    def stats_partial(t: pa.Table) -> pa.Table:
+        flat, counts = batch_token_hashes(t["text"])
+        df = np.zeros(T, np.int64)
+        if flat.shape[0] and T:
+            doc_idx = segment_ids(counts)
+            hit = isin_sorted(terms, flat)
+            ti = np.searchsorted(terms, flat[hit])
+            di = doc_idx[hit]
+            if ti.shape[0]:
+                order = lexsort2(ti, di)
+                d_s, t_s = di[order], ti[order]
+                first = np.concatenate(
+                    [[True], (d_s[1:] != d_s[:-1]) | (t_s[1:] != t_s[:-1])]
+                )
+                np.add.at(df, t_s[first], 1)
+        return pa.table(
+            {
+                "n_docs": pa.array([t.num_rows], pa.int64()),
+                "dl_sum": pa.array([int(counts.sum())], pa.int64()),
+                "df": pa.array([df.tolist()], pa.list_(pa.int64())),
+            }
+        )
+
+    N, dl_sum = 0, 0
+    df = np.zeros(T, np.int64)
+    for b in docs.map_batches(
+        stats_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+        N += int(pc.sum(b["n_docs"]).as_py())
+        dl_sum += int(pc.sum(b["dl_sum"]).as_py())
+        dfl = b["df"].combine_chunks()
+        df += np.asarray(dfl.values, np.int64).reshape(-1, T).sum(axis=0) if T else 0
+    avgdl = dl_sum / max(N, 1)
+    idf = np.log1p((N - df + 0.5) / (df + 0.5)) if T else np.zeros(0)
+    bc = ray.put((terms, idf, member, q_ids, avgdl))
+
+    # -- scoring pass --------------------------------------------------
+    def score(t: pa.Table) -> pa.Table:
+        terms_, idf_, member_, q_ids_, avgdl_ = ray.get(bc)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        flat, counts = batch_token_hashes(t["text"])
+        nb, nq = ids.shape[0], q_ids_.shape[0]
+        empty = pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "score": pa.array([], pa.float64()),
+            }
+        )
+        if not (flat.shape[0] and terms_.shape[0] and nb and nq):
+            return empty
+        doc_idx = segment_ids(counts)
+        hit = isin_sorted(terms_, flat)
+        ti = np.searchsorted(terms_, flat[hit])
+        di = doc_idx[hit]
+        if not ti.shape[0]:
+            return empty
+        order = lexsort2(ti, di)
+        d_s, t_s = di[order], ti[order]
+        first = np.concatenate(
+            [[True], (d_s[1:] != d_s[:-1]) | (t_s[1:] != t_s[:-1])]
+        )
+        starts = np.flatnonzero(first)
+        tf = np.diff(np.concatenate([starts, [d_s.shape[0]]])).astype(
+            np.float64
+        )
+        dr, tr = d_s[starts], t_s[starts]
+        norm = K1 * (1.0 - B + B * counts[dr] / avgdl_)
+        contrib = idf_[tr] * tf * (K1 + 1.0) / (tf + norm)
+        dense = np.zeros((nb, terms_.shape[0]), np.float64)
+        dense[dr, tr] = contrib
+        scores = dense @ member_.T  # (docs x queries)
+        qi, bi = np.meshgrid(np.arange(nq), np.arange(nb), indexing="ij")
+        keep = (scores.T > 0) & (q_ids_[qi] != ids[bi])
+        return pa.table(
+            {
+                "query_id": pa.array(q_ids_[qi[keep]], pa.int64()),
+                "neighbor_id": pa.array(ids[bi[keep]], pa.int64()),
+                "score": pa.array(_round_np(scores.T[keep], 6)),
+            }
+        )
+
+    scored = docs.map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return grouped_topk(
+        scored, "query_id", "score", k, ascending=False, tie_col="neighbor_id"
+    )
+
+
+QUERIES["bm25_search"] = bm25_search
+
+ORACLE_SQL["bm25_search"] = """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(
+               regexp_split_to_array(lower(text), '\\W+'), x -> x != ''
+             )) AS tok
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY 1),
+    stats AS (
+      SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+             (SELECT CAST(SUM(n) AS DOUBLE) /
+                     (SELECT COUNT(*) FROM documents) FROM dl) AS avgdl
+    ),
+    qterms AS (
+      SELECT DISTINCT doc_id AS query_id, tok FROM toks WHERE doc_id < 5
+    ),
+    df AS (
+      SELECT tok, COUNT(DISTINCT doc_id) AS df
+      FROM toks WHERE tok IN (SELECT DISTINCT tok FROM qterms)
+      GROUP BY tok
+    ),
+    tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+      WHERE tok IN (SELECT DISTINCT tok FROM qterms)
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT q.query_id, t.doc_id AS neighbor_id,
+             SUM(ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                 * t.tf * 2.2
+                 / (t.tf + 1.2 * (0.25 + 0.75 * dl.n / s.avgdl))) AS score
+      FROM qterms q
+      JOIN tf t USING (tok)
+      JOIN df d USING (tok)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats s
+      WHERE t.doc_id != q.query_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, ROUND(score, 6) AS score
+    FROM scored
+    WHERE score > 0
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY ROUND(score, 6) DESC, neighbor_id
+    ) <= 10
+"""

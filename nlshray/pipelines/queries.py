@@ -5998,3 +5998,59 @@ ORACLE_SQL["bm25_search"] = """
       PARTITION BY query_id ORDER BY ROUND(score, 6) DESC, neighbor_id
     ) <= 10
 """
+
+
+def exact_substring_dedup_docs(sf_dir: str, k: int = 8):
+    """ExactSubstr rewrite (Lee et al. 2021): drop every token covered
+    by a k-token window that also occurs in another doc — the rewrite
+    companion to the ``duplicate_spans`` report, sharing its dup-gram
+    broadcast pass (``stages/decontam.dup_gram_sorted_ref``). Coverage
+    expansion is a +1/-1 boundary scatter + cumsum per block; text
+    never shuffles. The oracle replays windows on actual token strings
+    (string_agg window frame), so a 64-bit window-hash collision fails
+    the hash-match."""
+    from nlshray.stages.decontam import exact_substring_dedup
+
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+    return exact_substring_dedup(docs, k=k, num_partitions=NPARTS)
+
+
+QUERIES["exact_substring_dedup"] = exact_substring_dedup_docs
+
+ORACLE_SQL["exact_substring_dedup"] = """
+    WITH base AS (
+      SELECT doc_id, list_filter(
+               regexp_split_to_array(lower(text), '\\W+'), x -> x != ''
+             ) AS ts
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, unnest(ts) AS tok,
+             unnest(range(1, len(ts) + 1)) AS pos, len(ts) AS n
+      FROM base WHERE len(ts) > 0
+    ),
+    wins AS (
+      SELECT doc_id, pos, n,
+             string_agg(tok, ' ') OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS win
+      FROM toks
+    ),
+    fullwins AS (SELECT doc_id, pos, win FROM wins WHERE pos + 7 <= n),
+    dup AS (
+      SELECT win FROM fullwins GROUP BY win
+      HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    flagged AS (SELECT f.doc_id, f.pos FROM fullwins f JOIN dup USING (win)),
+    covered AS (
+      SELECT DISTINCT doc_id, pos + u.o AS cpos
+      FROM flagged, (SELECT unnest(range(0, 8)) AS o) u
+    )
+    SELECT t.doc_id,
+           COALESCE(string_agg(CASE WHEN c.cpos IS NULL THEN t.tok END,
+                               ' ' ORDER BY t.pos), '') AS clean_text,
+           COUNT(*) AS n_tokens,
+           COUNT(c.cpos) AS n_removed
+    FROM toks t
+    LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.cpos
+    GROUP BY t.doc_id
+"""

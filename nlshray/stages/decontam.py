@@ -132,28 +132,22 @@ def decontam_stage(
     return docs.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def duplicate_span_stats(
-    docs: rd.Dataset, *, k: int = 8, num_partitions: int = 8, seed: int = 0
-) -> rd.Dataset:
-    """Per-doc INTRA-corpus duplicate-span signal (the C4-style
-    repeated-span hygiene report): for each doc, how many of its
-    distinct k-token spans also occur in at least one OTHER doc.
-
-    Plan: (A) per-block distinct (doc, gram) partials -> one
-    gram-keyed groupby summing distinct-doc counts (the same shuffle
-    bound as the vocabulary op — gram cardinality); (B) grams with
-    count >= 2 broadcast as a sorted uint64 array, one more streaming
-    pass counts each doc's members. 100-TB caveat: the dup-gram set is
-    corpus-dependent — boilerplate-heavy corpora can make it too big to
-    broadcast, in which case pass B becomes the hash-partitioned
-    semi-join of ``incremental.py``'s scale plan; disclosed, not
-    silent. Output: (doc_id, n_spans, n_dup_spans) — all integers, so
-    the SQL oracle needs no float rounding anywhere."""
+def dup_gram_sorted_ref(
+    docs: rd.Dataset, *, k: int, num_partitions: int = 8, seed: int = 0
+):
+    """ObjectRef of the SORTED uint64 window-hash set occurring in >= 2
+    distinct docs — the shared pass behind ``duplicate_span_stats`` and
+    ``exact_substring_dedup``: (A) per-block distinct (doc, gram)
+    partials -> one gram-keyed groupby summing distinct-doc counts (the
+    same shuffle bound as the vocabulary op — gram cardinality); (B)
+    grams with count >= 2 collected and broadcast once. 100-TB caveat:
+    the dup-gram set is corpus-dependent — boilerplate-heavy corpora
+    can make it too big to broadcast, in which case pass B becomes the
+    hash-partitioned semi-join of ``incremental.py``'s scale plan;
+    disclosed, not silent."""
     from ray.data.aggregate import Sum
 
     import pyarrow.compute as pc
-
-    from nlshray.functions.nputil import isin_sorted, segment_ids
 
     def gram_partials(t: pa.Table) -> pa.Table:
         flat, lens = batch_kgram_hashes(t["text"], k, seed=seed)
@@ -191,7 +185,25 @@ def duplicate_span_stats(
         if blocks
         else np.empty(0, np.int64)
     )
-    dup_ref = ray.put(np.sort(dup_grams.view(np.uint64)))
+    return ray.put(np.sort(dup_grams.view(np.uint64)))
+
+
+def duplicate_span_stats(
+    docs: rd.Dataset, *, k: int = 8, num_partitions: int = 8, seed: int = 0
+) -> rd.Dataset:
+    """Per-doc INTRA-corpus duplicate-span signal (the C4-style
+    repeated-span hygiene report): for each doc, how many of its
+    distinct k-token spans also occur in at least one OTHER doc.
+
+    Plan: the shared dup-gram broadcast (``dup_gram_sorted_ref``) plus
+    one more streaming pass counting each doc's members. Output:
+    (doc_id, n_spans, n_dup_spans) — all integers, so the SQL oracle
+    needs no float rounding anywhere."""
+    from nlshray.functions.nputil import isin_sorted, segment_ids
+
+    dup_ref = dup_gram_sorted_ref(
+        docs, k=k, num_partitions=num_partitions, seed=seed
+    )
 
     def per_doc(t: pa.Table) -> pa.Table:
         dup_sorted = ray.get(dup_ref)
@@ -300,4 +312,114 @@ def gram_frequency_stats(
 
     return docs.map_batches(
         per_doc, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def exact_substring_dedup(
+    docs: rd.Dataset,
+    *,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = 8,
+    seed: int = 0,
+) -> rd.Dataset:
+    """ExactSubstr-style rewrite (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better"): remove every token
+    whose position is covered by a k-token window that also occurs in
+    ANOTHER document — the rewrite companion to the
+    ``duplicate_span_stats`` report. Operates on the token stream (the
+    engine's one tokenizer); output text re-joins surviving tokens with
+    single spaces, so byte-exact original spacing is not preserved —
+    the semantics a training-data pipeline wants, documented rather
+    than hidden.
+
+    Plan: the shared dup-gram broadcast (``dup_gram_sorted_ref``), then
+    one streaming rewrite pass per block: window-hash membership via
+    sorted searchsorted, coverage expansion as a +1/-1 boundary scatter
+    + cumsum over token positions (no per-window python), list rebuild
+    + ``binary_join``. Document text never shuffles.
+
+    Output: (id_col, clean_text, n_tokens, n_removed), docs with >= 1
+    token (token-less docs have no rewrite to report — matches the SQL
+    replay, whose unnest drops them)."""
+    import pyarrow.compute as pc
+
+    from nlshray.functions.nputil import isin_sorted, segmented_arange
+    from nlshray.functions.shingles import _SPLIT_PATTERN
+
+    dup_ref = dup_gram_sorted_ref(
+        docs, k=k, num_partitions=num_partitions, seed=seed
+    )
+    kk = int(k)
+
+    def rewrite(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "clean_text": pa.array([], pa.string()),
+                "n_tokens": pa.array([], pa.int64()),
+                "n_removed": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        dup_sorted = ray.get(dup_ref)
+        arr = t[text_col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        toks = pc.split_pattern_regex(pc.utf8_lower(arr), _SPLIT_PATTERN)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat_all = toks.flatten()
+        off_all = np.asarray(toks.offsets, dtype=np.int64)
+        nonempty = pc.greater(pc.utf8_length(flat_all), 0).to_numpy(
+            zero_copy_only=False
+        )
+        ne_cum = np.concatenate(
+            [np.zeros(1, np.int64), np.cumsum(nonempty, dtype=np.int64)]
+        )
+        counts = ne_cum[off_all[1:]] - ne_cum[off_all[:-1]]
+        n_tok = int(counts.sum())
+        if n_tok == 0:
+            return empty
+        flat_tok = flat_all.filter(pa.array(nonempty))
+        # same tokenizer => window hashes align with these token positions
+        wh, wlens = batch_kgram_hashes(arr, kk, seed=seed)
+        tok_off = np.concatenate(
+            [np.zeros(1, np.int64), np.cumsum(counts, dtype=np.int64)]
+        )
+        covered = np.zeros(n_tok, dtype=bool)
+        if wh.shape[0]:
+            hs = segmented_arange(tok_off[:-1], wlens)[
+                isin_sorted(dup_sorted, wh)
+            ]
+            delta = np.zeros(n_tok + kk + 1, np.int64)
+            np.add.at(delta, hs, 1)
+            np.add.at(delta, hs + kk, -1)
+            covered = np.cumsum(delta[:n_tok]) > 0
+        keep = ~covered
+        kept_cum = np.concatenate(
+            [np.zeros(1, np.int64), np.cumsum(keep, dtype=np.int64)]
+        )
+        new_ls = pa.ListArray.from_arrays(
+            pa.array(kept_cum[tok_off], pa.int32()),
+            flat_tok.filter(pa.array(keep)),
+        )
+        clean = pc.binary_join(new_ls, " ")
+        n_removed = counts - (kept_cum[tok_off[1:]] - kept_cum[tok_off[:-1]])
+        has = counts > 0
+        return pa.table(
+            {
+                id_col: t[id_col].combine_chunks().filter(pa.array(has))
+                if isinstance(t[id_col], pa.ChunkedArray)
+                else t[id_col].filter(pa.array(has)),
+                "clean_text": clean.filter(pa.array(has)),
+                "n_tokens": pa.array(counts[has], pa.int64()),
+                "n_removed": pa.array(n_removed[has], pa.int64()),
+            }
+        )
+
+    return docs.map_batches(
+        rewrite, batch_format="pyarrow", zero_copy_batch=True
     )

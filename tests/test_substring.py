@@ -122,3 +122,54 @@ def test_pair_docs_hashed_once_in_gather(ray_session):
     out = _decide_pairs(pairs, tx, wh, window=50, min_shared=2)
     assert out.num_rows == 6  # every pair shares the verbatim hub block
     assert all(v > 0 for v in out["match_len_checked"].to_pylist())
+
+
+def test_exact_substring_dedup_semantics(ray_session):
+    """Shared 8-token span removed from both docs; a span repeated only
+    WITHIN one doc survives (distinct-doc rule); unique docs untouched."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from nlshray.stages.decontam import exact_substring_dedup
+
+    span = " ".join(f"s{i}" for i in range(8))
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                [
+                    f"aaa bbb {span} ccc",
+                    f"xxx {span} yyy zzz",
+                    f"{span} qqq {span}",  # within-doc repeat counts once? no:
+                    # doc 3 also shares the span cross-doc -> removed
+                    "totally unique words here only",
+                ]
+            ),
+        }
+    )
+    out = (
+        exact_substring_dedup(rd.from_arrow(docs).repartition(2), k=8)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[1].clean_text == "aaa bbb ccc"
+    assert out.loc[1].n_removed == 8
+    assert out.loc[2].clean_text == "xxx yyy zzz"
+    assert out.loc[3].clean_text == "qqq"
+    assert out.loc[4].clean_text == "totally unique words here only"
+    assert out.loc[4].n_removed == 0
+
+    # within-doc-only repeat: NOT removed (cross-doc rule)
+    solo = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array([f"{span} mid {span}", "other doc entirely u v w"]),
+        }
+    )
+    out2 = (
+        exact_substring_dedup(rd.from_arrow(solo), k=8)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert out2.loc[1].n_removed == 0

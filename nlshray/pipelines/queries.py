@@ -6054,3 +6054,83 @@ ORACLE_SQL["exact_substring_dedup"] = """
     LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.cpos
     GROUP BY t.doc_id
 """
+
+
+def bpe_word_counts(sf_dir: str, min_count: int = 5, k: int = 200):
+    """BPE training prep: the corpus word-TYPE frequency table
+    (`stages/bpe.py:word_type_counts`) — per-block Arrow value_counts
+    partials, one bounded groupby-sum over types, exact global
+    min-count prune (each partition holds complete counts for its
+    keys). Top-k with a deterministic (n DESC, word ASC) boundary so
+    the LIMIT cutoff is parallelism-independent. At 100 TB only
+    (word, count) rows shuffle — the text never moves."""
+    from nlshray.stages.bpe import word_type_counts
+
+    docs = _pq(sf_dir, "documents", columns=["text"])
+    wt = word_type_counts(docs, min_count=min_count, nparts=NPARTS)
+    return wt.sort(["n", "word"], descending=[True, False]).limit(k)
+
+
+QUERIES["bpe_word_counts"] = bpe_word_counts
+
+ORACLE_SQL["bpe_word_counts"] = """
+    WITH toks AS (
+      SELECT unnest(regexp_split_to_array(lower(text), '[^0-9a-z_]+')) AS word
+      FROM documents
+    )
+    SELECT word, COUNT(*) AS n
+    FROM toks
+    WHERE length(word) BETWEEN 1 AND 64
+    GROUP BY word
+    HAVING COUNT(*) >= 5
+    ORDER BY n DESC, word
+    LIMIT 200
+"""
+
+
+def bpe_vocab(sf_dir: str, num_merges: int = 200):
+    """Distributed BPE tokenizer training (`stages/bpe.py:fit_bpe`):
+    the merge list learned over the word-type table. Iterative merges
+    are not SQL-expressible (rows-only check); determinism is pytest-
+    gated instead — identical merges across different partitionings,
+    plus the Sennrich toy-corpus golden in `tests/test_bpe.py`."""
+    from nlshray.stages.bpe import fit_bpe_from_dataset
+
+    docs = _pq(sf_dir, "documents", columns=["text"])
+    merges = fit_bpe_from_dataset(docs, num_merges=num_merges, min_count=2, nparts=NPARTS)
+    return pa.table(
+        {
+            "rank": pa.array(range(len(merges)), pa.int64()),
+            "left": pa.array([a for a, _ in merges], pa.string()),
+            "right": pa.array([b for _, b in merges], pa.string()),
+            "merged": pa.array([a + b for a, b in merges], pa.string()),
+        }
+    )
+
+
+QUERIES["bpe_vocab"] = bpe_vocab
+
+
+def bpe_token_counts(sf_dir: str, num_merges: int = 200):
+    """Per-doc BPE token counts with a vocab trained on the same corpus
+    (`stages/bpe.py:BpeEncoder`): merge ranks broadcast once via
+    ray.put, each batch encodes its DISTINCT words through a per-actor
+    cache (O(types), not O(tokens)), lengths segment-summed back to
+    docs. Rows-only: the greedy merge application is not SQL-
+    expressible; pytest gates roundtrip + parallelism-independence."""
+    from nlshray.stages.bpe import BpeEncoder, fit_bpe_from_dataset
+
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+    merges = fit_bpe_from_dataset(docs, num_merges=num_merges, min_count=2, nparts=NPARTS)
+    ref = ray.put(merges)
+    out = docs.map_batches(
+        BpeEncoder,
+        fn_constructor_args=(ref,),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 4),
+    )
+    return out.sort("doc_id")
+
+
+QUERIES["bpe_token_counts"] = bpe_token_counts

@@ -1,0 +1,244 @@
+"""Byte-pair-encoding tokenizer: distributed training prep + encoding.
+
+The scale split is the standard one (Sennrich et al. 2016,
+"Neural Machine Translation of Rare Words with Subword Units";
+SentencePiece/HF tokenizers do the same): BPE learning never touches
+the corpus directly — it runs over the corpus-wide WORD-TYPE frequency
+table, which is vocabulary-bounded (~1e7-1e8 rows after a min-count
+prune at 100 TB), not corpus-bounded. So:
+
+  1. ``word_type_counts`` — distributed: per-block Arrow
+     ``value_counts`` partials -> one groupby-sum shuffle over word
+     types -> exact global ``min_count`` prune (the filter runs on
+     complete global counts, same argument as the LM model prune in
+     ``stages/lm.py``). Only (word, count) rows ever shuffle; text
+     stays in place.
+  2. ``fit_bpe`` — driver-side classic merge loop over the small type
+     table. Deterministic: best pair = highest total count, ties broken
+     by lexicographically smallest (left, right).
+  3. ``BpeEncoder`` — distributed again: merge ranks broadcast once via
+     ``ray.put``, applied per batch through a per-actor word->tokens
+     cache (word types repeat massively, so encode cost is O(distinct
+     types per actor), not O(tokens)).
+
+Reference parity: the reference tokenizes with a fixed vocabulary
+loaded once per worker (/root/reference/nlsh/data.py dataset loaders);
+this module adds the *training* of such a vocabulary as a first-class
+distributed op, which the reference leaves to offline tools.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+from nlshray.functions.shingles import _SPLIT_PATTERN
+
+EOW = "</w>"  # end-of-word symbol; cannot collide with [0-9a-z_]+ words
+MAX_WORD_LEN = 64
+
+
+def _split_words(arr: pa.Array) -> pa.Array:
+    """Lowercase + split on the repo-wide token pattern; drop empties
+    and over-long junk (URLs, base64 runs) exactly like the SQL oracle."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    toks = pc.split_pattern_regex(pc.utf8_lower(arr), _SPLIT_PATTERN)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    return toks
+
+
+def _keep_mask(flat: pa.Array) -> pa.Array:
+    n = pc.utf8_length(flat)
+    return pc.and_(pc.greater(n, 0), pc.less_equal(n, MAX_WORD_LEN))
+
+
+def word_type_counts(docs: rd.Dataset, min_count: int = 1, nparts: int = 8) -> rd.Dataset:
+    """Corpus word-type frequency table: (word, n), n >= min_count.
+
+    Combiner-style: each block pre-counts in Arrow's C++ value_counts
+    kernel, so the groupby shuffles at most (blocks x block-vocab) rows.
+    The min_count filter after the groupby is exact — every partition
+    holds the COMPLETE global count for its keys.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat = _split_words(t["text"]).flatten()
+        flat = flat.filter(_keep_mask(flat))
+        vc = pc.value_counts(flat)
+        return pa.table(
+            {"word": vc.field("values"), "n": vc.field("counts").cast(pa.int64())}
+        )
+
+    agg = (
+        docs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("word", num_partitions=nparts)
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    if min_count > 1:
+        agg = agg.filter(expr=f"n >= {min_count}")
+    return agg
+
+
+def fit_bpe(
+    words: list[str], counts: list[int], num_merges: int
+) -> list[tuple[str, str]]:
+    """Classic BPE merge learning over a word-type frequency table.
+
+    Each word is a symbol sequence ``[c0, c1, ..., ck, EOW]``; per
+    iteration the adjacent pair with the highest total (type-weighted)
+    count is merged everywhere. Deterministic tie-break: count DESC,
+    then (left, right) ASC. Stops early when no pair occurs >= 2 times.
+    """
+    seqs: list[list[str]] = [list(w) + [EOW] for w in words]
+    freqs = list(counts)
+
+    # pair -> total count; pair -> set of word indices containing it
+    pair_count: dict[tuple[str, str], int] = {}
+    pair_words: dict[tuple[str, str], set[int]] = {}
+
+    def add_word(i: int, sign: int) -> None:
+        s, f = seqs[i], freqs[i] * sign
+        for a, b in zip(s, s[1:]):
+            p = (a, b)
+            pair_count[p] = pair_count.get(p, 0) + f
+            if sign > 0:
+                pair_words.setdefault(p, set()).add(i)
+
+    for i in range(len(seqs)):
+        add_word(i, +1)
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        best: tuple[str, str] | None = None
+        best_n = 1
+        for p, n in pair_count.items():
+            if n < 2:
+                continue
+            if n > best_n or (n == best_n and (best is None or p < best)):
+                best, best_n = p, n
+        if best is None:
+            break
+        merges.append(best)
+        merged = best[0] + best[1]
+        for i in sorted(pair_words.get(best, ())):
+            s = seqs[i]
+            if len(s) < 2:
+                continue
+            add_word(i, -1)
+            out: list[str] = []
+            j = 0
+            while j < len(s):
+                if j + 1 < len(s) and s[j] == best[0] and s[j + 1] == best[1]:
+                    out.append(merged)
+                    j += 2
+                else:
+                    out.append(s[j])
+                    j += 1
+            seqs[i] = out
+            add_word(i, +1)
+        # purge dead entries so the argmax loop stays tight
+        dead = [p for p, n in pair_count.items() if n < 2]
+        for p in dead:
+            del pair_count[p]
+            pair_words.pop(p, None)
+    return merges
+
+
+def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Greedy lowest-rank-first merge of one word (the standard BPE
+    inference rule: always apply the earliest-learned applicable merge)."""
+    s = list(word) + [EOW]
+    while len(s) > 1:
+        best_j, best_r = -1, None
+        for j in range(len(s) - 1):
+            r = ranks.get((s[j], s[j + 1]))
+            if r is not None and (best_r is None or r < best_r):
+                best_j, best_r = j, r
+        if best_r is None:
+            break
+        a, b = s[best_j], s[best_j + 1]
+        merged = a + b
+        out: list[str] = []
+        j = 0
+        while j < len(s):
+            if j + 1 < len(s) and s[j] == a and s[j + 1] == b:
+                out.append(merged)
+                j += 2
+            else:
+                out.append(s[j])
+                j += 1
+        s = out
+    return s
+
+
+class BpeEncoder:
+    """Actor-pool stage: per-doc BPE token counts with a trained vocab.
+
+    ``__init__`` resolves the broadcast merge list ONCE per actor and
+    builds the rank dict; ``__call__`` encodes each DISTINCT word in the
+    batch once (np.unique + cache) and segment-sums token lengths back
+    to documents.
+    """
+
+    def __init__(self, merges_ref):
+        merges = ray.get(merges_ref) if isinstance(merges_ref, ray.ObjectRef) else merges_ref
+        self.ranks = {tuple(p): i for i, p in enumerate(merges)}
+        self.cache: dict[str, int] = {}
+
+    def _tok_len(self, w: str) -> int:
+        n = self.cache.get(w)
+        if n is None:
+            n = len(encode_word(w, self.ranks))
+            self.cache[w] = n
+        return n
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        toks = _split_words(t["text"])
+        flat = toks.flatten()
+        keep = _keep_mask(flat)
+        # per-doc word counts honoring the keep mask
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        kept = keep.to_numpy(zero_copy_only=False)
+        ck = np.concatenate([[0], np.cumsum(kept.astype(np.int64))])
+        per_doc_kept = ck[offs[1:]] - ck[offs[:-1]]
+        words = flat.filter(keep).to_pylist()
+        uniq, inv = np.unique(np.asarray(words, dtype=object), return_inverse=True)
+        lens = np.fromiter(
+            (self._tok_len(w) for w in uniq), dtype=np.int64, count=len(uniq)
+        )
+        tok_per_word = lens[inv] if len(words) else np.zeros(0, np.int64)
+        ends = np.cumsum(per_doc_kept)
+        starts = ends - per_doc_kept
+        csum = np.concatenate([[0], np.cumsum(tok_per_word)])
+        n_bpe = csum[ends] - csum[starts]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_words": pa.array(per_doc_kept, pa.int64()),
+                "n_bpe_tokens": pa.array(n_bpe, pa.int64()),
+            }
+        )
+
+
+def fit_bpe_from_dataset(
+    docs: rd.Dataset, num_merges: int, min_count: int = 2, nparts: int = 8
+) -> list[tuple[str, str]]:
+    """Distributed count pass + driver merge loop. The collected table
+    is the pruned TYPE table (vocabulary-bounded), never the corpus."""
+    wt = word_type_counts(docs, min_count=min_count, nparts=nparts).to_arrow_refs()
+    t = pa.concat_tables([ray.get(r) for r in wt])
+    # deterministic driver order (groupby partition order is not)
+    order = pc.sort_indices(
+        t, sort_keys=[("n", "descending"), ("word", "ascending")]
+    )
+    t = t.take(order)
+    return fit_bpe(
+        t["word"].to_pylist(), t["n"].to_pylist(), num_merges=num_merges
+    )

@@ -6134,3 +6134,67 @@ def bpe_token_counts(sf_dir: str, num_merges: int = 200):
 
 
 QUERIES["bpe_token_counts"] = bpe_token_counts
+
+
+def nb_quality_scores_q(sf_dir: str):
+    """Trained Naive-Bayes quality classifier (`stages/classifier.py`):
+    CCNet-style reference-vs-crawl filter. Label rule: source in
+    ('src0','src1') is the trusted reference slice. Training (token-
+    class count combiner, one vocab-bounded groupby) and scoring
+    (broadcast integer micro-nat weights, per-doc int64 sums) are both
+    order-independent, so the ENTIRE train-then-score chain replays
+    bit-exactly in SQL."""
+    from nlshray.stages.classifier import nb_quality_scores
+
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text", "source"])
+    return nb_quality_scores(docs, pos_sources=("src0", "src1"), nparts=NPARTS).sort(
+        "doc_id"
+    )
+
+
+QUERIES["nb_quality_scores"] = nb_quality_scores_q
+
+ORACLE_SQL["nb_quality_scores"] = """
+    WITH lab AS (
+      SELECT doc_id,
+             CASE WHEN source IN ('src0','src1') THEN 1 ELSE 0 END AS label,
+             list_filter(regexp_split_to_array(lower(text), '[^0-9a-z_]+'),
+                         t -> t <> '') AS toks
+      FROM documents
+    ),
+    tok AS (SELECT doc_id, label, unnest(toks) AS tok FROM lab),
+    cc AS (
+      SELECT tok,
+             SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS n_pos,
+             SUM(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS n_neg
+      FROM tok GROUP BY tok
+    ),
+    tot AS (
+      SELECT SUM(n_pos) AS t1, SUM(n_neg) AS t0, COUNT(*) AS v FROM cc
+    ),
+    w AS (
+      SELECT tok,
+             CAST(round((ln((n_pos + 1) / CAST(t1 + v AS DOUBLE))
+                       - ln((n_neg + 1) / CAST(t0 + v AS DOUBLE))) * 1000000)
+                  AS BIGINT) AS w
+      FROM cc, tot
+    ),
+    pri AS (
+      SELECT CAST(round(ln(GREATEST(SUM(label), 1)
+                         / CAST(GREATEST(COUNT(*) - SUM(label), 1) AS DOUBLE))
+                      * 1000000) AS BIGINT) AS prior
+      FROM lab
+    ),
+    docsum AS (
+      SELECT t.doc_id, SUM(w.w) AS s
+      FROM tok t JOIN w USING (tok)
+      GROUP BY t.doc_id
+    )
+    SELECT l.doc_id, CAST(l.label AS BIGINT) AS label,
+           len(l.toks) AS n_tokens,
+           CAST(COALESCE(d.s, 0) + pri.prior AS BIGINT) AS nb_micro,
+           CAST(CASE WHEN COALESCE(d.s, 0) + pri.prior > 0
+                     THEN 1 ELSE 0 END AS BIGINT) AS pred
+    FROM lab l LEFT JOIN docsum d USING (doc_id), pri
+    ORDER BY l.doc_id
+"""

@@ -6198,3 +6198,20 @@ ORACLE_SQL["nb_quality_scores"] = """
     FROM lab l LEFT JOIN docsum d USING (doc_id), pri
     ORDER BY l.doc_id
 """
+
+
+def cdc_chunk_dedup_q(sf_dir: str):
+    """Content-defined chunking dedup (`stages/cdc.py`): gear-rolling-
+    hash chunk boundaries (FastCDC family) + cross-document duplicate-
+    chunk accounting. Catches shared byte ranges that survive neither
+    whole-doc nor aligned-k-gram dedup. Rows-only: the 64-byte rolling-
+    hash chain is not SQL-expressible; pytest pins the kernel against
+    an independent per-byte reference implementation and asserts
+    parallelism-independence (`tests/test_cdc.py`)."""
+    from nlshray.stages.cdc import cdc_chunk_dedup
+
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+    return cdc_chunk_dedup(docs, nparts=NPARTS).sort("doc_id")
+
+
+QUERIES["cdc_chunk_dedup"] = cdc_chunk_dedup_q

@@ -96,20 +96,30 @@ def fit_bpe(
     count is merged everywhere. Deterministic tie-break: count DESC,
     then (left, right) ASC. Stops early when no pair occurs >= 2 times.
     """
+    import heapq
+
     seqs: list[list[str]] = [list(w) + [EOW] for w in words]
     freqs = list(counts)
 
     # pair -> total count; pair -> set of word indices containing it
     pair_count: dict[tuple[str, str], int] = {}
     pair_words: dict[tuple[str, str], set[int]] = {}
+    # lazy max-heap of (-count, pair): stale entries are validated
+    # against pair_count on pop (and re-pushed corrected after a
+    # decrement), so selection is exact — count DESC, pair ASC —
+    # without the O(pairs) scan per merge the dict argmax would cost.
+    heap: list[tuple[int, tuple[str, str]]] = []
 
     def add_word(i: int, sign: int) -> None:
         s, f = seqs[i], freqs[i] * sign
         for a, b in zip(s, s[1:]):
             p = (a, b)
-            pair_count[p] = pair_count.get(p, 0) + f
+            n = pair_count.get(p, 0) + f
+            pair_count[p] = n
             if sign > 0:
                 pair_words.setdefault(p, set()).add(i)
+                if n >= 2:
+                    heapq.heappush(heap, (-n, p))
 
     for i in range(len(seqs)):
         add_word(i, +1)
@@ -117,12 +127,15 @@ def fit_bpe(
     merges: list[tuple[str, str]] = []
     for _ in range(num_merges):
         best: tuple[str, str] | None = None
-        best_n = 1
-        for p, n in pair_count.items():
-            if n < 2:
+        while heap:
+            negn, p = heapq.heappop(heap)
+            cur = pair_count.get(p, 0)
+            if cur < 2:
                 continue
-            if n > best_n or (n == best_n and (best is None or p < best)):
-                best, best_n = p, n
+            if cur == -negn:
+                best = p
+                break
+            heapq.heappush(heap, (-cur, p))
         if best is None:
             break
         merges.append(best)
@@ -143,11 +156,6 @@ def fit_bpe(
                     j += 1
             seqs[i] = out
             add_word(i, +1)
-        # purge dead entries so the argmax loop stays tight
-        dead = [p for p, n in pair_count.items() if n < 2]
-        for p in dead:
-            del pair_count[p]
-            pair_words.pop(p, None)
     return merges
 
 
@@ -182,24 +190,23 @@ class BpeEncoder:
     """Actor-pool stage: per-doc BPE token counts with a trained vocab.
 
     ``__init__`` resolves the broadcast merge list ONCE per actor and
-    builds the rank dict; ``__call__`` encodes each DISTINCT word in the
-    batch once (np.unique + cache) and segment-sums token lengths back
-    to documents.
+    builds the rank dict; ``__call__`` deduplicates the batch's words
+    in 64-bit HASH space (one vectorized ``hash_utf8_array`` + one
+    ``np.unique`` — no Python string per occurrence), encodes only the
+    cache-missing DISTINCT words, and segment-sums token lengths back
+    to documents. A 64-bit collision between distinct word types would
+    miscount one word — the `stages/lm.py` hash-space argument; the
+    roundtrip/parallelism pytest gates would catch a systematic one.
     """
 
     def __init__(self, merges_ref):
         merges = ray.get(merges_ref) if isinstance(merges_ref, ray.ObjectRef) else merges_ref
         self.ranks = {tuple(p): i for i, p in enumerate(merges)}
-        self.cache: dict[str, int] = {}
-
-    def _tok_len(self, w: str) -> int:
-        n = self.cache.get(w)
-        if n is None:
-            n = len(encode_word(w, self.ranks))
-            self.cache[w] = n
-        return n
+        self.cache: dict[int, int] = {}
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        from nlshray.hashing import hash_utf8_array
+
         toks = _split_words(t["text"])
         flat = toks.flatten()
         keep = _keep_mask(flat)
@@ -208,12 +215,23 @@ class BpeEncoder:
         kept = keep.to_numpy(zero_copy_only=False)
         ck = np.concatenate([[0], np.cumsum(kept.astype(np.int64))])
         per_doc_kept = ck[offs[1:]] - ck[offs[:-1]]
-        words = flat.filter(keep).to_pylist()
-        uniq, inv = np.unique(np.asarray(words, dtype=object), return_inverse=True)
-        lens = np.fromiter(
-            (self._tok_len(w) for w in uniq), dtype=np.int64, count=len(uniq)
-        )
-        tok_per_word = lens[inv] if len(words) else np.zeros(0, np.int64)
+        kept_arr = flat.filter(keep)
+        if len(kept_arr):
+            hh = hash_utf8_array(kept_arr)
+            uniq, first, inv = np.unique(hh, return_index=True, return_inverse=True)
+            miss = [i for i, h in enumerate(uniq) if int(h) not in self.cache]
+            if miss:
+                strs = kept_arr.take(
+                    pa.array(first[miss], pa.int64())
+                ).to_pylist()
+                for i, s in zip(miss, strs):
+                    self.cache[int(uniq[i])] = len(encode_word(s, self.ranks))
+            lens = np.fromiter(
+                (self.cache[int(h)] for h in uniq), dtype=np.int64, count=len(uniq)
+            )
+            tok_per_word = lens[inv]
+        else:
+            tok_per_word = np.zeros(0, np.int64)
         ends = np.cumsum(per_doc_kept)
         starts = ends - per_doc_kept
         csum = np.concatenate([[0], np.cumsum(tok_per_word)])

@@ -20,9 +20,12 @@ concatenated UTF-8 buffer:
   * chunk hashes: one ``poly_fold_ragged`` segmented fold over the
     buffer (chunks tile each doc exactly) + splitmix finalize — the
     same kernel the exact-dup stage uses (`nlshray/hashing.py:109`).
-  * dedup: only (doc_id, chunk_hash, length) rows shuffle — one
-    groupby(chunk_hash) to find cross-doc chunks, one groupby(doc_id)
-    to roll up per-doc dup-byte fractions. Text never moves.
+  * dedup: only (doc_id, chunk_hash, length) int64 rows move — a raw
+    two-round task shuffle (the `stages/lm.py:merged_bigram_counts`
+    plan shape: Dataset.groupby.map_groups walks every tiny hash group
+    in Python, measured 25 s at 50k pages; two numpy rounds do the
+    same flagging in ~3 s), then ONE built-in groupby(doc_id) sum over
+    the per-shard per-doc partials. Text never moves.
 
 Reference parity: the reference has no byte-level dedup member; this
 extends the dedup family table in SURVEY.md §2.7 the same way the
@@ -34,8 +37,9 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Sum
 
 from nlshray.hashing import (
     _seed_mix,
@@ -155,6 +159,70 @@ def chunk_table(
     )
 
 
+@ray.remote
+def _cdc_shard(t: pa.Table, P: int):
+    """Round A: shard one block's (doc_id, chunk_hash, length) rows by
+    chunk_hash % P — int64 triples only, no text."""
+    h = t["chunk_hash"].to_numpy(zero_copy_only=False).view(np.uint64)
+    d = t["doc_id"].to_numpy(zero_copy_only=False)
+    ln = t["length"].to_numpy(zero_copy_only=False)
+    part = (h % np.uint64(P)).astype(np.int64)
+    order = np.argsort(part, kind="stable")
+    bounds = np.searchsorted(part[order], np.arange(P + 1))
+    out = []
+    for p in range(P):
+        sel = order[bounds[p] : bounds[p + 1]]
+        out.append(
+            pa.table(
+                {
+                    "doc_id": pa.array(d[sel], pa.int64()),
+                    "chunk_hash": pa.array(h[sel].view(np.int64), pa.int64()),
+                    "length": pa.array(ln[sel], pa.int64()),
+                }
+            )
+        )
+    return out[0] if P == 1 else tuple(out)
+
+
+@ray.remote
+def _cdc_flag(*shards: pa.Table) -> pa.Table:
+    """Round B: one numpy lexsort per shard flags every chunk whose
+    hash spans >= 2 distinct docs, then rolls up per-doc partials."""
+    t = pa.concat_tables(shards) if shards else None
+    if t is None or len(t) == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_chunks": pa.array([], pa.int64()),
+                "n_bytes": pa.array([], pa.int64()),
+                "n_dup_chunks": pa.array([], pa.int64()),
+                "dup_bytes": pa.array([], pa.int64()),
+            }
+        )
+    h = t["chunk_hash"].to_numpy(zero_copy_only=False)
+    d = t["doc_id"].to_numpy(zero_copy_only=False)
+    ln = t["length"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((d, h))
+    h, d, ln = h[order], d[order], ln[order]
+    new_run = np.concatenate([[True], h[1:] != h[:-1]])
+    new_doc = np.concatenate([[True], (d[1:] != d[:-1]) | new_run[1:]])
+    run_id = np.cumsum(new_run) - 1
+    n_distinct = np.bincount(run_id, weights=new_doc).astype(np.int64)
+    is_dup = (n_distinct >= 2)[run_id].astype(np.int64)
+    ud, inv = np.unique(d, return_inverse=True)
+    return pa.table(
+        {
+            "doc_id": pa.array(ud, pa.int64()),
+            "n_chunks": pa.array(np.bincount(inv).astype(np.int64)),
+            "n_bytes": pa.array(np.bincount(inv, weights=ln).astype(np.int64)),
+            "n_dup_chunks": pa.array(np.bincount(inv, weights=is_dup).astype(np.int64)),
+            "dup_bytes": pa.array(
+                np.bincount(inv, weights=ln * is_dup).astype(np.int64)
+            ),
+        }
+    )
+
+
 def cdc_chunk_dedup(
     docs: rd.Dataset,
     min_size: int = 128,
@@ -171,26 +239,21 @@ def cdc_chunk_dedup(
         return chunk_table(t, min_size, max_size, mask_bits, seed)
 
     ch = docs.map_batches(chunks, batch_format="pyarrow", zero_copy_batch=True)
-
-    def flag_group(g: pa.Table) -> pa.Table:
-        d = g["doc_id"].to_numpy(zero_copy_only=False)
-        dup = np.int64(len(np.unique(d)) >= 2)
-        lens = g["length"].to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "doc_id": g["doc_id"],
-                "length": g["length"],
-                "is_dup": pa.array(np.full(len(g), dup)),
-                "dup_len": pa.array(lens * dup),
-            }
-        )
-
-    flagged = ch.groupby("chunk_hash", num_partitions=nparts).map_groups(
-        flag_group, batch_format="pyarrow"
-    )
-    return flagged.groupby("doc_id", num_partitions=nparts).aggregate(
-        Count(alias_name="n_chunks"),
-        Sum("length", alias_name="n_bytes"),
-        Sum("is_dup", alias_name="n_dup_chunks"),
-        Sum("dup_len", alias_name="dup_bytes"),
+    P = max(1, nparts)
+    refs = ch.to_arrow_refs()
+    if not refs:
+        return rd.from_arrow(ray.get(_cdc_flag.remote()))
+    a_out = [_cdc_shard.options(num_returns=P).remote(r, P) for r in refs]
+    if P == 1:
+        a_out = [[r] for r in a_out]
+    b_out = [
+        _cdc_flag.remote(*[a_out[b][p] for b in range(len(a_out))])
+        for p in range(P)
+    ]
+    partials = rd.from_arrow_refs(b_out)
+    return partials.groupby("doc_id", num_partitions=nparts).aggregate(
+        Sum("n_chunks", alias_name="n_chunks"),
+        Sum("n_bytes", alias_name="n_bytes"),
+        Sum("n_dup_chunks", alias_name="n_dup_chunks"),
+        Sum("dup_bytes", alias_name="dup_bytes"),
     )

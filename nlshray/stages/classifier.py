@@ -11,10 +11,12 @@ per-token log-odds plus the class prior.
 
 Scale plan:
   1. TRAIN — token-class count table: per-block Arrow ``value_counts``
-     partials split by label, ONE vocabulary-bounded groupby-sum
-     (same envelope as ``stages/bpe.py:word_type_counts``; prune with
-     ``min_count`` after the groupby where it is exact on complete
-     global counts). Corpus text never shuffles.
+     partials split by label, merged by a raw two-round task shuffle
+     in token-hash space with an Arrow C++ group_by per shard (the
+     ``stages/lm.py`` plan shape; Ray Data's string-key Aggregate
+     operator measured 25 s at 50k pages for a 5k vocab, these rounds
+     ~3 s). Each shard holds COMPLETE global counts for its tokens.
+     Corpus text never shuffles.
   2. MODEL — per-token integer micro-nat weight
      ``round((ln((n_pos+1)/(T1+V)) - ln((n_neg+1)/(T0+V))) * 1e6)``,
      computed once per vocab entry. Integer weights make every
@@ -40,7 +42,6 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
-from ray.data.aggregate import Sum
 
 MICRO = 1_000_000
 
@@ -56,45 +57,83 @@ def _split_tokens(arr: pa.Array) -> pa.ListArray:
     return toks
 
 
+@ray.remote
+def _tcc_shard(t: pa.Table, pos_sources: tuple[str, ...], P: int):
+    """Round A: one block's per-class token value_counts, sharded by
+    token hash % P. Partials are block-vocab-bounded."""
+    part_tbl = _tcc_partial(t, set(pos_sources))
+    from nlshray.hashing import hash_utf8_array
+
+    h = hash_utf8_array(part_tbl["tok"])
+    part = (h % np.uint64(P)).astype(np.int64)
+    order = np.argsort(part, kind="stable")
+    bounds = np.searchsorted(part[order], np.arange(P + 1))
+    out = [part_tbl.take(order[bounds[p] : bounds[p + 1]]) for p in range(P)]
+    return out[0] if P == 1 else tuple(out)
+
+
+@ray.remote
+def _tcc_merge(*shards: pa.Table) -> pa.Table:
+    """Round B: exact merge of one hash shard's partials — Arrow C++
+    group_by, no Python per group."""
+    t = pa.concat_tables(shards)
+    if len(t) == 0:
+        return t
+    g = pa.TableGroupBy(t, "tok").aggregate([("n_pos", "sum"), ("n_neg", "sum")])
+    return g.rename_columns(["tok", "n_pos", "n_neg"])
+
+
 def token_class_counts(
     docs: rd.Dataset, pos_sources: tuple[str, ...], nparts: int = 8
 ) -> rd.Dataset:
-    """(tok, n_pos, n_neg) occurrence counts by label — combiner-style."""
-    pos = set(pos_sources)
+    """(tok, n_pos, n_neg) occurrence counts by label.
 
-    def partial(t: pa.Table) -> pa.Table:
-        lab = pc.is_in(t["source"], value_set=pa.array(sorted(pos), pa.string()))
-        if isinstance(lab, pa.ChunkedArray):
-            lab = lab.combine_chunks()
-        toks = _split_tokens(t["text"])
-        out = []
-        for want, name in ((True, "n_pos"), (False, "n_neg")):
-            sel = toks.filter(pc.equal(lab, want))
-            flat = sel.flatten() if len(sel) else pa.array([], pa.string())
-            if isinstance(flat, pa.ChunkedArray):
-                flat = flat.combine_chunks()
-            flat = flat.filter(pc.greater(pc.utf8_length(flat), 0))
-            vc = pc.value_counts(flat)
-            out.append(
-                pa.table(
-                    {
-                        "tok": vc.field("values"),
-                        "n_pos": vc.field("counts").cast(pa.int64())
-                        if want
-                        else pa.array(np.zeros(len(vc), np.int64)),
-                        "n_neg": pa.array(np.zeros(len(vc), np.int64))
-                        if want
-                        else vc.field("counts").cast(pa.int64()),
-                    }
-                )
+    Raw two-round task shuffle (the `stages/lm.py` plan shape —
+    Dataset.groupby.aggregate on string keys measured 25 s at 50k
+    pages for a 5k vocab; these two rounds do it in ~3 s): round A
+    value_counts per class per block + hash-shard, round B one Arrow
+    C++ group_by per shard. Only (tok, n_pos, n_neg) partial rows move."""
+    P = max(1, nparts)
+    refs = docs.select_columns(["text", "source"]).to_arrow_refs()
+    if not refs:
+        return rd.from_items([])
+    a_out = [_tcc_shard.options(num_returns=P).remote(r, tuple(pos_sources), P) for r in refs]
+    if P == 1:
+        a_out = [[r] for r in a_out]
+    b_out = [
+        _tcc_merge.remote(*[a_out[b][p] for b in range(len(a_out))])
+        for p in range(P)
+    ]
+    return rd.from_arrow_refs(b_out)
+
+
+def _tcc_partial(t: pa.Table, pos: set[str]) -> pa.Table:
+    lab = pc.is_in(t["source"], value_set=pa.array(sorted(pos), pa.string()))
+    if isinstance(lab, pa.ChunkedArray):
+        lab = lab.combine_chunks()
+    toks = _split_tokens(t["text"])
+    out = []
+    for want, name in ((True, "n_pos"), (False, "n_neg")):
+        sel = toks.filter(pc.equal(lab, want))
+        flat = sel.flatten() if len(sel) else pa.array([], pa.string())
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        flat = flat.filter(pc.greater(pc.utf8_length(flat), 0))
+        vc = pc.value_counts(flat)
+        out.append(
+            pa.table(
+                {
+                    "tok": vc.field("values"),
+                    "n_pos": vc.field("counts").cast(pa.int64())
+                    if want
+                    else pa.array(np.zeros(len(vc), np.int64)),
+                    "n_neg": pa.array(np.zeros(len(vc), np.int64))
+                    if want
+                    else vc.field("counts").cast(pa.int64()),
+                }
             )
-        return pa.concat_tables(out)
-
-    return (
-        docs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("tok", num_partitions=nparts)
-        .aggregate(Sum("n_pos", alias_name="n_pos"), Sum("n_neg", alias_name="n_neg"))
-    )
+        )
+    return pa.concat_tables(out)
 
 
 def fit_nb_model(
@@ -132,16 +171,34 @@ def fit_nb_model(
 
 
 class NbScorer:
-    """Actor-pool scoring stage: per-doc integer NB score. Weights
-    resolved ONCE per actor; per-batch lookups touch distinct tokens
-    only (np.unique) and segment-sum int64 weights back to docs."""
+    """Actor-pool scoring stage: per-doc integer NB score. Weights are
+    re-keyed ONCE per actor to 64-bit token hashes (sorted array +
+    searchsorted lookup), so the per-batch path never materializes a
+    Python string per occurrence — the same hash-space argument as
+    `stages/lm.py` (a 64-bit collision inside the vocab would fail the
+    SQL oracle loudly; the constructor raises on one instead)."""
 
     def __init__(self, model_ref, pos_sources: tuple[str, ...]):
+        from nlshray.hashing import hash_utf8_array
+
         model = ray.get(model_ref) if isinstance(model_ref, ray.ObjectRef) else model_ref
-        self.weights, self.prior = model
+        weights, self.prior = model
         self.pos = set(pos_sources)
+        toks = list(weights)
+        if toks:
+            hv = hash_utf8_array(pa.array(toks, pa.string()))
+            w = np.fromiter((weights[t] for t in toks), np.int64, count=len(toks))
+            order = np.argsort(hv)
+            self.keys, self.wvals = hv[order], w[order]
+            if len(self.keys) > 1 and (self.keys[1:] == self.keys[:-1]).any():
+                raise ValueError("64-bit token-hash collision inside NB vocab")
+        else:
+            self.keys = np.empty(0, np.uint64)
+            self.wvals = np.empty(0, np.int64)
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        from nlshray.hashing import hash_utf8_array
+
         toks = _split_tokens(t["text"])
         flat = toks.flatten()
         keep = pc.greater(pc.utf8_length(flat), 0)
@@ -149,15 +206,15 @@ class NbScorer:
         kept = keep.to_numpy(zero_copy_only=False)
         ck = np.concatenate([[0], np.cumsum(kept.astype(np.int64))])
         per_doc = ck[offs[1:]] - ck[offs[:-1]]
-        words = flat.filter(keep).to_pylist()
-        if words:
-            uniq, inv = np.unique(np.asarray(words, dtype=object), return_inverse=True)
-            uw = np.fromiter(
-                (self.weights.get(w, 0) for w in uniq), dtype=np.int64, count=len(uniq)
-            )
-            occ_w = uw[inv]
+        kept_arr = flat.filter(keep)
+        if len(kept_arr) and len(self.keys):
+            hh = hash_utf8_array(kept_arr)
+            pos = np.searchsorted(self.keys, hh)
+            pos_c = np.minimum(pos, len(self.keys) - 1)
+            hit = self.keys[pos_c] == hh
+            occ_w = np.where(hit, self.wvals[pos_c], np.int64(0))
         else:
-            occ_w = np.zeros(0, np.int64)
+            occ_w = np.zeros(len(kept_arr), np.int64)
         ends = np.cumsum(per_doc)
         csum = np.concatenate([[0], np.cumsum(occ_w)])
         score = csum[ends] - csum[ends - per_doc] + self.prior

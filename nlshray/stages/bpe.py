@@ -35,7 +35,6 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
-from ray.data.aggregate import Sum
 
 from nlshray.functions.shingles import _SPLIT_PATTERN
 
@@ -59,31 +58,44 @@ def _keep_mask(flat: pa.Array) -> pa.Array:
     return pc.and_(pc.greater(n, 0), pc.less_equal(n, MAX_WORD_LEN))
 
 
+def _wtc_partial(t: pa.Table) -> pa.Table:
+    flat = _split_words(t["text"]).flatten()
+    flat = flat.filter(_keep_mask(flat))
+    vc = pc.value_counts(flat)
+    return pa.table(
+        {"word": vc.field("values"), "n": vc.field("counts").cast(pa.int64())}
+    )
+
+
 def word_type_counts(docs: rd.Dataset, min_count: int = 1, nparts: int = 8) -> rd.Dataset:
     """Corpus word-type frequency table: (word, n), n >= min_count.
 
-    Combiner-style: each block pre-counts in Arrow's C++ value_counts
-    kernel, so the groupby shuffles at most (blocks x block-vocab) rows.
-    The min_count filter after the groupby is exact — every partition
-    holds the COMPLETE global count for its keys.
+    Two-round hash exchange (`stages/exchange.py`): each block
+    pre-counts in Arrow's C++ value_counts kernel, so at most
+    (blocks x block-vocab) partial rows move; round B's Arrow group_by
+    holds the COMPLETE global count for its keys, making the
+    min_count prune inside the merge exact.
     """
-
-    def partial(t: pa.Table) -> pa.Table:
-        flat = _split_words(t["text"]).flatten()
-        flat = flat.filter(_keep_mask(flat))
-        vc = pc.value_counts(flat)
-        return pa.table(
-            {"word": vc.field("values"), "n": vc.field("counts").cast(pa.int64())}
-        )
-
-    agg = (
-        docs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("word", num_partitions=nparts)
-        .aggregate(Sum("n", alias_name="n"))
+    from nlshray.stages.exchange import (
+        grouped_sum_merge,
+        hash_exchange,
+        utf8_key_hash,
     )
-    if min_count > 1:
-        agg = agg.filter(expr=f"n >= {min_count}")
-    return agg
+
+    base = grouped_sum_merge("word", ["n"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = base(t)
+        if min_count > 1 and len(out):
+            out = out.filter(pc.greater_equal(out["n"], min_count))
+        return out
+
+    refs = docs.select_columns(["text"]).to_arrow_refs()
+    if not refs:
+        return rd.from_items([])
+    return rd.from_arrow_refs(
+        hash_exchange(refs, _wtc_partial, utf8_key_hash("word"), merge, nparts)
+    )
 
 
 def fit_bpe(

@@ -37,7 +37,6 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-import ray
 import ray.data as rd
 from ray.data.aggregate import Sum
 
@@ -159,37 +158,17 @@ def chunk_table(
     )
 
 
-@ray.remote
-def _cdc_shard(t: pa.Table, P: int):
-    """Round A: shard one block's (doc_id, chunk_hash, length) rows by
-    chunk_hash % P — int64 triples only, no text."""
-    h = t["chunk_hash"].to_numpy(zero_copy_only=False).view(np.uint64)
-    d = t["doc_id"].to_numpy(zero_copy_only=False)
-    ln = t["length"].to_numpy(zero_copy_only=False)
-    part = (h % np.uint64(P)).astype(np.int64)
-    order = np.argsort(part, kind="stable")
-    bounds = np.searchsorted(part[order], np.arange(P + 1))
-    out = []
-    for p in range(P):
-        sel = order[bounds[p] : bounds[p + 1]]
-        out.append(
-            pa.table(
-                {
-                    "doc_id": pa.array(d[sel], pa.int64()),
-                    "chunk_hash": pa.array(h[sel].view(np.int64), pa.int64()),
-                    "length": pa.array(ln[sel], pa.int64()),
-                }
-            )
-        )
-    return out[0] if P == 1 else tuple(out)
+def _cdc_triples(t: pa.Table) -> pa.Table:
+    """Round-A partial: project one block's chunk rows to the
+    (doc_id, chunk_hash, length) int64 triples — no text."""
+    return t.select(["doc_id", "chunk_hash", "length"])
 
 
-@ray.remote
-def _cdc_flag(*shards: pa.Table) -> pa.Table:
-    """Round B: one numpy lexsort per shard flags every chunk whose
-    hash spans >= 2 distinct docs, then rolls up per-doc partials."""
-    t = pa.concat_tables(shards) if shards else None
-    if t is None or len(t) == 0:
+def _cdc_flag(t: pa.Table) -> pa.Table:
+    """Round-B merge: one numpy lexsort per shard flags every chunk
+    whose hash spans >= 2 distinct docs, then rolls up per-doc
+    partials."""
+    if len(t) == 0:
         return pa.table(
             {
                 "doc_id": pa.array([], pa.int64()),
@@ -238,18 +217,22 @@ def cdc_chunk_dedup(
     def chunks(t: pa.Table) -> pa.Table:
         return chunk_table(t, min_size, max_size, mask_bits, seed)
 
+    from nlshray.stages.exchange import hash_exchange, int64_key_hash
+
     ch = docs.map_batches(chunks, batch_format="pyarrow", zero_copy_batch=True)
-    P = max(1, nparts)
     refs = ch.to_arrow_refs()
     if not refs:
-        return rd.from_arrow(ray.get(_cdc_flag.remote()))
-    a_out = [_cdc_shard.options(num_returns=P).remote(r, P) for r in refs]
-    if P == 1:
-        a_out = [[r] for r in a_out]
-    b_out = [
-        _cdc_flag.remote(*[a_out[b][p] for b in range(len(a_out))])
-        for p in range(P)
-    ]
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "chunk_hash": pa.array([], pa.int64()),
+                "length": pa.array([], pa.int64()),
+            }
+        )
+        return rd.from_arrow(_cdc_flag(empty))
+    b_out = hash_exchange(
+        refs, _cdc_triples, int64_key_hash("chunk_hash"), _cdc_flag, nparts
+    )
     partials = rd.from_arrow_refs(b_out)
     return partials.groupby("doc_id", num_partitions=nparts).aggregate(
         Sum("n_chunks", alias_name="n_chunks"),

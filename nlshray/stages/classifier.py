@@ -57,53 +57,34 @@ def _split_tokens(arr: pa.Array) -> pa.ListArray:
     return toks
 
 
-@ray.remote
-def _tcc_shard(t: pa.Table, pos_sources: tuple[str, ...], P: int):
-    """Round A: one block's per-class token value_counts, sharded by
-    token hash % P. Partials are block-vocab-bounded."""
-    part_tbl = _tcc_partial(t, set(pos_sources))
-    from nlshray.hashing import hash_utf8_array
-
-    h = hash_utf8_array(part_tbl["tok"])
-    part = (h % np.uint64(P)).astype(np.int64)
-    order = np.argsort(part, kind="stable")
-    bounds = np.searchsorted(part[order], np.arange(P + 1))
-    out = [part_tbl.take(order[bounds[p] : bounds[p + 1]]) for p in range(P)]
-    return out[0] if P == 1 else tuple(out)
-
-
-@ray.remote
-def _tcc_merge(*shards: pa.Table) -> pa.Table:
-    """Round B: exact merge of one hash shard's partials — Arrow C++
-    group_by, no Python per group."""
-    t = pa.concat_tables(shards)
-    if len(t) == 0:
-        return t
-    g = pa.TableGroupBy(t, "tok").aggregate([("n_pos", "sum"), ("n_neg", "sum")])
-    return g.rename_columns(["tok", "n_pos", "n_neg"])
-
-
 def token_class_counts(
     docs: rd.Dataset, pos_sources: tuple[str, ...], nparts: int = 8
 ) -> rd.Dataset:
     """(tok, n_pos, n_neg) occurrence counts by label.
 
-    Raw two-round task shuffle (the `stages/lm.py` plan shape —
-    Dataset.groupby.aggregate on string keys measured 25 s at 50k
-    pages for a 5k vocab; these two rounds do it in ~3 s): round A
-    value_counts per class per block + hash-shard, round B one Arrow
-    C++ group_by per shard. Only (tok, n_pos, n_neg) partial rows move."""
-    P = max(1, nparts)
+    Two-round hash exchange (`stages/exchange.py` — Ray Data's
+    string-key Aggregate measured 25 s at 50k pages for a 5k vocab,
+    these rounds ~3 s): round A value_counts per class per block +
+    hash-shard, round B one Arrow C++ group_by per shard. Only
+    (tok, n_pos, n_neg) partial rows move."""
+    from functools import partial as fpartial
+
+    from nlshray.stages.exchange import (
+        grouped_sum_merge,
+        hash_exchange,
+        utf8_key_hash,
+    )
+
     refs = docs.select_columns(["text", "source"]).to_arrow_refs()
     if not refs:
         return rd.from_items([])
-    a_out = [_tcc_shard.options(num_returns=P).remote(r, tuple(pos_sources), P) for r in refs]
-    if P == 1:
-        a_out = [[r] for r in a_out]
-    b_out = [
-        _tcc_merge.remote(*[a_out[b][p] for b in range(len(a_out))])
-        for p in range(P)
-    ]
+    b_out = hash_exchange(
+        refs,
+        fpartial(_tcc_partial, pos=set(pos_sources)),
+        utf8_key_hash("tok"),
+        grouped_sum_merge("tok", ["n_pos", "n_neg"]),
+        nparts,
+    )
     return rd.from_arrow_refs(b_out)
 
 

@@ -132,60 +132,95 @@ def decontam_stage(
     return docs.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _gram_nd_partial(t: pa.Table, k: int, seed: int) -> pa.Table:
+    """Per-block distinct-doc count partial: (gram, nd) int64 rows."""
+    flat, lens = batch_kgram_hashes(t["text"], k, seed=seed)
+    uflat, _ = segmented_unique(flat, lens)
+    g, c = np.unique(uflat, return_counts=True)
+    return pa.table(
+        {
+            "gram": pa.array(g.view(np.int64)),
+            "nd": pa.array(c.astype(np.int64)),
+        }
+    )
+
+
+def _keep_dup_grams(t: pa.Table) -> np.ndarray:
+    """Merge one shard's partials and keep grams with >= 2 distinct
+    docs — returns the shard's dup grams as a uint64 array (tiny)."""
+    if len(t) == 0:
+        return np.empty(0, np.uint64)
+    g = t["gram"].to_numpy(zero_copy_only=False).view(np.uint64)
+    nd = t["nd"].to_numpy(zero_copy_only=False)
+    order = np.argsort(g, kind="stable")
+    sg, snd = g[order], nd[order]
+    starts = np.flatnonzero(np.r_[True, sg[1:] != sg[:-1]])
+    sums = np.add.reduceat(snd, starts)
+    return sg[starts][sums >= 2]
+
+
+def _gram_cnt_partial(t: pa.Table, k: int, seed: int) -> pa.Table:
+    """Per-block OCCURRENCE count partial: (gram, cnt) int64 rows."""
+    flat, _ = batch_kgram_hashes(t["text"], k, seed=seed)
+    g, c = np.unique(flat, return_counts=True)
+    return pa.table(
+        {
+            "gram": pa.array(g.view(np.int64)),
+            "cnt": pa.array(c.astype(np.int64)),
+        }
+    )
+
+
+def _keep_repeated_grams(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """Merge one shard's partials; return (grams, counts) with global
+    occurrence count >= 2 (hapaxes never leave the shard)."""
+    if len(t) == 0:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    g = t["gram"].to_numpy(zero_copy_only=False).view(np.uint64)
+    c = t["cnt"].to_numpy(zero_copy_only=False)
+    order = np.argsort(g, kind="stable")
+    sg, sc = g[order], c[order]
+    starts = np.flatnonzero(np.r_[True, sg[1:] != sg[:-1]])
+    sums = np.add.reduceat(sc, starts)
+    keep = sums >= 2
+    return sg[starts][keep], sums[keep].astype(np.int64)
+
+
 def dup_gram_sorted_ref(
     docs: rd.Dataset, *, k: int, num_partitions: int = 8, seed: int = 0
 ):
     """ObjectRef of the SORTED uint64 window-hash set occurring in >= 2
     distinct docs — the shared pass behind ``duplicate_span_stats`` and
     ``exact_substring_dedup``: (A) per-block distinct (doc, gram)
-    partials -> one gram-keyed groupby summing distinct-doc counts (the
-    same shuffle bound as the vocabulary op — gram cardinality); (B)
-    grams with count >= 2 collected and broadcast once. 100-TB caveat:
+    partials, hash-exchanged on gram (`stages/exchange.py` — the same
+    shuffle bound as the vocabulary op: gram cardinality); (B) each
+    shard's complete global counts filtered to >= 2 distinct docs and
+    broadcast once. 100-TB caveat:
     the dup-gram set is corpus-dependent — boilerplate-heavy corpora
     can make it too big to broadcast, in which case pass B becomes the
     hash-partitioned semi-join of ``incremental.py``'s scale plan;
     disclosed, not silent."""
-    from ray.data.aggregate import Sum
+    from functools import partial as fpartial
 
-    import pyarrow.compute as pc
+    from nlshray.stages.exchange import hash_exchange, int64_key_hash
 
-    def gram_partials(t: pa.Table) -> pa.Table:
-        flat, lens = batch_kgram_hashes(t["text"], k, seed=seed)
-        uflat, _ = segmented_unique(flat, lens)
-        g, c = np.unique(uflat, return_counts=True)
-        return pa.table(
-            {
-                "gram": pa.array(g.view(np.int64)),
-                "nd": pa.array(c.astype(np.int64)),
-            }
-        )
-
-    agg = (
-        docs.map_batches(
-            gram_partials, batch_format="pyarrow", zero_copy_batch=True
-        )
-        .groupby("gram", num_partitions=num_partitions)
-        .aggregate(Sum("nd", alias_name="nd"))
+    refs = docs.select_columns(["text"]).to_arrow_refs()
+    if not refs:
+        return ray.put(np.empty(0, np.uint64))
+    # round B returns ONLY the dup grams (count >= 2 on complete global
+    # counts per shard); the Dataset Aggregate this replaced walks each
+    # of the ~23M mostly-distinct gram groups in Python — measured
+    # 146 s at 50k pages vs ~4 s for these two task rounds
+    b_out = hash_exchange(
+        refs,
+        fpartial(_gram_nd_partial, k=k, seed=seed),
+        int64_key_hash("gram"),
+        _keep_dup_grams,
+        num_partitions,
     )
-
-    def keep_dup(t: pa.Table) -> pa.Table:
-        return t.filter(pc.greater_equal(t["nd"], 2)).select(["gram"])
-
-    blocks = [
-        b
-        for b in ray.get(
-            agg.map_batches(
-                keep_dup, batch_format="pyarrow", zero_copy_batch=True
-            ).to_arrow_refs()
-        )
-        if b.num_columns  # empty Ray blocks carry a bare schema
-    ]
-    dup_grams = (
-        pa.concat_tables(blocks)["gram"].to_numpy(zero_copy_only=False)
-        if blocks
-        else np.empty(0, np.int64)
-    )
-    return ray.put(np.sort(dup_grams.view(np.uint64)))
+    shards = [s for s in ray.get(b_out) if s.size]
+    dup_grams = np.concatenate(shards) if shards else np.empty(0, np.uint64)
+    return ray.put(np.sort(dup_grams))
 
 
 def duplicate_span_stats(
@@ -244,46 +279,32 @@ def gram_frequency_stats(
     can outgrow the broadcast, at which point pass B becomes the
     hash-partitioned semi-join of ``incremental.py``'s scale plan.
     Output: (doc_id, n_grams, freq_sum, n_hapax) — all integers."""
-    from ray.data.aggregate import Sum
-
-    import pyarrow.compute as pc
+    from functools import partial as fpartial
 
     from nlshray.functions.nputil import segment_ids
+    from nlshray.stages.exchange import hash_exchange, int64_key_hash
 
-    def gram_partials(t: pa.Table) -> pa.Table:
-        flat, _ = batch_kgram_hashes(t["text"], k, seed=seed)
-        g, c = np.unique(flat, return_counts=True)
-        return pa.table(
-            {
-                "gram": pa.array(g.view(np.int64)),
-                "cnt": pa.array(c.astype(np.int64)),
-            }
-        )
-
-    agg = (
-        docs.map_batches(
-            gram_partials, batch_format="pyarrow", zero_copy_batch=True
-        )
-        .groupby("gram", num_partitions=num_partitions)
-        .aggregate(Sum("cnt", alias_name="cnt"))
+    refs = docs.select_columns(["text"]).to_arrow_refs()
+    shards = (
+        [
+            s
+            for s in ray.get(
+                hash_exchange(
+                    refs,
+                    fpartial(_gram_cnt_partial, k=k, seed=seed),
+                    int64_key_hash("gram"),
+                    _keep_repeated_grams,
+                    num_partitions,
+                )
+            )
+            if s[0].size
+        ]
+        if refs
+        else []
     )
-
-    def keep_repeated(t: pa.Table) -> pa.Table:
-        return t.filter(pc.greater_equal(t["cnt"], 2))
-
-    blocks = [
-        b
-        for b in ray.get(
-            agg.map_batches(
-                keep_repeated, batch_format="pyarrow", zero_copy_batch=True
-            ).to_arrow_refs()
-        )
-        if b.num_columns
-    ]
-    if blocks:
-        rep = pa.concat_tables(blocks)
-        g = rep["gram"].to_numpy(zero_copy_only=False).view(np.uint64)
-        c = rep["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+    if shards:
+        g = np.concatenate([s[0] for s in shards])
+        c = np.concatenate([s[1] for s in shards])
         order = np.argsort(g)
         rep_ref = ray.put((g[order], c[order]))
     else:

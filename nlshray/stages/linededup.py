@@ -45,7 +45,6 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
-from ray.data.aggregate import Sum
 
 from nlshray.hashing import hash_utf8_array
 from nlshray.stages.heavy import _cms_cells
@@ -98,6 +97,54 @@ def _block_line_doc_counts(t: pa.Table, text_col: str):
     ).astype(np.int64)
 
 
+def _sketch_partial(
+    t: pa.Table, text_col: str, d: int, w: int, seed: int
+) -> pa.Table:
+    """One block's CMS cell partial: sparse (cell, n) int64 rows."""
+    lines, counts = _block_line_doc_counts(t, text_col)
+    dense = np.zeros(d * w, dtype=np.int64)
+    if len(lines):
+        cells = _cms_cells(lines, d, w, seed)
+        np.add.at(dense, cells.ravel(), np.tile(counts, d))
+    nz = np.flatnonzero(dense)
+    return pa.table(
+        {
+            "cell": pa.array(nz, pa.int64()),
+            "n": pa.array(dense[nz], pa.int64()),
+        }
+    )
+
+
+def _cand_partial(
+    t: pa.Table,
+    text_col: str,
+    d: int,
+    w: int,
+    seed: int,
+    thr: int,
+    sketch_ref,
+) -> pa.Table:
+    """One block's (line, partial_distinct_docs) rows for lines whose
+    CMS estimate reaches thr (CMS never underestimates)."""
+    sk = ray.get(sketch_ref)  # zero-copy plasma read, once per task
+    lines, counts = _block_line_doc_counts(t, text_col)
+    if not len(lines):
+        return pa.table(
+            {
+                "line": pa.array([], pa.string()),
+                "n_docs": pa.array([], pa.int64()),
+            }
+        )
+    est = sk[_cms_cells(lines, d, w, seed)].min(axis=0)
+    keep = est >= thr
+    return pa.table(
+        {
+            "line": lines.filter(pa.array(keep)),
+            "n_docs": pa.array(counts[keep], pa.int64()),
+        }
+    )
+
+
 def boilerplate_lines(
     docs: rd.Dataset,
     min_docs: int = 2,
@@ -112,67 +159,69 @@ def boilerplate_lines(
     Exact counts; the CMS is pure pruning (see module docstring).
     """
 
-    def sketch_partial(t: pa.Table) -> pa.Table:
-        lines, counts = _block_line_doc_counts(t, text_col)
-        dense = np.zeros(d * w, dtype=np.int64)
-        if len(lines):
-            cells = _cms_cells(lines, d, w, seed)
-            np.add.at(dense, cells.ravel(), np.tile(counts, d))
-        nz = np.flatnonzero(dense)
-        return pa.table(
-            {
-                "cell": pa.array(nz, pa.int64()),
-                "n": pa.array(dense[nz], pa.int64()),
-            }
-        )
+    from functools import partial as fpartial
 
-    merged = (
-        docs.map_batches(
-            sketch_partial, batch_format="pyarrow", zero_copy_batch=True
+    from nlshray.stages.exchange import (
+        grouped_sum_merge,
+        hash_exchange,
+        int64_key_hash,
+        utf8_key_hash,
+    )
+
+    refs = docs.select_columns([text_col]).to_arrow_refs()
+    if not refs:
+        return rd.from_arrow(
+            pa.table(
+                {"line": pa.array([], pa.string()),
+                 "n_docs": pa.array([], pa.int64())}
+            )
         )
-        .groupby("cell", num_partitions=num_partitions)
-        .aggregate(Sum("n", alias_name="n"))
-        .take_all()  # <= d*w rows by construction — the ONLY collect
+    # sketch pass: <= d*w sparse cell rows per block, exchanged on cell
+    sk_out = ray.get(
+        hash_exchange(
+            refs,
+            fpartial(_sketch_partial, text_col=text_col, d=d, w=w, seed=seed),
+            int64_key_hash("cell"),
+            grouped_sum_merge("cell", ["n"]),
+            num_partitions,
+        )
     )
     sketch = np.zeros(d * w, dtype=np.int64)
-    for row in merged:
-        sketch[row["cell"]] = row["n"]
+    for t in sk_out:
+        if len(t):
+            sketch[t["cell"].to_numpy(zero_copy_only=False)] = t[
+                "n"
+            ].to_numpy(zero_copy_only=False)
     sketch_ref = ray.put(sketch)
     thr = int(min_docs)
 
-    def candidates(t: pa.Table) -> pa.Table:
-        sk = ray.get(sketch_ref)  # zero-copy plasma read, once per task
-        lines, counts = _block_line_doc_counts(t, text_col)
-        if not len(lines):
-            return pa.table(
-                {
-                    "line": pa.array([], pa.string()),
-                    "n_docs": pa.array([], pa.int64()),
-                }
-            )
-        est = sk[_cms_cells(lines, d, w, seed)].min(axis=0)
-        keep = est >= thr
-        return pa.table(
-            {
-                "line": lines.filter(pa.array(keep)),
-                "n_docs": pa.array(counts[keep], pa.int64()),
-            }
-        )
+    # candidate pass: only CMS-passed lines shuffle; round B holds the
+    # COMPLETE global distinct-doc count per line, so the >= thr filter
+    # inside the merge is exact and collision-admitted extras die there
+    base = grouped_sum_merge("line", ["n_docs"])
 
-    agg = (
-        docs.map_batches(
-            candidates, batch_format="pyarrow", zero_copy_batch=True
-        )
-        .groupby("line", num_partitions=num_partitions)
-        .aggregate(Sum("n_docs", alias_name="n_docs"))
+    def exact_merge(t: pa.Table) -> pa.Table:
+        out = base(t)
+        if len(out):
+            out = out.filter(pc.greater_equal(out["n_docs"], thr))
+        return out
+
+    b_out = hash_exchange(
+        refs,
+        fpartial(
+            _cand_partial,
+            text_col=text_col,
+            d=d,
+            w=w,
+            seed=seed,
+            thr=thr,
+            sketch_ref=sketch_ref,
+        ),
+        utf8_key_hash("line"),
+        exact_merge,
+        num_partitions,
     )
-
-    def exact_filter(t: pa.Table) -> pa.Table:
-        return t.filter(pc.greater_equal(t["n_docs"], thr))
-
-    return agg.map_batches(
-        exact_filter, batch_format="pyarrow", zero_copy_batch=True
-    )
+    return rd.from_arrow_refs(b_out)
 
 
 def line_dedup(

@@ -55,6 +55,27 @@ def _doc_tokens(t: pa.Table) -> tuple[pa.Array, np.ndarray]:
     return flat.filter(pa.array(keep)), seg[keep]
 
 
+def _df_partial(t: pa.Table) -> pa.Table:
+    """One block's (tok, df) distinct-doc partial + the "" sentinel row
+    carrying the block's doc count."""
+    flat, seg = _doc_tokens(t)
+    enc = flat.dictionary_encode()
+    codes = np.asarray(enc.indices, np.int64)
+    # distinct (doc, token) pairs in this block
+    pair = seg * max(len(enc.dictionary), 1) + codes
+    uniq = np.unique(pair)
+    vc = np.bincount(
+        (uniq % max(len(enc.dictionary), 1)).astype(np.int64),
+        minlength=len(enc.dictionary),
+    )
+    toks = enc.dictionary.to_pylist() + [""]
+    dfs = vc.astype(np.int64).tolist() + [t.num_rows]
+    return pa.table(
+        {"tok": pa.array(toks, pa.string()),
+         "df": pa.array(dfs, pa.int64())}
+    )
+
+
 def doc_frequencies(
     docs: rd.Dataset, *, num_partitions: int = 8, with_doc_count: bool = False
 ):
@@ -63,36 +84,30 @@ def doc_frequencies(
     also returns the total doc count N carried through the SAME pass
     as a sentinel row (tok "" cannot occur — empty tokens are filtered
     at tokenization), so callers don't pay a separate count() scan."""
-    from ray.data.aggregate import Sum
-
-    def partial(t: pa.Table) -> pa.Table:
-        flat, seg = _doc_tokens(t)
-        enc = flat.dictionary_encode()
-        codes = np.asarray(enc.indices, np.int64)
-        # distinct (doc, token) pairs in this block
-        pair = seg * max(len(enc.dictionary), 1) + codes
-        uniq = np.unique(pair)
-        vc = np.bincount(
-            (uniq % max(len(enc.dictionary), 1)).astype(np.int64),
-            minlength=len(enc.dictionary),
-        )
-        toks = enc.dictionary.to_pylist() + [""]
-        dfs = vc.astype(np.int64).tolist() + [t.num_rows]
-        return pa.table(
-            {"tok": pa.array(toks, pa.string()),
-             "df": pa.array(dfs, pa.int64())}
-        )
-
-    parts = docs.map_batches(
-        partial, batch_format="pyarrow", zero_copy_batch=True
+    from nlshray.stages.exchange import (
+        grouped_sum_merge,
+        hash_exchange,
+        utf8_key_hash,
     )
-    agg = parts.groupby("tok", num_partitions=num_partitions).aggregate(
-        Sum("df", alias_name="df")
+
+    refs = docs.to_arrow_refs()
+    blocks = (
+        [
+            b
+            for b in ray.get(
+                hash_exchange(
+                    refs,
+                    _df_partial,
+                    utf8_key_hash("tok"),
+                    grouped_sum_merge("tok", ["df"]),
+                    num_partitions,
+                )
+            )
+            if len(b)
+        ]
+        if refs
+        else []
     )
-    blocks = [
-        b for b in ray.get(agg.to_arrow_refs())
-        if b.num_columns  # empty Ray groupby partitions: bare schema
-    ]
     merged = (
         pa.concat_tables(blocks)
         if blocks

@@ -93,11 +93,31 @@ def main() -> None:
             load_docs(), k=16, num_partitions=nparts
         ).count()
 
+    def t_linededup() -> int:
+        from nlshray.stages.linededup import line_dedup
+
+        return line_dedup(load_docs(), num_partitions=nparts).count()
+
+    def t_tfidf() -> int:
+        from nlshray.stages.tfidf import tfidf_topk
+
+        return tfidf_topk(load_docs(), k=5, num_partitions=nparts).count()
+
+    def t_dupspans() -> int:
+        from nlshray.stages.decontam import duplicate_span_stats
+
+        return duplicate_span_stats(
+            load_docs(), k=8, num_partitions=nparts
+        ).count()
+
     ops = {
         "nb_quality_scores": t_nb,
         "cdc_chunk_dedup": t_cdc,
         "bpe_fit_encode": t_bpe,
         "exact_substring_dedup": t_exsub,
+        "line_dedup": t_linededup,
+        "tfidf_topk": t_tfidf,
+        "duplicate_span_stats": t_dupspans,
     }
     # warm page cache
     rd.read_parquet(path).count()

@@ -44,7 +44,6 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data
-from ray.data.aggregate import Sum
 
 from nlshray.hashing import hash_utf8_array
 
@@ -76,6 +75,44 @@ def _cms_cells(tokens: pa.Array, d: int, w: int, seed: int) -> np.ndarray:
     return cells
 
 
+def _hh_sketch_partial(
+    t: pa.Table, col: str, d: int, w: int, seed: int
+) -> pa.Table:
+    """One block's CMS cell partial: sparse (cell, n) rows."""
+    toks, counts = _block_vocab(t, col)
+    dense = np.zeros(d * w, dtype=np.int64)
+    if len(toks):
+        cells = _cms_cells(toks, d, w, seed)
+        np.add.at(dense, cells.ravel(), np.tile(counts, d))
+    nz = np.flatnonzero(dense)
+    return pa.table(
+        {
+            "cell": pa.array(nz, pa.int64()),
+            "n": pa.array(dense[nz], pa.int64()),
+        }
+    )
+
+
+def _hh_cand_partial(
+    t: pa.Table, col: str, d: int, w: int, seed: int, thr: int, sketch_ref
+) -> pa.Table:
+    """One block's (tok, partial_count) rows for CMS-passed tokens."""
+    sk = ray.get(sketch_ref)  # zero-copy plasma read, once per task
+    toks, counts = _block_vocab(t, col)
+    if not len(toks):
+        return pa.table(
+            {"tok": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+        )
+    est = sk[_cms_cells(toks, d, w, seed)].min(axis=0)
+    keep = est >= thr
+    return pa.table(
+        {
+            "tok": toks.filter(pa.array(keep)),
+            "n": pa.array(counts[keep], pa.int64()),
+        }
+    )
+
+
 def heavy_hitter_tokens(
     docs: ray.data.Dataset,
     threshold: int,
@@ -93,62 +130,62 @@ def heavy_hitter_tokens(
     rows no matter what.
     """
 
-    def sketch_partial(t: pa.Table) -> pa.Table:
-        toks, counts = _block_vocab(t, text_col)
-        dense = np.zeros(d * w, dtype=np.int64)
-        if len(toks):
-            cells = _cms_cells(toks, d, w, seed)
-            np.add.at(dense, cells.ravel(), np.tile(counts, d))
-        nz = np.flatnonzero(dense)
-        return pa.table(
-            {
-                "cell": pa.array(nz, pa.int64()),
-                "n": pa.array(dense[nz], pa.int64()),
-            }
-        )
+    from functools import partial as fpartial
 
-    merged = (
-        docs.map_batches(
-            sketch_partial, batch_format="pyarrow", zero_copy_batch=True
+    from nlshray.stages.exchange import (
+        grouped_sum_merge,
+        hash_exchange,
+        int64_key_hash,
+        utf8_key_hash,
+    )
+
+    empty = pa.table(
+        {"tok": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+    )
+    refs = docs.select_columns([text_col]).to_arrow_refs()
+    if not refs:
+        return ray.data.from_arrow(empty)
+    sk_out = ray.get(
+        hash_exchange(
+            refs,
+            fpartial(_hh_sketch_partial, col=text_col, d=d, w=w, seed=seed),
+            int64_key_hash("cell"),
+            grouped_sum_merge("cell", ["n"]),
+            num_partitions,
         )
-        .groupby("cell", num_partitions=num_partitions)
-        .aggregate(Sum("n", alias_name="n"))
-        .take_all()  # <= d*w rows by construction — the ONLY collect
     )
     sketch = np.zeros(d * w, dtype=np.int64)
-    for row in merged:
-        sketch[row["cell"]] = row["n"]
+    for t in sk_out:
+        if len(t):
+            sketch[t["cell"].to_numpy(zero_copy_only=False)] = t[
+                "n"
+            ].to_numpy(zero_copy_only=False)
     sketch_ref = ray.put(sketch)
-
-    def candidates(t: pa.Table) -> pa.Table:
-        sk = ray.get(sketch_ref)  # zero-copy plasma read, once per task
-        toks, counts = _block_vocab(t, text_col)
-        if not len(toks):
-            return pa.table(
-                {"tok": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
-            )
-        est = sk[_cms_cells(toks, d, w, seed)].min(axis=0)
-        keep = est >= threshold
-        return pa.table(
-            {
-                "tok": toks.filter(pa.array(keep)),
-                "n": pa.array(counts[keep], pa.int64()),
-            }
-        )
-
-    agg = (
-        docs.map_batches(
-            candidates, batch_format="pyarrow", zero_copy_batch=True
-        )
-        .groupby("tok", num_partitions=num_partitions)
-        .aggregate(Sum("n", alias_name="n"))
-    )
     thr = int(threshold)
 
-    def exact_filter(t: pa.Table) -> pa.Table:
-        return t.filter(pc.greater_equal(t["n"], thr))
+    base = grouped_sum_merge("tok", ["n"])
 
-    exact = agg.map_batches(
-        exact_filter, batch_format="pyarrow", zero_copy_batch=True
+    def exact_merge(t: pa.Table) -> pa.Table:
+        out = base(t)
+        if len(out):
+            out = out.filter(pc.greater_equal(out["n"], thr))
+        return out
+
+    exact = ray.data.from_arrow_refs(
+        hash_exchange(
+            refs,
+            fpartial(
+                _hh_cand_partial,
+                col=text_col,
+                d=d,
+                w=w,
+                seed=seed,
+                thr=thr,
+                sketch_ref=sketch_ref,
+            ),
+            utf8_key_hash("tok"),
+            exact_merge,
+            num_partitions,
+        )
     )
     return exact.sort(["n", "tok"], descending=[True, False])

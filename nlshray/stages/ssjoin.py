@@ -58,7 +58,6 @@ import pyarrow as pa
 
 import ray
 import ray.data as rd
-from ray.data.aggregate import Sum
 
 from nlshray.functions.nputil import lexsort2, segment_ids, segmented_arange
 from nlshray.functions.shingles import batch_token_hashes
@@ -82,39 +81,62 @@ def token_doc_freq(
     that is too large).
     """
 
-    def partial(t: pa.Table) -> pa.Table:
-        flat, counts = batch_token_hashes(t[text_col])
-        if flat.shape[0] == 0:
-            return pa.table(
-                {
-                    "tok": pa.array([], pa.uint64()),
-                    "n": pa.array([], pa.int64()),
-                }
-            )
-        doc_idx = segment_ids(counts)
-        order = lexsort2(flat.astype(np.int64), doc_idx)
-        d_s, f_s = doc_idx[order], flat[order]
-        first = np.empty(f_s.shape[0], dtype=bool)
-        first[0] = True
-        first[1:] = (d_s[1:] != d_s[:-1]) | (f_s[1:] != f_s[:-1])
-        toks, n = np.unique(f_s[first], return_counts=True)
-        return pa.table(
-            {
-                "tok": pa.array(toks, pa.uint64()),
-                "n": pa.array(n.astype(np.int64), pa.int64()),
-            }
-        )
+    from functools import partial as fpartial
 
-    rows = (
-        docs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("tok", num_partitions=num_partitions)
-        .aggregate(Sum("n", alias_name="n"))
-        .take_all()
+    from nlshray.stages.exchange import (
+        grouped_sum_merge,
+        hash_exchange,
+        int64_key_hash,
     )
-    toks = np.array([r["tok"] for r in rows], dtype=np.uint64)
-    n = np.array([r["n"] for r in rows], dtype=np.int64)
+
+    refs = docs.select_columns([text_col]).to_arrow_refs()
+    if not refs:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    shards = [
+        s
+        for s in ray.get(
+            hash_exchange(
+                refs,
+                fpartial(_tdf_partial, text_col=text_col),
+                int64_key_hash("tok"),
+                grouped_sum_merge("tok", ["n"]),
+                num_partitions,
+            )
+        )
+        if len(s)
+    ]
+    if not shards:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    merged = pa.concat_tables(shards)
+    toks = merged["tok"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    n = merged["n"].to_numpy(zero_copy_only=False).astype(np.int64)
     order = np.argsort(toks)
     return toks[order], n[order]
+
+
+def _tdf_partial(t: pa.Table, text_col: str) -> pa.Table:
+    """One block's per-doc-deduped (tok_hash, df) partial."""
+    flat, counts = batch_token_hashes(t[text_col])
+    if flat.shape[0] == 0:
+        return pa.table(
+            {
+                "tok": pa.array([], pa.uint64()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+    doc_idx = segment_ids(counts)
+    order = lexsort2(flat.astype(np.int64), doc_idx)
+    d_s, f_s = doc_idx[order], flat[order]
+    first = np.empty(f_s.shape[0], dtype=bool)
+    first[0] = True
+    first[1:] = (d_s[1:] != d_s[:-1]) | (f_s[1:] != f_s[:-1])
+    toks, n = np.unique(f_s[first], return_counts=True)
+    return pa.table(
+        {
+            "tok": pa.array(toks, pa.uint64()),
+            "n": pa.array(n.astype(np.int64), pa.int64()),
+        }
+    )
 
 
 def _rank_table(toks_sorted: np.ndarray, freq: np.ndarray) -> np.ndarray:

@@ -3248,44 +3248,73 @@ def _build_curated_oracle() -> str:
 ORACLE_SQL["curated_corpus"] = _build_curated_oracle()
 
 
+def _vocab_partial(t: pa.Table, col: str = "tok") -> pa.Table:
+    """One block's token value_counts partial: (col, n) rows."""
+    from nlshray.functions.shingles import _SPLIT_PATTERN
+
+    arr = t["text"]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    toks = pc.split_pattern_regex(pc.utf8_lower(arr), _SPLIT_PATTERN)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.flatten()
+    flat = flat.filter(pc.greater(pc.utf8_length(flat), 0))
+    vc = pc.value_counts(flat)
+    return pa.table(
+        {
+            col: vc.field("values"),
+            "n": vc.field("counts").cast(pa.int64()),
+        }
+    )
+
+
 def vocab_top_tokens(sf_dir: str, k: int = 100):
     """Corpus-wide token vocabulary: top-k tokens by total count
     (deterministic tiebreak: count DESC, token ASC) — the tokenizer-
     training prep op. Combiner-style: each block pre-counts its tokens
     in Arrow's C++ ``value_counts`` kernel, so the groupby shuffles at
     most (blocks x block-vocab) rows, never one row per token
-    occurrence; the final sort runs on the aggregated vocab only. At
-    100 TB the distinct-token set is the shuffle bound — prune rare
-    partials with a min-count threshold before the groupby if vocab
-    explodes (not needed at driver-check scale)."""
-    from nlshray.functions.shingles import _SPLIT_PATTERN
+    occurrence. Hash exchange (`stages/exchange.py`) + per-shard
+    top-k inside the merge round (each shard holds COMPLETE global
+    counts for its keys, so shard-local top-k is exact); only P x k
+    rows reach the final sort."""
+    from functools import partial as fpartial
+
+    from nlshray.stages.exchange import (
+        grouped_sum_merge,
+        hash_exchange,
+        utf8_key_hash,
+    )
 
     docs = _pq(sf_dir, "documents", columns=["text"])
-
-    def partial(t: pa.Table) -> pa.Table:
-        arr = t["text"]
-        if isinstance(arr, pa.ChunkedArray):
-            arr = arr.combine_chunks()
-        toks = pc.split_pattern_regex(pc.utf8_lower(arr), _SPLIT_PATTERN)
-        if isinstance(toks, pa.ChunkedArray):
-            toks = toks.combine_chunks()
-        flat = toks.flatten()
-        flat = flat.filter(pc.greater(pc.utf8_length(flat), 0))
-        vc = pc.value_counts(flat)
-        return pa.table(
-            {
-                "tok": vc.field("values"),
-                "n": vc.field("counts").cast(pa.int64()),
-            }
+    refs = docs.to_arrow_refs()
+    if not refs:
+        return rd.from_arrow(
+            pa.table({"tok": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64())})
         )
+    base = grouped_sum_merge("tok", ["n"])
 
-    parts = docs.map_batches(
-        partial, batch_format="pyarrow", zero_copy_batch=True
+    def merge_topk(t: pa.Table) -> pa.Table:
+        out = base(t)
+        if len(out) > k:
+            order = pc.sort_indices(
+                out, sort_keys=[("n", "descending"), ("tok", "ascending")]
+            )
+            out = out.take(order[:k])
+        return out
+
+    shards = rd.from_arrow_refs(
+        hash_exchange(
+            refs,
+            fpartial(_vocab_partial, col="tok"),
+            utf8_key_hash("tok"),
+            merge_topk,
+            NPARTS,
+        )
     )
-    agg = parts.groupby("tok", num_partitions=NPARTS).aggregate(
-        Sum("n", alias_name="n")
-    )
-    return agg.sort(["n", "tok"], descending=[True, False]).limit(k)
+    return shards.sort(["n", "tok"], descending=[True, False]).limit(k)
 
 
 QUERIES["vocab_top_tokens"] = vocab_top_tokens

@@ -38,7 +38,6 @@ import numpy as np
 import pyarrow as pa
 
 import ray.data as rd
-from ray.data.aggregate import Sum
 
 from nlshray.hashing import (
     _seed_mix,
@@ -230,13 +229,21 @@ def cdc_chunk_dedup(
             }
         )
         return rd.from_arrow(_cdc_flag(empty))
+    from nlshray.stages.exchange import _identity_table, grouped_sum_merge
+
     b_out = hash_exchange(
         refs, _cdc_triples, int64_key_hash("chunk_hash"), _cdc_flag, nparts
     )
-    partials = rd.from_arrow_refs(b_out)
-    return partials.groupby("doc_id", num_partitions=nparts).aggregate(
-        Sum("n_chunks", alias_name="n_chunks"),
-        Sum("n_bytes", alias_name="n_bytes"),
-        Sum("n_dup_chunks", alias_name="n_dup_chunks"),
-        Sum("dup_bytes", alias_name="dup_bytes"),
+    # a doc's chunks span shards (keyed by chunk_hash), so each doc has
+    # up to P per-shard partial rows — one more tiny exchange keyed by
+    # doc_id rolls them up exactly
+    c_out = hash_exchange(
+        b_out,
+        _identity_table,
+        int64_key_hash("doc_id"),
+        grouped_sum_merge(
+            "doc_id", ["n_chunks", "n_bytes", "n_dup_chunks", "dup_bytes"]
+        ),
+        nparts,
     )
+    return rd.from_arrow_refs(c_out)

@@ -93,6 +93,11 @@ def hash_exchange(
     ]
 
 
+def _identity_table(t: pa.Table) -> pa.Table:
+    """Round-A pass-through for exchanging already-partial tables."""
+    return t
+
+
 def grouped_sum_merge(key: str, sums: list[str]) -> Callable[[pa.Table], pa.Table]:
     """Standard round-B reducer: Arrow C++ group_by(key).sum(sums),
     column names preserved."""

@@ -17,7 +17,7 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Mean, Min, Sum
+from ray.data.aggregate import Count, Mean, Sum
 
 from nlshray.config import DedupConfig
 from nlshray.pipelines.dedup import dedup_docs, to_arrow
@@ -4320,59 +4320,40 @@ def band_stats(sf_dir: str):
     reps = reps.map_batches(only_reps, batch_format="pyarrow", zero_copy_batch=True)
     rows = band_stage(sign_stage(reps, CFG), CFG)
 
-    def bucket_partials(t: pa.Table) -> pa.Table:
-        # pre-aggregate inside the block: (band, key) -> count
-        key = t["band_hash"].to_numpy()
-        band = t["band_idx"].to_numpy().astype(np.int64)
-        order = np.lexsort((key, band))
-        b, k = band[order], key[order]
-        new = np.empty(b.size, bool)
-        new[:1] = True
-        np.not_equal(b[1:], b[:-1], out=new[1:])
-        np.logical_or(new[1:], k[1:] != k[:-1], out=new[1:])
-        starts = np.flatnonzero(new)
-        cnt = np.diff(np.append(starts, b.size))
-        return pa.table(
+    from nlshray.stages.exchange import hash_exchange, int64_key_hash
+
+    refs = rows.to_arrow_refs()
+    shard_tables = (
+        [
+            s
+            for s in ray.get(
+                hash_exchange(
+                    refs,
+                    _band_bucket_partial,
+                    int64_key_hash("band_hash"),
+                    _band_fold_merge,
+                    NPARTS,
+                )
+            )
+            if len(s)
+        ]
+        if refs
+        else []
+    )
+    partial = (
+        pa.concat_tables(shard_tables)
+        if shard_tables
+        else pa.table(
             {
-                "band_idx": pa.array(b[starts]),
-                "band_hash": pa.array(k[starts]),
-                "cnt": pa.array(cnt.astype(np.int64)),
+                "band": pa.array([], pa.int64()),
+                "n_docs": pa.array([], pa.int64()),
+                "n_buckets": pa.array([], pa.int64()),
+                "max_bucket": pa.array([], pa.int64()),
+                "n_cand_pairs": pa.array([], pa.int64()),
             }
         )
-
-    buckets = (
-        rows.map_batches(bucket_partials, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("band_hash", num_partitions=NPARTS)
-        .aggregate(Sum("cnt", alias_name="cnt"), Min("band_idx", alias_name="band"))
     )
-
-    def per_band_partial(t: pa.Table) -> pa.Table:
-        band = t["band"].to_numpy().astype(np.int64)
-        cnt = t["cnt"].to_numpy().astype(np.int64)
-        order = np.argsort(band, kind="stable")
-        band, cnt = band[order], cnt[order]
-        starts = np.flatnonzero(np.r_[True, band[1:] != band[:-1]])
-        seg = np.append(starts, band.size)
-        n_docs = np.add.reduceat(cnt, starts)
-        n_buckets = np.diff(seg)
-        max_b = np.maximum.reduceat(cnt, starts)
-        pairs = np.add.reduceat(cnt * (cnt - 1) // 2, starts)
-        return pa.table(
-            {
-                "band": pa.array(band[starts]),
-                "n_docs": pa.array(n_docs),
-                "n_buckets": pa.array(n_buckets),
-                "max_bucket": pa.array(max_b),
-                "n_cand_pairs": pa.array(pairs),
-            }
-        )
-
-    partial = to_arrow(
-        buckets.map_batches(
-            per_band_partial, batch_format="pyarrow", zero_copy_batch=True
-        )
-    )
-    # driver fold of <= 16 * n_blocks partial rows (bounded by bands * blocks)
+    # driver fold of <= 16 * P partial rows (bounded by bands * shards)
     band = partial["band"].to_numpy()
     order = np.argsort(band, kind="stable")
     band = band[order]
@@ -4388,6 +4369,61 @@ def band_stats(sf_dir: str):
             "n_buckets": pa.array(np.add.reduceat(nb, starts).astype(np.int64)),
             "max_bucket": pa.array(np.maximum.reduceat(mx, starts).astype(np.int64)),
             "n_cand_pairs": pa.array(np.add.reduceat(np_, starts).astype(np.int64)),
+        }
+    )
+
+
+def _band_bucket_partial(t: pa.Table) -> pa.Table:
+    """Pre-aggregate inside the block: (band, key) -> count."""
+    key = t["band_hash"].to_numpy()
+    band = t["band_idx"].to_numpy().astype(np.int64)
+    order = np.lexsort((key, band))
+    b, k = band[order], key[order]
+    new = np.empty(b.size, bool)
+    new[:1] = True
+    np.not_equal(b[1:], b[:-1], out=new[1:])
+    np.logical_or(new[1:], k[1:] != k[:-1], out=new[1:])
+    starts = np.flatnonzero(new)
+    cnt = np.diff(np.append(starts, b.size))
+    return pa.table(
+        {
+            "band_idx": pa.array(b[starts]),
+            "band_hash": pa.array(k[starts]),
+            "cnt": pa.array(cnt.astype(np.int64)),
+        }
+    )
+
+
+def _band_fold_merge(t: pa.Table) -> pa.Table:
+    """Merge one shard's bucket partials (sum cnt, min band per
+    band_hash — complete global buckets here), then fold to the
+    per-band stats rows (<= n_bands per shard)."""
+    if len(t) == 0:
+        return pa.table(
+            {
+                "band": pa.array([], pa.int64()),
+                "n_docs": pa.array([], pa.int64()),
+                "n_buckets": pa.array([], pa.int64()),
+                "max_bucket": pa.array([], pa.int64()),
+                "n_cand_pairs": pa.array([], pa.int64()),
+            }
+        )
+    g = pa.TableGroupBy(t, "band_hash").aggregate(
+        [("cnt", "sum"), ("band_idx", "min")]
+    )
+    band = g["band_idx_min"].to_numpy().astype(np.int64)
+    cnt = g["cnt_sum"].to_numpy().astype(np.int64)
+    order = np.argsort(band, kind="stable")
+    band, cnt = band[order], cnt[order]
+    starts = np.flatnonzero(np.r_[True, band[1:] != band[:-1]])
+    seg = np.append(starts, band.size)
+    return pa.table(
+        {
+            "band": pa.array(band[starts]),
+            "n_docs": pa.array(np.add.reduceat(cnt, starts)),
+            "n_buckets": pa.array(np.diff(seg)),
+            "max_bucket": pa.array(np.maximum.reduceat(cnt, starts)),
+            "n_cand_pairs": pa.array(np.add.reduceat(cnt * (cnt - 1) // 2, starts)),
         }
     )
 

@@ -6280,3 +6280,150 @@ def cdc_chunk_dedup_q(sf_dir: str):
 
 
 QUERIES["cdc_chunk_dedup"] = cdc_chunk_dedup_q
+
+
+def gopher_quality_filter(sf_dir: str):
+    """The published Gopher quality rule set (Rae et al. 2021 §A1.1)
+    per doc: word-count band, mean-word-length band, alphabetic-word
+    fraction, stop-word hits, symbol-to-word ratio, and the repetition
+    gates — each as an int flag plus the combined ``keep``. Signals
+    from one vectorized Arrow pass (``gopher_rule_arrays``) plus the
+    ``token_repetition_arrays`` kernel the ``repetition_stats`` oracle
+    pins; thresholds are the paper's. All rule comparisons evaluate on
+    the ROUNDED fractions so the SQL replay is bit-exact.
+    """
+    from nlshray.stages.textstats import (
+        gopher_rule_arrays,
+        token_repetition_arrays,
+    )
+
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        g = gopher_rule_arrays(t["text"])
+        r = token_repetition_arrays(t["text"])
+        mean_len = _round_np(g["mean_word_len"], 6)
+        alpha = _round_np(g["frac_alpha_words"], 6)
+        sym = _round_np(g["symbol_ratio"], 6)
+        top1 = _round_np(r["top_token_frac"], 6)
+        top2 = _round_np(r["top_bigram_frac"], 6)
+        n = g["n_words"]
+        ok_words = (n >= 50) & (n <= 100_000)
+        ok_mean = (mean_len >= 3.0) & (mean_len <= 10.0)
+        ok_alpha = alpha >= 0.8
+        ok_stop = g["n_stop_hits"] >= 2
+        ok_sym = sym <= 0.1
+        ok_rep = (top1 <= 0.2) & (top2 <= 0.18)
+        keep = ok_words & ok_mean & ok_alpha & ok_stop & ok_sym & ok_rep
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_words": pa.array(n),
+                "mean_word_len": pa.array(mean_len),
+                "frac_alpha_words": pa.array(alpha),
+                "n_stop_hits": pa.array(g["n_stop_hits"]),
+                "symbol_ratio": pa.array(sym),
+                "top_token_frac": pa.array(top1),
+                "top_bigram_frac": pa.array(top2),
+                "ok_words": pa.array(ok_words.astype(np.int64)),
+                "ok_mean_len": pa.array(ok_mean.astype(np.int64)),
+                "ok_alpha": pa.array(ok_alpha.astype(np.int64)),
+                "ok_stop": pa.array(ok_stop.astype(np.int64)),
+                "ok_symbol": pa.array(ok_sym.astype(np.int64)),
+                "ok_repetition": pa.array(ok_rep.astype(np.int64)),
+                "keep": pa.array(keep.astype(np.int64)),
+            }
+        )
+
+    return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+QUERIES["gopher_quality_filter"] = gopher_quality_filter
+
+ORACLE_SQL["gopher_quality_filter"] = """
+    WITH tokarr AS (
+      SELECT doc_id, text,
+             list_filter(regexp_split_to_array(lower(text), '[^0-9a-z_]+'),
+                         t -> t <> '') AS toks
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id,
+             len(toks) AS n_words,
+             COALESCE(list_sum(list_transform(toks, t -> length(t))), 0)
+               AS sum_len,
+             len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))
+               AS n_alpha,
+             CAST(len(list_filter(toks,
+                 t -> t IN ('the','be','to','of','and','that','have','with')))
+               AS BIGINT) AS n_stop_hits,
+             (length(text) - length(replace(text, '#', '')))
+               + len(regexp_extract_all(text, '\\.\\.\\.')) AS n_sym
+      FROM tokarr
+    ),
+    tok AS (SELECT doc_id, u.tok FROM tokarr, unnest(toks) AS u(tok)),
+    per_tok AS (
+      SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok
+    ),
+    per AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(max(c) AS BIGINT) AS max_tok
+      FROM per_tok GROUP BY doc_id
+    ),
+    big AS (
+      SELECT doc_id, u.bg
+      FROM (
+        SELECT doc_id,
+               list_transform(range(1, len(toks)),
+                              i -> toks[i] || ' ' || toks[i + 1]) AS bgs
+        FROM tokarr
+      ), unnest(bgs) AS u(bg)
+    ),
+    per_bg AS (
+      SELECT doc_id, bg, count(*) AS c FROM big GROUP BY doc_id, bg
+    ),
+    perb AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+             CAST(max(c) AS BIGINT) AS max_bg
+      FROM per_bg GROUP BY doc_id
+    ),
+    sig AS (
+      SELECT b.doc_id, b.n_words,
+             round(CASE WHEN b.n_words > 0
+                   THEN b.sum_len / CAST(b.n_words AS DOUBLE)
+                   ELSE 0.0 END, 6) AS mean_word_len,
+             round(CASE WHEN b.n_words > 0
+                   THEN b.n_alpha / CAST(b.n_words AS DOUBLE)
+                   ELSE 0.0 END, 6) AS frac_alpha_words,
+             b.n_stop_hits,
+             round(b.n_sym
+                   / CAST(greatest(b.n_words, 1) AS DOUBLE), 6)
+               AS symbol_ratio,
+             round(CASE WHEN p.n_tokens > 0
+                   THEN p.max_tok / CAST(p.n_tokens AS DOUBLE)
+                   ELSE 0.0 END, 6) AS top_token_frac,
+             round(CASE WHEN COALESCE(pb.n_bigrams, 0) > 0
+                   THEN pb.max_bg / CAST(pb.n_bigrams AS DOUBLE)
+                   ELSE 0.0 END, 6) AS top_bigram_frac
+      FROM base b
+      LEFT JOIN per p USING (doc_id)
+      LEFT JOIN perb pb USING (doc_id)
+    )
+    SELECT doc_id, n_words, mean_word_len, frac_alpha_words, n_stop_hits,
+           symbol_ratio, top_token_frac, top_bigram_frac,
+           CAST(n_words BETWEEN 50 AND 100000 AS BIGINT) AS ok_words,
+           CAST(mean_word_len BETWEEN 3.0 AND 10.0 AS BIGINT) AS ok_mean_len,
+           CAST(frac_alpha_words >= 0.8 AS BIGINT) AS ok_alpha,
+           CAST(n_stop_hits >= 2 AS BIGINT) AS ok_stop,
+           CAST(symbol_ratio <= 0.1 AS BIGINT) AS ok_symbol,
+           CAST(top_token_frac <= 0.2 AND top_bigram_frac <= 0.18 AS BIGINT)
+             AS ok_repetition,
+           CAST(n_words BETWEEN 50 AND 100000
+                AND mean_word_len BETWEEN 3.0 AND 10.0
+                AND frac_alpha_words >= 0.8
+                AND n_stop_hits >= 2
+                AND symbol_ratio <= 0.1
+                AND top_token_frac <= 0.2
+                AND top_bigram_frac <= 0.18 AS BIGINT) AS keep
+    FROM sig
+"""

@@ -149,3 +149,80 @@ def _segmented_value_stats(
         )
         max_run[run_doc[doc_first]] = np.maximum.reduceat(run_len, doc_first)
     return n_distinct, max_run
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rule_arrays(texts) -> dict[str, np.ndarray]:
+    """Per-doc signals for the published Gopher quality rules (Rae et
+    al. 2021, "Scaling Language Models", Appendix A1.1), adapted to the
+    engine's canonical ``[0-9a-z_]+`` tokenizer (word := token):
+
+    - ``n_words`` in [50, 100_000]
+    - mean word length in [3, 10]
+    - fraction of words containing an alphabetic character >= 0.80
+    - >= 2 occurrences of the Gopher stop-word list (the, be, to, of,
+      and, that, have, with — the paper requires two of these words;
+      occurrences rather than distinct members so the signal is graded)
+    - symbol-to-word ratio (``#`` or ``...``) <= 0.10
+    - repetition: most-common-token fraction <= 0.20 and
+      most-common-bigram fraction <= 0.18 (token-level analog of the
+      paper's top-n-gram character fractions)
+
+    One pass of Arrow kernels over the batch (split / utf8_length /
+    match_substring_regex / is_in), segment-summed back per doc; the
+    repetition fractions come from ``token_repetition_arrays`` (same
+    single-sort kernel the ``repetition_stats`` oracle pins). The
+    reference has no quality filter (it consumes pre-cleaned GloVe
+    vectors, /root/reference/nlsh/data.py:23-49); this is the hygiene
+    stage a web corpus needs before doc-level signatures.
+    """
+    import pyarrow.compute as pc
+
+    from nlshray.functions.shingles import _SPLIT_PATTERN
+
+    arr = texts
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    toks = pc.split_pattern_regex(pc.utf8_lower(arr), _SPLIT_PATTERN)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.flatten()
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+    keep = lens > 0
+    per_doc = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    per_doc = per_doc.astype(np.int64)
+    ends = np.cumsum(per_doc)
+
+    def seg_sum(vals: np.ndarray) -> np.ndarray:
+        cs = np.concatenate([[0], np.cumsum(vals.astype(np.int64))])
+        return cs[ends] - cs[ends - per_doc]
+
+    n_words = seg_sum(keep)
+    sum_len = seg_sum(np.where(keep, lens, 0))
+    alpha = pc.match_substring_regex(flat, "[a-z]").to_numpy(
+        zero_copy_only=False
+    )
+    n_alpha = seg_sum(alpha & keep)
+    stop = pc.is_in(
+        flat, value_set=pa.array(list(GOPHER_STOPWORDS), pa.string())
+    ).to_numpy(zero_copy_only=False)
+    n_stop = seg_sum(stop & keep)
+    n_sym = (
+        pc.count_substring(arr, "#").to_numpy(zero_copy_only=False).astype(np.int64)
+        + pc.count_substring(arr, "...")
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    denom = np.maximum(n_words, 1).astype(np.float64)
+    has = n_words > 0
+    return {
+        "n_words": n_words,
+        "mean_word_len": np.where(has, sum_len / denom, 0.0),
+        "frac_alpha_words": np.where(has, n_alpha / denom, 0.0),
+        "n_stop_hits": n_stop,
+        "symbol_ratio": n_sym / denom,
+    }

@@ -153,3 +153,51 @@ def test_token_entropy_known_values(ray_session, tmp_path):
     assert got.loc[1].entropy == 0.0 and got.loc[1].n_tokens == 4
     assert got.loc[2].entropy == 2.0
     assert got.loc[3].entropy == 1.0
+
+
+def test_gopher_rule_arrays_known_values():
+    import pyarrow as pa
+
+    from nlshray.stages.textstats import gopher_rule_arrays
+
+    r = gopher_rule_arrays(
+        pa.array(["the fast key... # of the", "", "a bb ccc 12"])
+    )
+    assert r["n_words"].tolist() == [5, 0, 4]
+    assert r["mean_word_len"].tolist() == [3.0, 0.0, 8 / 4]
+    # '12' has no alphabetic character
+    assert r["frac_alpha_words"].tolist() == [1.0, 0.0, 0.75]
+    assert r["n_stop_hits"].tolist() == [3, 0, 0]  # the, of, the
+    assert r["symbol_ratio"].tolist() == [2 / 5, 0.0, 0.0]
+
+
+def test_gopher_quality_filter_flags(ray_session, tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nlshray.pipelines.queries import gopher_quality_filter
+
+    rng = np.random.default_rng(5)
+    vocab = ["the", "of", "and", "data", "merge", "sort", "join", "scan"]
+    texts = [
+        " ".join(rng.choice(vocab, 80)),  # should pass every gate
+        "short doc",  # fails ok_words
+        " ".join(["the"] * 80),  # fails repetition (top_token_frac 1.0)
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    got = (
+        gopher_quality_filter(str(tmp_path))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert got.loc[2].ok_words == 0 and got.loc[2].keep == 0
+    assert got.loc[3].ok_repetition == 0 and got.loc[3].keep == 0
+    assert got.loc[1].keep == 1

@@ -6427,3 +6427,198 @@ ORACLE_SQL["gopher_quality_filter"] = """
                 AND top_bigram_frac <= 0.18 AS BIGINT) AS keep
     FROM sig
 """
+
+
+@ray.remote
+def _colsum_i64(t: pa.Table, col: str) -> int:
+    return int(pc.sum(t[col]).as_py() or 0)
+
+
+@ray.remote
+def _pmi_score_shard(
+    t: pa.Table, uni, n_tok: int, n_bg: int, min_count: int
+) -> pa.Table:
+    """Attach unigram counts + rounded PMI to one merged bigram shard."""
+    from nlshray.hashing import hash_utf8_array
+
+    keys, cnts = uni
+    t = t.filter(pc.greater_equal(t["n_ab"], min_count))
+    if len(t) == 0:
+        return pa.table(
+            {
+                "word_a": pa.array([], pa.string()),
+                "word_b": pa.array([], pa.string()),
+                "n_ab": pa.array([], pa.int64()),
+                "n_a": pa.array([], pa.int64()),
+                "n_b": pa.array([], pa.int64()),
+                "pmi": pa.array([], pa.float64()),
+            }
+        )
+    wa = pc.split_pattern(t["bg"], " ").combine_chunks()
+    flat = wa.flatten()
+    h = hash_utf8_array(flat)
+    pos = np.minimum(np.searchsorted(keys, h), len(keys) - 1)
+    # every bigram constituent is by construction in the vocabulary
+    cn = cnts[pos].reshape(-1, 2)
+    n_ab = t["n_ab"].to_numpy().astype(np.float64)
+    pmi = np.log(
+        (n_ab / float(n_bg))
+        / ((cn[:, 0] / float(n_tok)) * (cn[:, 1] / float(n_tok)))
+    )
+    words = flat.to_numpy(zero_copy_only=False).reshape(-1, 2)
+    p = 10.0**6
+    return pa.table(
+        {
+            "word_a": pa.array(words[:, 0], pa.string()),
+            "word_b": pa.array(words[:, 1], pa.string()),
+            "n_ab": t["n_ab"],
+            "n_a": pa.array(cn[:, 0].astype(np.int64)),
+            "n_b": pa.array(cn[:, 1].astype(np.int64)),
+            "pmi": pa.array(np.round(pmi * p) / p),
+        }
+    )
+
+
+def _bigram_partial(t: pa.Table) -> pa.Table:
+    """One block's adjacent-bigram value_counts partial: (bg, n_ab)."""
+    from nlshray.functions.shingles import _SPLIT_PATTERN
+
+    arr = t["text"]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    toks = pc.split_pattern_regex(pc.utf8_lower(arr), _SPLIT_PATTERN)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.flatten()
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    keep = pc.greater(pc.utf8_length(flat), 0)
+    kept = flat.filter(keep)
+    # per-doc counts of KEPT tokens (empty split artifacts dropped)
+    per_doc = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    per_doc = per_doc.astype(np.int64)
+    ends = np.cumsum(per_doc)
+    ck = np.concatenate([[0], np.cumsum(keep.to_numpy(zero_copy_only=False))])
+    counts = (ck[ends] - ck[ends - per_doc]).astype(np.int64)
+    if len(kept) < 2:
+        return pa.table(
+            {"bg": pa.array([], pa.string()), "n_ab": pa.array([], pa.int64())}
+        )
+    from nlshray.functions.nputil import segment_ids
+
+    doc = segment_ids(counts)
+    valid = np.flatnonzero(doc[:-1] == doc[1:])
+    if valid.shape[0] == 0:
+        return pa.table(
+            {"bg": pa.array([], pa.string()), "n_ab": pa.array([], pa.int64())}
+        )
+    a = kept.take(pa.array(valid))
+    b = kept.take(pa.array(valid + 1))
+    bg = pc.binary_join_element_wise(a, b, " ")
+    vc = pc.value_counts(bg)
+    return pa.table(
+        {
+            "bg": vc.field("values"),
+            "n_ab": vc.field("counts").cast(pa.int64()),
+        }
+    )
+
+
+def collocations_pmi(sf_dir: str, min_count: int = 5):
+    """Corpus collocation mining: pointwise mutual information
+    ``ln(p(ab) / (p(a) p(b)))`` for every adjacent-token bigram with
+    corpus count >= ``min_count`` (``p(ab)`` over bigram instances,
+    ``p(a)`` over token instances — the classic corpus-linguistics
+    estimator, Church & Hanks 1990). Both count passes run the shared
+    two-round hash exchange (``stages/exchange.py``) so only per-block
+    ``value_counts`` partials move; the vocabulary table (Heaps-law
+    small) broadcasts once via ``ray.put`` as sorted hash->count arrays
+    and each merged bigram shard scores itself with one searchsorted —
+    no join shuffle. Fully SQL-oracled (counts are integers; the one
+    float is the rounded PMI, computed with an identical expression
+    tree on both engines)."""
+    from nlshray.hashing import hash_utf8_array
+    from nlshray.stages.exchange import (
+        grouped_sum_merge,
+        hash_exchange,
+        utf8_key_hash,
+    )
+
+    docs = _pq(sf_dir, "documents", columns=["text"])
+    refs = docs.to_arrow_refs()
+    empty = pa.table(
+        {
+            "word_a": pa.array([], pa.string()),
+            "word_b": pa.array([], pa.string()),
+            "n_ab": pa.array([], pa.int64()),
+            "n_a": pa.array([], pa.int64()),
+            "n_b": pa.array([], pa.int64()),
+            "pmi": pa.array([], pa.float64()),
+        }
+    )
+    if not refs:
+        return rd.from_arrow(empty)
+    uni_refs = hash_exchange(
+        refs,
+        _vocab_partial,
+        utf8_key_hash("tok"),
+        grouped_sum_merge("tok", ["n"]),
+        NPARTS,
+    )
+    bg_refs = hash_exchange(
+        refs,
+        _bigram_partial,
+        utf8_key_hash("bg"),
+        grouped_sum_merge("bg", ["n_ab"]),
+        NPARTS,
+    )
+    uni = pa.concat_tables(ray.get(uni_refs))
+    n_tok = int(pc.sum(uni["n"]).as_py() or 0)
+    h = hash_utf8_array(uni["tok"])
+    order = np.argsort(h)
+    uni_ref = ray.put((h[order], uni["n"].to_numpy()[order]))
+    n_bg = sum(ray.get([_colsum_i64.remote(r, "n_ab") for r in bg_refs]))
+    if n_bg == 0 or n_tok == 0:
+        return rd.from_arrow(empty)
+    out = [
+        _pmi_score_shard.remote(r, uni_ref, n_tok, n_bg, min_count)
+        for r in bg_refs
+    ]
+    return rd.from_arrow_refs(out)
+
+
+QUERIES["collocations_pmi"] = collocations_pmi
+
+ORACLE_SQL["collocations_pmi"] = """
+    WITH tokarr AS (
+      SELECT list_filter(regexp_split_to_array(lower(text), '[^0-9a-z_]+'),
+                         t -> t <> '') AS toks
+      FROM documents
+    ),
+    tok AS (SELECT u.tok FROM tokarr, unnest(toks) AS u(tok)),
+    cu AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY tok),
+    big AS (
+      SELECT u.bg
+      FROM (
+        SELECT list_transform(range(1, len(toks)),
+                              i -> toks[i] || ' ' || toks[i + 1]) AS bgs
+        FROM tokarr
+      ), unnest(bgs) AS u(bg)
+    ),
+    cb AS (SELECT bg, CAST(count(*) AS BIGINT) AS n_ab FROM big GROUP BY bg),
+    tot AS (
+      SELECT (SELECT sum(n) FROM cu) AS n_tok,
+             (SELECT sum(n_ab) FROM cb) AS n_bg
+    )
+    SELECT split_part(bg, ' ', 1) AS word_a,
+           split_part(bg, ' ', 2) AS word_b,
+           n_ab, a.n AS n_a, b.n AS n_b,
+           round(ln((n_ab / CAST(t.n_bg AS DOUBLE))
+                    / ((a.n / CAST(t.n_tok AS DOUBLE))
+                       * (b.n / CAST(t.n_tok AS DOUBLE)))), 6) AS pmi
+    FROM cb
+    JOIN cu a ON a.tok = split_part(bg, ' ', 1)
+    JOIN cu b ON b.tok = split_part(bg, ' ', 2)
+    CROSS JOIN tot t
+    WHERE n_ab >= 5
+"""

@@ -880,3 +880,49 @@ def test_cross_near_dups_equals_union_plan(ray_session):
     # block-layout independence
     got2_t = to_arrow(cross_near_dups(rd.from_arrow(t).repartition(2), cfg))
     assert got_t.equals(got2_t)
+
+
+def test_collocations_pmi_known_values(ray_session, tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nlshray.pipelines.queries import collocations_pmi
+
+    # "a b" x6 within docs, plus filler; bigrams never cross docs
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(4), pa.int64()),
+            "text": pa.array(
+                [
+                    "a b a b a b c",
+                    "a b a b a b d",
+                    "c d c d c d c d c",
+                    "x",
+                ]
+            ),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    got = (
+        collocations_pmi(str(tmp_path), min_count=5)
+        .to_pandas()
+        .sort_values(["word_a", "word_b"])
+        .reset_index(drop=True)
+    )
+    # corpus: tokens a=6,b=6,c=6,d=5,x=1 (n_tok=24); bigram instances:
+    # doc0 6, doc1 6, doc2 8 -> n_bg=20; "a b" 6, "d c" 4, "c d" 5 ...
+    ab = got[(got.word_a == "a") & (got.word_b == "b")].iloc[0]
+    assert ab.n_ab == 6 and ab.n_a == 6 and ab.n_b == 6
+    want = np.log((6 / 20.0) / ((6 / 24.0) * (6 / 24.0)))
+    assert ab.pmi == np.round(want * 1e6) / 1e6
+    assert (got.n_ab >= 5).all()
+
+    # deterministic across re-runs (fresh Dataset, fresh exchange)
+    got2 = (
+        collocations_pmi(str(tmp_path), min_count=5)
+        .to_pandas()
+        .sort_values(["word_a", "word_b"])
+        .reset_index(drop=True)
+    )
+    assert got.equals(got2)

@@ -6622,3 +6622,203 @@ ORACLE_SQL["collocations_pmi"] = """
     CROSS JOIN tot t
     WHERE n_ab >= 5
 """
+
+
+@ray.remote
+def _src_totals(t: pa.Table) -> pa.Table:
+    if len(t) == 0:
+        return pa.table(
+            {"source": pa.array([], pa.string()), "ns": pa.array([], pa.int64())}
+        )
+    g = pa.TableGroupBy(t, "source").aggregate([("n", "sum")])
+    return g.rename_columns(["source", "ns"])
+
+
+@ray.remote
+def _jsd_shard(t: pa.Table, sources: list, totals: np.ndarray) -> pa.Table:
+    """Per-source-pair JSD partial over one token shard: each token's
+    contribution is quantized to integer micro-nats BEFORE summation,
+    so cross-shard sums are order-independent and SQL-replayable."""
+    S = len(sources)
+    ia, ib = np.triu_indices(S, k=1)
+    empty = pa.table(
+        {
+            "src_a": pa.array([sources[i] for i in ia], pa.string()),
+            "src_b": pa.array([sources[j] for j in ib], pa.string()),
+            "part": pa.array(np.zeros(ia.shape[0], np.int64)),
+        }
+    )
+    if len(t) == 0:
+        return empty
+    sidx = pc.index_in(
+        t["source"], value_set=pa.array(list(sources), pa.string())
+    ).to_numpy(zero_copy_only=False)
+    from nlshray.hashing import hash_utf8_array
+
+    th = hash_utf8_array(t["tok"])
+    _, tcode = np.unique(th, return_inverse=True)
+    V = int(tcode.max()) + 1
+    mat = np.zeros((V, S), np.int64)
+    mat[tcode, sidx.astype(np.int64)] = t["n"].to_numpy()
+    p = mat / totals[None, :].astype(np.float64)
+    parts = np.zeros(ia.shape[0], np.int64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        for k in range(ia.shape[0]):
+            pp, qq = p[:, ia[k]], p[:, ib[k]]
+            m = pp + qq
+            tp = np.where(pp > 0, pp * np.log(2 * pp / m), 0.0)
+            tq = np.where(qq > 0, qq * np.log(2 * qq / m), 0.0)
+            c = np.round(1e6 * (0.5 * tp + 0.5 * tq)).astype(np.int64)
+            parts[k] = c.sum()
+    return pa.table(
+        {
+            "src_a": empty["src_a"],
+            "src_b": empty["src_b"],
+            "part": pa.array(parts),
+        }
+    )
+
+
+def _src_tok_partial(t: pa.Table) -> pa.Table:
+    """One block's (source, token) value_counts partial."""
+    from nlshray.functions.shingles import _SPLIT_PATTERN
+
+    arr = t["text"]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    toks = pc.split_pattern_regex(pc.utf8_lower(arr), _SPLIT_PATTERN)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.flatten()
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    keep = pc.greater(pc.utf8_length(flat), 0)
+    kept = flat.filter(keep)
+    per_doc = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    per_doc = per_doc.astype(np.int64)
+    ends = np.cumsum(per_doc)
+    ck = np.concatenate([[0], np.cumsum(keep.to_numpy(zero_copy_only=False))])
+    counts = (ck[ends] - ck[ends - per_doc]).astype(np.int64)
+    src = np.asarray(t["source"].to_pylist(), dtype=object)
+    src_rep = pa.array(np.repeat(src, counts), pa.string())
+    combined = pc.binary_join_element_wise(src_rep, kept, "\x1f")
+    vc = pc.value_counts(combined)
+    halves = pc.split_pattern(vc.field("values"), "\x1f")
+    if isinstance(halves, pa.ChunkedArray):
+        halves = halves.combine_chunks()
+    return pa.table(
+        {
+            "tok": pc.list_element(halves, 1),
+            "source": pc.list_element(halves, 0),
+            "n": vc.field("counts").cast(pa.int64()),
+        }
+    )
+
+
+def source_divergence_jsd(sf_dir: str):
+    """Pairwise Jensen-Shannon divergence between every two sources'
+    token distributions — the data-mix diagnostic a curator reads
+    before weighting provenances (0 = identical unigram profiles,
+    ln 2 = disjoint). One (source, token) count exchange sharded by
+    TOKEN (a shard holds every source's count for its tokens, so the
+    per-pair, per-token contribution is computable shard-locally);
+    contributions are quantized to integer micro-nats per term
+    (``stages/lm.py``'s exactness trick), so the cross-shard sum is
+    order-independent and the whole computation replays bit-exactly in
+    SQL. Scale shape: O(V/P x S^2) flops per shard, only count partials
+    and 190-row pair tables ever move. Uses the JSD definition of
+    ``functions/distances.py`` (the reference's own metric family)."""
+    from nlshray.stages.exchange import hash_exchange, utf8_key_hash
+
+    docs = _pq(sf_dir, "documents", columns=["text", "source"])
+    refs = docs.to_arrow_refs()
+    empty = pa.table(
+        {
+            "src_a": pa.array([], pa.string()),
+            "src_b": pa.array([], pa.string()),
+            "jsd_micro": pa.array([], pa.int64()),
+            "jsd": pa.array([], pa.float64()),
+        }
+    )
+    if not refs:
+        return rd.from_arrow(empty)
+
+    def merge(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t.select(["tok", "source", "n"])
+        g = pa.TableGroupBy(t, ["tok", "source"]).aggregate([("n", "sum")])
+        return g.rename_columns(["tok", "source", "n"])
+
+    shards = hash_exchange(
+        refs, _src_tok_partial, utf8_key_hash("tok"), merge, NPARTS
+    )
+    tot = pa.concat_tables(ray.get([_src_totals.remote(r) for r in shards]))
+    if len(tot) == 0:
+        return rd.from_arrow(empty)
+    g = pa.TableGroupBy(tot, "source").aggregate([("ns", "sum")])
+    srcs = sorted(g["source"].to_pylist())
+    ns = dict(zip(g["source"].to_pylist(), g["ns_sum"].to_pylist()))
+    totals = np.array([ns[s] for s in srcs], np.int64)
+    parts = pa.concat_tables(
+        ray.get([_jsd_shard.remote(r, srcs, totals) for r in shards])
+    )
+    gg = pa.TableGroupBy(parts, ["src_a", "src_b"]).aggregate([("part", "sum")])
+    micro = gg["part_sum"].to_numpy().astype(np.int64)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "src_a": gg["src_a"],
+                "src_b": gg["src_b"],
+                "jsd_micro": pa.array(micro),
+                "jsd": pa.array(micro / 1000000.0),
+            }
+        )
+    )
+
+
+QUERIES["source_divergence_jsd"] = source_divergence_jsd
+
+ORACLE_SQL["source_divergence_jsd"] = """
+    WITH tok AS (
+      SELECT source, u.tok FROM (
+        SELECT source,
+               list_filter(regexp_split_to_array(lower(text), '[^0-9a-z_]+'),
+                           t -> t <> '') AS toks
+        FROM documents
+      ), unnest(toks) AS u(tok)
+    ),
+    cnt AS (
+      SELECT source, tok, CAST(count(*) AS BIGINT) AS n
+      FROM tok GROUP BY source, tok
+    ),
+    tot AS (SELECT source, CAST(sum(n) AS BIGINT) AS ns FROM cnt GROUP BY source),
+    pairs AS (
+      SELECT a.source AS sa, a.ns AS na, b.source AS sb, b.ns AS nb
+      FROM tot a JOIN tot b ON a.source < b.source
+    ),
+    vocab AS (SELECT DISTINCT tok FROM cnt),
+    terms AS (
+      SELECT p.sa, p.sb,
+             COALESCE(ca.n, 0) / CAST(p.na AS DOUBLE) AS pp,
+             COALESCE(cb.n, 0) / CAST(p.nb AS DOUBLE) AS qq
+      FROM pairs p
+      CROSS JOIN vocab v
+      LEFT JOIN cnt ca ON ca.source = p.sa AND ca.tok = v.tok
+      LEFT JOIN cnt cb ON cb.source = p.sb AND cb.tok = v.tok
+      WHERE COALESCE(ca.n, 0) + COALESCE(cb.n, 0) > 0
+    ),
+    term_q AS (
+      SELECT sa, sb,
+             CAST(round(1e6 * (
+               0.5 * (CASE WHEN pp > 0
+                           THEN pp * ln(2 * pp / (pp + qq)) ELSE 0 END)
+               + 0.5 * (CASE WHEN qq > 0
+                             THEN qq * ln(2 * qq / (pp + qq)) ELSE 0 END)
+             )) AS BIGINT) AS c
+      FROM terms
+    )
+    SELECT sa AS src_a, sb AS src_b,
+           CAST(sum(c) AS BIGINT) AS jsd_micro,
+           sum(c) / 1000000.0 AS jsd
+    FROM term_q GROUP BY sa, sb
+"""

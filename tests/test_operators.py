@@ -926,3 +926,48 @@ def test_collocations_pmi_known_values(ray_session, tmp_path):
         .reset_index(drop=True)
     )
     assert got.equals(got2)
+
+
+def test_source_divergence_jsd_known_values(ray_session, tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nlshray.pipelines.queries import source_divergence_jsd
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(4), pa.int64()),
+            "text": pa.array(["a a b", "a a b", "c c d", "a b c d"]),
+            "source": pa.array(["s1", "s1", "s2", "s3"]),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    got = (
+        source_divergence_jsd(str(tmp_path))
+        .to_pandas()
+        .set_index(["src_a", "src_b"])
+        .sort_index()
+    )
+    assert len(got) == 3  # 3 source pairs
+
+    def jsd(p, q):
+        m = (p + q) / 2
+        terms = []
+        for d, x in ((p, p), (q, q)):
+            with np.errstate(divide="ignore", invalid="ignore"):
+                v = np.where(d > 0, d * np.log(d / m), 0.0)
+            terms.append(v)
+        return 0.5 * terms[0].sum() + 0.5 * terms[1].sum()
+
+    # vocab order a,b,c,d; s1=[4,2,0,0]/6, s2=[0,0,2,1]/3, s3=[1,1,1,1]/4
+    p1 = np.array([4, 2, 0, 0]) / 6
+    p2 = np.array([0, 0, 2, 1]) / 3
+    p3 = np.array([1, 1, 1, 1]) / 4
+    for (a, b), want in ((("s1", "s2"), jsd(p1, p2)),
+                         (("s1", "s3"), jsd(p1, p3)),
+                         (("s2", "s3"), jsd(p2, p3))):
+        # micro-nat per-term quantization: within 1 micro-nat per token
+        assert abs(got.loc[(a, b)].jsd - want) < 5e-6, (a, b)
+    # disjoint supports (s1 vs s2) hit the ln(2) ceiling
+    assert abs(got.loc[("s1", "s2")].jsd - np.log(2)) < 5e-6

@@ -6822,3 +6822,154 @@ ORACLE_SQL["source_divergence_jsd"] = """
            sum(c) / 1000000.0 AS jsd
     FROM term_q GROUP BY sa, sb
 """
+
+
+DSIR_BUCKETS = 256
+DSIR_POS_SOURCES = ("src0", "src1", "src2", "src3")
+
+
+def dsir_resampled(sf_dir: str):
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): hash every token
+    occurrence into ``DSIR_BUCKETS`` feature buckets, fit add-1-smoothed
+    bucket distributions for the TARGET slice (trusted provenances,
+    same deterministic rule as ``nb_quality_scores``) and for the RAW
+    crawl (all docs), and score each doc by the summed per-occurrence
+    log importance ratio ``ln p_target(b) - ln p_raw(b)`` in integer
+    micro-nats (order-independent sums — the ``stages/lm.py`` trick).
+    ``selected`` keeps docs whose evidence says more-target-than-raw
+    (score > 0); the paper's top-k resampling variant is this score
+    composed with the repo's quantile/top-k operators. The hashing
+    trick (bucket collisions are SEMANTIC, not incidental) is why the
+    oracle replays the poly-fold -> splitmix -> ``% B`` chain in SQL
+    rather than grouping token strings.
+
+    Scale shape: bucket-count partials are <= B rows per block (driver-
+    merged like the CMS sketches); the dense B-int weight vector ships
+    once per task; scoring is one segment-sum pass. Nothing shuffles.
+    """
+    from nlshray.functions.shingles import batch_token_hashes
+
+    B = DSIR_BUCKETS
+    pos = set(DSIR_POS_SOURCES)
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text", "source"])
+
+    def part(t: pa.Table) -> pa.Table:
+        flat, counts = batch_token_hashes(t["text"], seed=CFG.seed)
+        b = (flat % np.uint64(B)).astype(np.int64)
+        is_t = pc.is_in(
+            t["source"], value_set=pa.array(sorted(pos), pa.string())
+        ).to_numpy(zero_copy_only=False)
+        occ_t = np.repeat(is_t, counts)
+        na = np.bincount(b, minlength=B)
+        nt = np.bincount(b[occ_t], minlength=B)
+        return pa.table(
+            {
+                "b": pa.array(np.arange(B, dtype=np.int64)),
+                "nt": pa.array(nt.astype(np.int64)),
+                "na": pa.array(na.astype(np.int64)),
+            }
+        )
+
+    partials = pa.concat_tables(
+        ray.get(
+            docs.map_batches(
+                part, batch_format="pyarrow", zero_copy_batch=True
+            ).to_arrow_refs()
+        )
+    )
+    g = pa.TableGroupBy(partials, "b").aggregate([("nt", "sum"), ("na", "sum")])
+    nt = np.zeros(B, np.int64)
+    na = np.zeros(B, np.int64)
+    bidx = g["b"].to_numpy()
+    nt[bidx] = g["nt_sum"].to_numpy()
+    na[bidx] = g["na_sum"].to_numpy()
+    Nt, Na = int(nt.sum()), int(na.sum())
+    w = np.round(
+        1e6
+        * (
+            np.log((nt + 1) / float(Nt + B))
+            - np.log((na + 1) / float(Na + B))
+        )
+    ).astype(np.int64)
+
+    def score(t: pa.Table) -> pa.Table:
+        flat, counts = batch_token_hashes(t["text"], seed=CFG.seed)
+        occ_w = w[(flat % np.uint64(B)).astype(np.int64)]
+        ends = np.cumsum(counts)
+        cs = np.concatenate([[0], np.cumsum(occ_w)])
+        s = cs[ends] - cs[ends - counts]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_feats": pa.array(counts.astype(np.int64)),
+                "dsir_micro": pa.array(s.astype(np.int64)),
+                "selected": pa.array((s > 0).astype(np.int64)),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+QUERIES["dsir_resampled"] = dsir_resampled
+
+
+def _build_dsir_oracle() -> str:
+    """Replays the DSIR chain in SQL: token poly-fold -> seed xor ->
+    splitmix64 -> ``% B`` bucket, target/raw bucket counts, add-1
+    micro-nat weights, per-doc integer sums."""
+    from nlshray.hashing import _seed_mix
+
+    seedmix = int(_seed_mix(CFG.seed))
+    B = DSIR_BUCKETS
+    srcs = ", ".join(f"'{s}'" for s in sorted(DSIR_POS_SOURCES))
+    return f"""
+        WITH toks AS (
+          SELECT d.doc_id, t.tok
+          FROM documents d,
+               unnest(regexp_split_to_array(lower(d.text), '[^0-9a-z_]+')) AS t(tok)
+          WHERE t.tok <> ''
+        ),
+        folded AS (
+          SELECT doc_id,
+            list_reduce(
+              list_prepend(0::HUGEINT,
+                list_transform(regexp_split_to_array(tok, ''),
+                               c -> unicode(c)::HUGEINT)),
+              (acc, c) -> (acc * {_SQL_POLY} + c) % {_M64}
+            ) AS raw
+          FROM toks
+        ),
+        seeded AS (SELECT doc_id, xor(CAST(raw AS UBIGINT), {seedmix}::UBIGINT) AS x FROM folded),
+        {_sql_splitmix('s', 'seeded', 'x', '').strip()},
+        occ AS (SELECT doc_id, CAST(z % {B} AS BIGINT) AS b FROM s6),
+        lab AS (SELECT doc_id, source IN ({srcs}) AS is_t FROM documents),
+        cnt AS (
+          SELECT b,
+                 CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+                 CAST(count(*) AS BIGINT) AS na
+          FROM occ JOIN lab USING (doc_id) GROUP BY b
+        ),
+        tot AS (SELECT sum(nt) AS tnt, sum(na) AS tna FROM cnt),
+        w AS (
+          SELECT b,
+                 CAST(round(1e6 * (
+                   ln((nt + 1) / CAST(tnt + {B} AS DOUBLE))
+                   - ln((na + 1) / CAST(tna + {B} AS DOUBLE))
+                 )) AS BIGINT) AS w
+          FROM cnt CROSS JOIN tot
+        ),
+        docsum AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+                 CAST(sum(w) AS BIGINT) AS s
+          FROM occ JOIN w USING (b) GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(ds.n_feats, 0) AS n_feats,
+               COALESCE(ds.s, 0) AS dsir_micro,
+               CAST(COALESCE(ds.s, 0) > 0 AS BIGINT) AS selected
+        FROM documents d LEFT JOIN docsum ds USING (doc_id)
+    """
+
+
+ORACLE_SQL["dsir_resampled"] = _build_dsir_oracle()

@@ -971,3 +971,38 @@ def test_source_divergence_jsd_known_values(ray_session, tmp_path):
         assert abs(got.loc[(a, b)].jsd - want) < 5e-6, (a, b)
     # disjoint supports (s1 vs s2) hit the ln(2) ceiling
     assert abs(got.loc[("s1", "s2")].jsd - np.log(2)) < 5e-6
+
+
+def test_dsir_resampled_prefers_target_like_docs(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nlshray.pipelines.queries import dsir_resampled
+
+    # target slice (src0) speaks {alpha,beta}; the crawl (srcZ) speaks
+    # {gamma,delta}; two crawl docs written in the target vocabulary
+    # must score > 0 and pure-crawl docs must not.
+    rows = []
+    for i in range(20):
+        rows.append((i, "alpha beta alpha beta alpha", "src0"))
+    for i in range(20, 60):
+        rows.append((i, "gamma delta gamma delta gamma", "srcZ"))
+    rows.append((100, "alpha beta alpha alpha beta", "srcZ"))
+    rows.append((101, "beta alpha beta beta alpha", "srcZ"))
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows]),
+            "source": pa.array([r[2] for r in rows]),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    got = (
+        dsir_resampled(str(tmp_path)).to_pandas().set_index("doc_id").sort_index()
+    )
+    assert got.loc[100].selected == 1 and got.loc[101].selected == 1
+    assert got.loc[100].dsir_micro > 0
+    crawl = got.loc[20:60]
+    assert (crawl.selected == 0).all()
+    assert (crawl.dsir_micro < 0).all()
+    assert (got.n_feats == 5).all()

@@ -6973,3 +6973,20 @@ def _build_dsir_oracle() -> str:
 
 
 ORACLE_SQL["dsir_resampled"] = _build_dsir_oracle()
+
+
+def embedding_kmeans(sf_dir: str, k: int = 8):
+    """Full-corpus distributed spherical k-means over the embeddings
+    table (``stages/kmeans.py``): per-round task partials (k x d
+    fixed-point cluster sums) against a broadcast centroid matrix,
+    driver does only the k x d reduce. Rows-only by design (iterative —
+    not SQL-expressible); pytest pins bit-equality against a direct
+    single-process numpy Lloyd's and across partitionings."""
+    from nlshray.stages.kmeans import kmeans_embeddings
+
+    emb = _pq(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    ds, _ = kmeans_embeddings(emb, k=k, n_iters=10, seed=CFG.seed)
+    return ds
+
+
+QUERIES["embedding_kmeans"] = embedding_kmeans

@@ -6990,3 +6990,91 @@ def embedding_kmeans(sf_dir: str, k: int = 8):
 
 
 QUERIES["embedding_kmeans"] = embedding_kmeans
+
+
+def _cohort_partial(t: pa.Table) -> pa.Table:
+    """Block-local (user_id, day, min ts) rows."""
+    day = pc.strftime(t["ts"], format="%Y-%m-%d")
+    tbl = pa.table({"user_id": t["user_id"], "day": day, "ts_min": t["ts"]})
+    g = pa.TableGroupBy(tbl, ["user_id", "day"]).aggregate([("ts_min", "min")])
+    return g.rename_columns(["user_id", "day", "ts_min"])
+
+
+def _cohort_merge(t: pa.Table) -> pa.Table:
+    """Exact per-shard cohort cells: the shard holds EVERY row of its
+    users, so first-event day and the distinct active-day set are
+    both shard-local facts; only (cohort_day, day, n) counts leave."""
+    if len(t) == 0:
+        return pa.table(
+            {
+                "cohort_day": pa.array([], pa.string()),
+                "day": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+    g = pa.TableGroupBy(t, ["user_id", "day"]).aggregate([("ts_min", "min")])
+    uid = g["user_id"].to_numpy()
+    ts = g["ts_min_min"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+    days = np.asarray(g["day"].to_pylist(), dtype=object)
+    uniq, inv = np.unique(uid, return_inverse=True)
+    order = np.lexsort((ts, inv))
+    inv_o = inv[order]
+    first_pos = np.flatnonzero(np.append(True, inv_o[1:] != inv_o[:-1]))
+    first_row = np.empty(uniq.shape[0], np.int64)
+    first_row[inv_o[first_pos]] = order[first_pos]
+    cohort = days[first_row][inv]
+    cell = pa.table(
+        {
+            "cohort_day": pa.array(list(cohort), pa.string()),
+            "day": pa.array(list(days), pa.string()),
+        }
+    )
+    cg = pa.TableGroupBy(cell, ["cohort_day", "day"]).aggregate(
+        [([], "count_all")]
+    )
+    return cg.rename_columns(["cohort_day", "day", "n"])
+
+
+def user_retention_cohorts(sf_dir: str):
+    """Cohort retention matrix over the events stream: users are
+    cohorted by the DAY of their first event; each (cohort_day,
+    day) cell counts the cohort's users active that day — the
+    standard product-analytics retention table. One hash exchange
+    keyed by user_id (``stages/exchange.py``): after the merge a shard
+    holds every (user, day, min ts) row for its users, so cohort
+    assignment and the distinct-day set are computed shard-locally
+    and only tiny count cells move. Fully SQL-oracled."""
+    from nlshray.stages.exchange import hash_exchange, int64_key_hash
+
+    ev = _pq(sf_dir, "events", columns=["user_id", "ts"])
+    refs = ev.to_arrow_refs()
+    if not refs:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "cohort_day": pa.array([], pa.string()),
+                    "day": pa.array([], pa.string()),
+                    "n_users": pa.array([], pa.int64()),
+                }
+            )
+        )
+    shards = hash_exchange(
+        refs, _cohort_partial, int64_key_hash("user_id"), _cohort_merge, NPARTS
+    )
+    cells = pa.concat_tables(ray.get(shards))
+    g = pa.TableGroupBy(cells, ["cohort_day", "day"]).aggregate([("n", "sum")])
+    return rd.from_arrow(g.rename_columns(["cohort_day", "day", "n_users"]))
+
+
+QUERIES["user_retention_cohorts"] = user_retention_cohorts
+
+ORACLE_SQL["user_retention_cohorts"] = """
+    WITH fe AS (
+      SELECT user_id, strftime(min(ts), '%Y-%m-%d') AS cohort_day
+      FROM events GROUP BY user_id
+    ),
+    act AS (SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS day FROM events)
+    SELECT f.cohort_day, a.day, CAST(count(*) AS BIGINT) AS n_users
+    FROM act a JOIN fe f USING (user_id)
+    GROUP BY f.cohort_day, a.day
+"""

@@ -1006,3 +1006,44 @@ def test_dsir_resampled_prefers_target_like_docs(ray_session, tmp_path):
     assert (crawl.selected == 0).all()
     assert (crawl.dsir_micro < 0).all()
     assert (got.n_feats == 5).all()
+
+
+def test_user_retention_cohorts_known_values(ray_session, tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nlshray.pipelines.queries import user_retention_cohorts
+
+    def ts(day, h=12):
+        return np.datetime64(f"2024-01-{day:02d}T{h:02d}:00:00", "us")
+
+    # u1 joins day 1, active days 1,2,3; u2 joins day 2, active 2;
+    # u3 joins day 1 (evening), active 1 and 3
+    rows = [
+        (1, ts(1)), (1, ts(2)), (1, ts(3)), (1, ts(3, 14)),
+        (2, ts(2)), (2, ts(2, 15)),
+        (3, ts(1, 20)), (3, ts(3)),
+    ]
+    t = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    got = (
+        user_retention_cohorts(str(tmp_path))
+        .to_pandas()
+        .set_index(["cohort_day", "day"])
+        .sort_index()
+    )
+    want = {
+        ("2024-01-01", "2024-01-01"): 2,  # u1, u3
+        ("2024-01-01", "2024-01-02"): 1,  # u1
+        ("2024-01-01", "2024-01-03"): 2,  # u1, u3
+        ("2024-01-02", "2024-01-02"): 1,  # u2
+    }
+    assert len(got) == len(want)
+    for k, v in want.items():
+        assert got.loc[k].n_users == v, k

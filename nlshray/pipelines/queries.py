@@ -7078,3 +7078,54 @@ ORACLE_SQL["user_retention_cohorts"] = """
     FROM act a JOIN fe f USING (user_id)
     GROUP BY f.cohort_day, a.day
 """
+
+
+def events_anomaly(sf_dir: str):
+    """Per-user rolling z-score anomaly flags over the event stream
+    (``stages/window.rolling_anomaly``): each event tested against the
+    mean/variance of the user's preceding 20 events. The z-test runs in
+    rearranged integer arithmetic (no division, no float), so the SQL
+    window-frame oracle replays it bit-exactly."""
+    from nlshray.stages.window import rolling_anomaly
+
+    ds = _pq(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    return rolling_anomaly(
+        ds,
+        key="user_id",
+        ts="ts",
+        value="value",
+        id_col="event_id",
+        window=20,
+        min_n=5,
+        k=3,
+        num_partitions=NPARTS,
+    )
+
+
+QUERIES["events_anomaly"] = events_anomaly
+
+ORACLE_SQL["events_anomaly"] = """
+    WITH q AS (
+      SELECT event_id, user_id, ts,
+             CAST(floor(value * 10000) AS BIGINT) AS vq
+      FROM events
+    ),
+    w AS (
+      SELECT event_id, vq,
+             COUNT(vq) OVER win AS n_prev,
+             COALESCE(SUM(vq) OVER win, 0) AS sum_prev,
+             COALESCE(SUM(vq * vq) OVER win, 0) AS sumsq_prev
+      FROM q
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id,
+           CAST(n_prev AS BIGINT) AS n_prev,
+           CAST(sum_prev AS BIGINT) AS sum_prev_q,
+           CAST(sumsq_prev AS BIGINT) AS sumsq_prev_q,
+           CAST(CASE WHEN n_prev >= 5
+                      AND (n_prev * vq - sum_prev) * (n_prev * vq - sum_prev)
+                          > 9 * (n_prev * sumsq_prev - sum_prev * sum_prev)
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+    FROM w
+"""

@@ -285,3 +285,70 @@ def funnel(
     return ds.groupby(key, num_partitions=num_partitions).map_groups(
         kern, batch_format="pyarrow"
     )
+
+
+def rolling_anomaly(
+    ds: ray.data.Dataset,
+    *,
+    key: str,
+    ts: str,
+    value: str,
+    id_col: str,
+    window: int = 20,
+    min_n: int = 5,
+    k: int = 3,
+    scale: int = 10_000,
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """Per-key rolling z-score outlier flags — the streaming anomaly
+    detector of the window family: each row is tested against the mean
+    and variance of its key's PRECEDING ``window`` rows (ROWS BETWEEN
+    ``window`` PRECEDING AND 1 PRECEDING in ``(ts, id_col)`` order).
+
+    Entirely integer, hence hash-exact against a SQL window oracle:
+    values floor-quantize to fixed point (the ``running_totals``
+    device) and the z-test rearranges to avoid division —
+    ``z^2 > k^2  <=>  (n*v - sum)^2 > k^2 * (n*sumsq - sum^2)`` —
+    so no float is ever computed. Rows with fewer than ``min_n``
+    predecessors are never flagged (cold-start guard).
+
+    One hash shuffle on ``key``, then a segmented kernel: lexsort the
+    group once, two cumsums, vectorized window-edge subtraction.
+    Partitioning assumption: one key's rows fit one worker. Int64
+    bounds: |value| * scale must stay < ~3e9/window (the quantized
+    sum-of-squares term) — events-scale values are far inside this.
+    """
+    scale_f = float(scale)
+    k2 = np.int64(k * k)
+
+    def fn(t: pa.Table) -> dict[str, np.ndarray]:
+        us = (
+            t[ts].to_numpy(zero_copy_only=False).astype("datetime64[us]").view(np.int64)
+        )
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        vq = np.floor(
+            t[value].to_numpy(zero_copy_only=False) * scale_f
+        ).astype(np.int64)
+        order = np.lexsort((ids, us))
+        v = vq[order]
+        n = v.shape[0]
+        cum = np.concatenate([[0], np.cumsum(v)])
+        cum2 = np.concatenate([[0], np.cumsum(v * v)])
+        i = np.arange(n, dtype=np.int64)
+        lo = np.maximum(i - window, 0)
+        n_prev = i - lo
+        s = cum[i] - cum[lo]
+        s2 = cum2[i] - cum2[lo]
+        a = n_prev * v - s
+        flag = (n_prev >= min_n) & (a * a > k2 * (n_prev * s2 - s * s))
+        return {
+            id_col: ids[order],
+            "n_prev": n_prev,
+            "sum_prev_q": s,
+            "sumsq_prev_q": s2,
+            "is_anomaly": flag.astype(np.int64),
+        }
+
+    return ds.groupby(key, num_partitions=num_partitions).map_groups(
+        fn, batch_format="pyarrow"
+    )

@@ -327,3 +327,41 @@ def test_funnel_greedy_completeness(ray_session):
         assert [got.loc[u, f"t_{i}"] for i in range(3)] == greedy[u]
     # strictness on the output itself
     assert (got["t_0"] < got["t_1"]).all() and (got["t_1"] < got["t_2"]).all()
+
+
+def test_rolling_anomaly_flags_spike(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from nlshray.stages.window import rolling_anomaly
+
+    # 30 steady values then one huge spike: only the spike is flagged
+    n = 31
+    vals = [10.0 + 0.01 * (i % 3) for i in range(30)] + [500.0]
+    t = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "user_id": pa.array([7] * n, pa.int64()),
+            "ts": pa.array(
+                [np.datetime64("2024-01-01T00:00:00", "us") + np.timedelta64(i, "s") for i in range(n)],
+                pa.timestamp("us"),
+            ),
+            "value": pa.array(vals, pa.float64()),
+        }
+    )
+    out = (
+        rolling_anomaly(
+            rd.from_arrow(t),
+            key="user_id", ts="ts", value="value", id_col="event_id",
+            window=20, min_n=5, k=3, num_partitions=2,
+        )
+        .to_pandas()
+        .set_index("event_id")
+        .sort_index()
+    )
+    assert out.loc[30].is_anomaly == 1
+    assert out.is_anomaly.sum() == 1
+    # cold-start guard: first min_n rows never flagged
+    assert (out.loc[:4].is_anomaly == 0).all()
+    assert out.loc[10].n_prev == 10 and out.loc[25].n_prev == 20

@@ -7129,3 +7129,129 @@ ORACLE_SQL["events_anomaly"] = """
                      THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
     FROM w
 """
+
+
+def knn_graph(sf_dir: str, k: int = 5):
+    """Exact kNN GRAPH over the embeddings table: every vector's top-k
+    cosine neighbors (the self-join variant of ``knn_cosine``) — the
+    build step of graph-based dedup/diversity pipelines and the ground
+    truth for the approximate members. Brute blocked self-join: the
+    (sorted-by-id) corpus matrix broadcasts once and every block scores
+    itself against it with one matmul — the exact O(n^2) baseline; at
+    corpus scales where that is impossible the IVF/HNSW members are the
+    approximate graph-build path. Deterministic ties (sim DESC, id ASC)
+    and SQL-oracled like ``knn_cosine``."""
+    from nlshray.stages.ann import gather_matrix, knn_bruteforce
+
+    emb = _pq(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    ids, X = gather_matrix(emb)
+    order = np.argsort(ids)
+    out = knn_bruteforce(emb, X[order], ids[order], k=k)
+    return _round(to_arrow(out), {"sim": 6})
+
+
+QUERIES["knn_graph"] = knn_graph
+
+ORACLE_SQL["knn_graph"] = """
+    WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+        FROM embeddings
+    )
+    SELECT query_id, vec_id AS neighbor_id,
+           ROUND(list_cosine_similarity(qe, CAST(embedding AS DOUBLE[])), 6) AS sim
+    FROM q, embeddings
+    WHERE vec_id != query_id
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY query_id
+        ORDER BY list_cosine_similarity(qe, CAST(embedding AS DOUBLE[])) DESC,
+                 vec_id
+    ) <= 5
+"""
+
+
+def mixture_weights(sf_dir: str, alpha: float = 0.3):
+    """Temperature-scaled data-mix sampling weights per source:
+    ``w_s = n_s^alpha / sum_t n_t^alpha`` with alpha = 0.3 — the
+    multilingual/multi-source rebalancing rule of public LLM data work
+    (temperature sampling, Conneau & Lample 2019; data-mix weighting in
+    GPT-3/Gopher appendices). Token counts come from per-block combiner
+    partials (the ``source_summary`` shape); the pow terms quantize to
+    integer micro-units before the normalizing sum (order-independent,
+    SQL-replayable). Upsampling factor ``boost = w_s / raw share`` > 1
+    marks under-represented sources."""
+    from nlshray.functions.shingles import batch_token_hashes
+
+    docs = _pq(sf_dir, "documents", columns=["text", "source"])
+
+    def part(t: pa.Table) -> pa.Table:
+        _, counts = batch_token_hashes(t["text"])
+        src = np.asarray(t["source"].to_pylist(), dtype=object)
+        srcs, inv = np.unique(src, return_inverse=True)
+        tok = np.zeros(srcs.shape[0], np.int64)
+        np.add.at(tok, inv, counts.astype(np.int64))
+        return pa.table(
+            {
+                "source": pa.array(list(srcs), pa.string()),
+                "n_tokens": pa.array(tok),
+                "n_docs": pa.array(
+                    np.bincount(inv, minlength=srcs.shape[0]).astype(np.int64)
+                ),
+            }
+        )
+
+    partials = pa.concat_tables(
+        ray.get(
+            docs.map_batches(
+                part, batch_format="pyarrow", zero_copy_batch=True
+            ).to_arrow_refs()
+        )
+    )
+    g = pa.TableGroupBy(partials, "source").aggregate(
+        [("n_tokens", "sum"), ("n_docs", "sum")]
+    )
+    n = g["n_tokens_sum"].to_numpy().astype(np.float64)
+    pq_ = np.round(1e6 * n**alpha).astype(np.int64)
+    tot_p = int(pq_.sum())
+    tot_n = int(n.sum())
+    w = _round_np(pq_ / float(tot_p), 6)
+    share = _round_np(n / float(tot_n), 6)
+    boost = _round_np((pq_ / float(tot_p)) / (n / float(tot_n)), 6)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "source": g["source"],
+                "n_docs": g["n_docs_sum"],
+                "n_tokens": g["n_tokens_sum"],
+                "raw_share": pa.array(share),
+                "weight": pa.array(w),
+                "boost": pa.array(boost),
+            }
+        )
+    )
+
+
+QUERIES["mixture_weights"] = mixture_weights
+
+ORACLE_SQL["mixture_weights"] = """
+    WITH tokc AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(list_filter(
+               regexp_split_to_array(lower(text), '[^0-9a-z_]+'),
+               t -> t <> ''))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    p AS (
+      SELECT source, n_docs, n_tokens,
+             CAST(round(1e6 * pow(CAST(n_tokens AS DOUBLE), 0.3)) AS BIGINT)
+               AS pq
+      FROM tokc
+    ),
+    tot AS (SELECT sum(pq) AS tp, sum(n_tokens) AS tn FROM p)
+    SELECT source, n_docs, n_tokens,
+           round(n_tokens / CAST(t.tn AS DOUBLE), 6) AS raw_share,
+           round(pq / CAST(t.tp AS DOUBLE), 6) AS weight,
+           round((pq / CAST(t.tp AS DOUBLE))
+                 / (n_tokens / CAST(t.tn AS DOUBLE)), 6) AS boost
+    FROM p CROSS JOIN tot t
+"""

@@ -1047,3 +1047,27 @@ def test_user_retention_cohorts_known_values(ray_session, tmp_path):
     assert len(got) == len(want)
     for k, v in want.items():
         assert got.loc[k].n_users == v, k
+
+
+def test_mixture_weights_rebalances(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nlshray.pipelines.queries import mixture_weights
+
+    # big source 90% of tokens, small source 10%: alpha<1 must boost
+    # the small one (boost > 1) and damp the big one (boost < 1)
+    rows = [(i, "tok " * 9, "big") for i in range(90)]
+    rows += [(100 + i, "tok " * 9, "small") for i in range(10)]
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1].strip() for r in rows]),
+            "source": pa.array([r[2] for r in rows]),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    got = mixture_weights(str(tmp_path)).to_pandas().set_index("source")
+    assert abs(got.weight.sum() - 1.0) < 1e-5
+    assert got.loc["small"].boost > 1.0 > got.loc["big"].boost
+    assert got.loc["big"].n_tokens == 90 * 9

@@ -7255,3 +7255,362 @@ ORACLE_SQL["mixture_weights"] = """
                  / (n_tokens / CAST(t.tn AS DOUBLE)), 6) AS boost
     FROM p CROSS JOIN tot t
 """
+
+
+def events_markov_transitions(sf_dir: str):
+    """User-journey Markov model: the event-type transition matrix
+    ``(from_type, to_type) -> count, P(to|from)`` over every user's
+    chronologically adjacent event pair — the behavioral-analytics
+    member of the events family. One groupby(user) shuffle (transitions
+    need the user's global order), segmented LEAD kernel per group,
+    per-block partial counts, tiny k^2 driver merge. Probabilities are
+    rounded like every oracled float."""
+    ev = _pq(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+
+    def trans(t: pa.Table) -> pa.Table:
+        us = (
+            t["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").view(np.int64)
+        )
+        ids = t["event_id"].to_numpy(zero_copy_only=False)
+        et = np.asarray(t["event_type"].to_pylist(), dtype=object)
+        order = np.lexsort((ids, us))
+        s = et[order]
+        if s.shape[0] < 2:
+            return pa.table(
+                {
+                    "from_type": pa.array([], pa.string()),
+                    "to_type": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        pair = pa.table(
+            {
+                "from_type": pa.array(list(s[:-1]), pa.string()),
+                "to_type": pa.array(list(s[1:]), pa.string()),
+            }
+        )
+        g = pa.TableGroupBy(pair, ["from_type", "to_type"]).aggregate(
+            [([], "count_all")]
+        )
+        return g.rename_columns(["from_type", "to_type", "n"])
+
+    def block_sum(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t
+        g = pa.TableGroupBy(t, ["from_type", "to_type"]).aggregate([("n", "sum")])
+        return g.rename_columns(["from_type", "to_type", "n"])
+
+    parts = (
+        ev.groupby("user_id", num_partitions=NPARTS)
+        .map_groups(trans, batch_format="pyarrow")
+        .map_batches(block_sum, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    tot = pa.concat_tables(
+        [b for b in parts.iter_batches(batch_size=None, batch_format="pyarrow")]
+    )
+    if len(tot) == 0:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "from_type": pa.array([], pa.string()),
+                    "to_type": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                    "prob": pa.array([], pa.float64()),
+                }
+            )
+        )
+    g = pa.TableGroupBy(tot, ["from_type", "to_type"]).aggregate([("n", "sum")])
+    n = g["n_sum"].to_numpy().astype(np.int64)
+    ft = np.asarray(g["from_type"].to_pylist(), dtype=object)
+    row_tot = {}
+    for f, c in zip(ft, n):
+        row_tot[f] = row_tot.get(f, 0) + int(c)
+    denom = np.array([row_tot[f] for f in ft], np.float64)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "from_type": g["from_type"],
+                "to_type": g["to_type"],
+                "n": pa.array(n),
+                "prob": pa.array(_round_np(n / denom, 6)),
+            }
+        )
+    )
+
+
+QUERIES["events_markov_transitions"] = events_markov_transitions
+
+ORACLE_SQL["events_markov_transitions"] = """
+    WITH o AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    c AS (
+      SELECT event_type AS from_type, nxt AS to_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ),
+    t AS (SELECT from_type, sum(n) AS tot FROM c GROUP BY from_type)
+    SELECT c.from_type, c.to_type, c.n,
+           round(c.n / CAST(t.tot AS DOUBLE), 6) AS prob
+    FROM c JOIN t USING (from_type)
+"""
+
+
+@ray.remote
+def _entropy_shard(t: pa.Table, sources: list, totals: np.ndarray) -> pa.Table:
+    """Per-source entropy partial over one token shard (terms quantized
+    to integer micro-nats before summation — order-independent)."""
+    S = len(sources)
+    out_vocab = np.zeros(S, np.int64)
+    out_h = np.zeros(S, np.int64)
+    if len(t):
+        sidx = pc.index_in(
+            t["source"], value_set=pa.array(list(sources), pa.string())
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t["n"].to_numpy().astype(np.float64)
+        p = n / totals[sidx].astype(np.float64)
+        term = np.round(1e6 * (p * np.log(p))).astype(np.int64)
+        np.add.at(out_h, sidx, term)
+        np.add.at(out_vocab, sidx, 1)
+    return pa.table(
+        {
+            "source": pa.array(list(sources), pa.string()),
+            "vocab": pa.array(out_vocab),
+            "h_part": pa.array(out_h),
+        }
+    )
+
+
+def source_token_entropy(sf_dir: str):
+    """Per-source unigram entropy (how lexically diverse each
+    provenance is — the single-distribution companion of
+    ``source_divergence_jsd``, same token-sharded count exchange, same
+    per-term integer micro-nat quantization): ``H_s = -sum p ln p``
+    over the source's token distribution, plus its vocabulary size and
+    token volume. Fully SQL-oracled."""
+    from nlshray.stages.exchange import hash_exchange, utf8_key_hash
+
+    docs = _pq(sf_dir, "documents", columns=["text", "source"])
+    refs = docs.to_arrow_refs()
+    empty = pa.table(
+        {
+            "source": pa.array([], pa.string()),
+            "n_tokens": pa.array([], pa.int64()),
+            "vocab": pa.array([], pa.int64()),
+            "entropy_micro": pa.array([], pa.int64()),
+            "entropy": pa.array([], pa.float64()),
+        }
+    )
+    if not refs:
+        return rd.from_arrow(empty)
+
+    def merge(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t.select(["tok", "source", "n"])
+        g = pa.TableGroupBy(t, ["tok", "source"]).aggregate([("n", "sum")])
+        return g.rename_columns(["tok", "source", "n"])
+
+    shards = hash_exchange(
+        refs, _src_tok_partial, utf8_key_hash("tok"), merge, NPARTS
+    )
+    tot = pa.concat_tables(ray.get([_src_totals.remote(r) for r in shards]))
+    if len(tot) == 0:
+        return rd.from_arrow(empty)
+    g = pa.TableGroupBy(tot, "source").aggregate([("ns", "sum")])
+    srcs = sorted(g["source"].to_pylist())
+    ns = dict(zip(g["source"].to_pylist(), g["ns_sum"].to_pylist()))
+    totals = np.array([ns[s] for s in srcs], np.int64)
+    parts = pa.concat_tables(
+        ray.get([_entropy_shard.remote(r, srcs, totals) for r in shards])
+    )
+    gg = pa.TableGroupBy(parts, "source").aggregate(
+        [("vocab", "sum"), ("h_part", "sum")]
+    )
+    order = pc.sort_indices(gg, sort_keys=[("source", "ascending")])
+    gg = gg.take(order)
+    h = -gg["h_part_sum"].to_numpy().astype(np.int64)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "source": gg["source"],
+                "n_tokens": pa.array(totals),
+                "vocab": gg["vocab_sum"],
+                "entropy_micro": pa.array(h),
+                "entropy": pa.array(h / 1000000.0),
+            }
+        )
+    )
+
+
+QUERIES["source_token_entropy"] = source_token_entropy
+
+ORACLE_SQL["source_token_entropy"] = """
+    WITH tok AS (
+      SELECT source, u.tok FROM (
+        SELECT source,
+               list_filter(regexp_split_to_array(lower(text), '[^0-9a-z_]+'),
+                           t -> t <> '') AS toks
+        FROM documents
+      ), unnest(toks) AS u(tok)
+    ),
+    cnt AS (
+      SELECT source, tok, CAST(count(*) AS BIGINT) AS n
+      FROM tok GROUP BY source, tok
+    ),
+    tot AS (SELECT source, CAST(sum(n) AS BIGINT) AS ns FROM cnt GROUP BY source),
+    term AS (
+      SELECT c.source,
+             CAST(round(1e6 * ((c.n / CAST(t.ns AS DOUBLE))
+                   * ln(c.n / CAST(t.ns AS DOUBLE)))) AS BIGINT) AS q
+      FROM cnt c JOIN tot t USING (source)
+    )
+    SELECT t.source, t.ns AS n_tokens,
+           CAST(count(*) AS BIGINT) AS vocab,
+           CAST(-sum(q) AS BIGINT) AS entropy_micro,
+           -sum(q) / 1000000.0 AS entropy
+    FROM term JOIN tot t USING (source)
+    GROUP BY t.source, t.ns
+"""
+
+
+def _order_part_partial(t: pa.Table) -> pa.Table:
+    """Block-local distinct (l_orderkey, l_partkey) rows."""
+    g = pa.TableGroupBy(t, ["l_orderkey", "l_partkey"]).aggregate(
+        [([], "count_all")]
+    )
+    return g.select(["l_orderkey", "l_partkey"])
+
+
+def _pair_gen_merge(t: pa.Table) -> pa.Table:
+    """Per-shard pair generation: the shard holds EVERY lineitem of its
+    orders, so within-order part pairs are shard-local. Distinct parts
+    per order, sorted; pairs emitted by the bounded-lag sweep (one
+    vectorized pass per lag d — max basket size bounds d), each with a
+    partial count."""
+    if len(t) == 0:
+        return pa.table(
+            {
+                "part_a": pa.array([], pa.int64()),
+                "part_b": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+    g = pa.TableGroupBy(t, ["l_orderkey", "l_partkey"]).aggregate(
+        [([], "count_all")]
+    )
+    ok = g["l_orderkey"].to_numpy()
+    pk = g["l_partkey"].to_numpy()
+    order = np.lexsort((pk, ok))
+    ok, pk = ok[order], pk[order]
+    pas, pbs = [], []
+    n = ok.shape[0]
+    d = 1
+    while True:
+        same = ok[: n - d] == ok[d:] if d < n else np.zeros(0, bool)
+        if not same.any():
+            break
+        idx = np.flatnonzero(same)
+        pas.append(pk[idx])
+        pbs.append(pk[idx + d])
+        d += 1
+    if not pas:
+        return pa.table(
+            {
+                "part_a": pa.array([], pa.int64()),
+                "part_b": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+    pair = pa.table(
+        {
+            "part_a": pa.array(np.concatenate(pas)),
+            "part_b": pa.array(np.concatenate(pbs)),
+        }
+    )
+    cg = pa.TableGroupBy(pair, ["part_a", "part_b"]).aggregate(
+        [([], "count_all")]
+    )
+    return cg.rename_columns(["part_a", "part_b", "n"])
+
+
+def part_pair_support(sf_dir: str, min_support: int = 2):
+    """Market-basket pair mining over lineitem: every part pair
+    co-occurring in >= ``min_support`` distinct orders (the 2-itemset
+    stage of Apriori/FP-growth — 'bought-together' analytics). Two
+    chained hash exchanges (``stages/exchange.py``): the first
+    co-locates orders (shard-local within-order pair generation via a
+    bounded-lag sweep — basket size bounds the lag), the second counts
+    pairs in pair-key space with the exact >= min_support filter inside
+    the merge (a shard holds COMPLETE global counts for its pairs, so
+    sub-threshold pairs never leave their shard). Fully SQL-oracled."""
+    from nlshray.hashing import splitmix64
+    from nlshray.stages.exchange import (
+        grouped_sum_merge,
+        hash_exchange,
+        int64_key_hash,
+    )
+
+    li = _pq(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    refs = li.to_arrow_refs()
+    empty = pa.table(
+        {
+            "part_a": pa.array([], pa.int64()),
+            "part_b": pa.array([], pa.int64()),
+            "n_orders": pa.array([], pa.int64()),
+        }
+    )
+    if not refs:
+        return rd.from_arrow(empty)
+    pair_parts = hash_exchange(
+        refs,
+        _order_part_partial,
+        int64_key_hash("l_orderkey"),
+        _pair_gen_merge,
+        NPARTS,
+    )
+
+    def pair_key(t: pa.Table) -> np.ndarray:
+        a = t["part_a"].to_numpy().view(np.uint64)
+        b = t["part_b"].to_numpy().view(np.uint64)
+        return splitmix64(a ^ splitmix64(b))
+
+    base = grouped_sum_merge("part_a", ["n"])
+
+    def count_merge(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t.select(["part_a", "part_b", "n"])
+        g = pa.TableGroupBy(t, ["part_a", "part_b"]).aggregate([("n", "sum")])
+        g = g.rename_columns(["part_a", "part_b", "n"])
+        return g.filter(pc.greater_equal(g["n"], min_support))
+
+    out = hash_exchange(
+        pair_parts, _identity_partial, pair_key, count_merge, NPARTS
+    )
+    tbl = pa.concat_tables(ray.get(out))
+    if len(tbl) == 0:
+        return rd.from_arrow(empty)
+    return rd.from_arrow(tbl.rename_columns(["part_a", "part_b", "n_orders"]))
+
+
+def _identity_partial(t: pa.Table) -> pa.Table:
+    return t
+
+
+QUERIES["part_pair_support"] = part_pair_support
+
+ORACLE_SQL["part_pair_support"] = """
+    WITH p AS (
+      SELECT DISTINCT a.l_orderkey, a.l_partkey AS part_a,
+             b.l_partkey AS part_b
+      FROM lineitem a
+      JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+    SELECT part_a, part_b, CAST(count(*) AS BIGINT) AS n_orders
+    FROM p GROUP BY part_a, part_b
+    HAVING count(*) >= 2
+"""

@@ -1071,3 +1071,85 @@ def test_mixture_weights_rebalances(ray_session, tmp_path):
     assert abs(got.weight.sum() - 1.0) < 1e-5
     assert got.loc["small"].boost > 1.0 > got.loc["big"].boost
     assert got.loc["big"].n_tokens == 90 * 9
+
+
+def test_events_markov_transitions_known_values(ray_session, tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nlshray.pipelines.queries import events_markov_transitions
+
+    def ts(i):
+        return np.datetime64("2024-01-01T00:00:00", "us") + np.timedelta64(i, "m")
+
+    # u1: a->b->a ; u2: a->b  =>  a->b n=2 P=1.0 ; b->a n=1 P=1.0
+    rows = [(1, 1, ts(0), "a"), (2, 1, ts(1), "b"), (3, 1, ts(2), "a"),
+            (4, 2, ts(0), "a"), (5, 2, ts(1), "b")]
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+            "event_type": pa.array([r[3] for r in rows]),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    got = (
+        events_markov_transitions(str(tmp_path))
+        .to_pandas()
+        .set_index(["from_type", "to_type"])
+        .sort_index()
+    )
+    assert len(got) == 2
+    assert got.loc[("a", "b")].n == 2 and got.loc[("a", "b")].prob == 1.0
+    assert got.loc[("b", "a")].n == 1 and got.loc[("b", "a")].prob == 1.0
+
+
+def test_source_token_entropy_known_values(ray_session, tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nlshray.pipelines.queries import source_token_entropy
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["a b c d", "a a a a"]),
+            "source": pa.array(["uni", "const"]),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    got = source_token_entropy(str(tmp_path)).to_pandas().set_index("source")
+    # uniform over 4 tokens -> ln 4; constant -> 0
+    assert abs(got.loc["uni"].entropy - np.log(4)) < 5e-6
+    assert got.loc["const"].entropy == 0.0
+    assert got.loc["uni"].vocab == 4 and got.loc["const"].vocab == 1
+
+
+def test_part_pair_support_known_values(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nlshray.pipelines.queries import part_pair_support
+
+    # orders: {1,2,3}, {1,2}, {1,2} (one duplicated lineitem), {3}
+    rows = [(10, 1), (10, 2), (10, 3), (11, 1), (11, 2),
+            (12, 1), (12, 2), (12, 2), (13, 3)]
+    t = pa.table(
+        {
+            "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+            "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "lineitem.parquet")
+    got = (
+        part_pair_support(str(tmp_path))
+        .to_pandas()
+        .set_index(["part_a", "part_b"])
+        .sort_index()
+    )
+    # (1,2) in 3 orders; (1,3)/(2,3) only once -> below min_support=2
+    assert len(got) == 1
+    assert got.loc[(1, 2)].n_orders == 3

@@ -39,6 +39,19 @@ NPARTS = 8
 CFG = DedupConfig()
 
 
+def _gather_partials(ds: "rd.Dataset", must_have: str) -> pa.Table:
+    """Driver-gather of per-block partial tables. Ray Data passes EMPTY
+    input blocks through a map_batches unchanged (original schema), so
+    a naive concat of ``to_arrow_refs`` can mix schemas — drop any block
+    missing the partial schema's marker column."""
+    tabs = [
+        t
+        for t in ray.get(ds.to_arrow_refs())
+        if must_have in t.schema.names
+    ]
+    return pa.concat_tables(tabs) if tabs else None
+
+
 def _pq(sf_dir: str, name: str, columns=None) -> rd.Dataset:
     from nlshray.sources.pages import read_parquet_clean
 
@@ -6871,13 +6884,15 @@ def dsir_resampled(sf_dir: str):
             }
         )
 
-    partials = pa.concat_tables(
-        ray.get(
-            docs.map_batches(
-                part, batch_format="pyarrow", zero_copy_batch=True
-            ).to_arrow_refs()
-        )
+    partials = _gather_partials(
+        docs.map_batches(part, batch_format="pyarrow", zero_copy_batch=True),
+        "nt",
     )
+    if partials is None:
+        partials = pa.table(
+            {"b": pa.array([], pa.int64()), "nt": pa.array([], pa.int64()),
+             "na": pa.array([], pa.int64())}
+        )
     g = pa.TableGroupBy(partials, "b").aggregate([("nt", "sum"), ("na", "sum")])
     nt = np.zeros(B, np.int64)
     na = np.zeros(B, np.int64)
@@ -7199,13 +7214,16 @@ def mixture_weights(sf_dir: str, alpha: float = 0.3):
             }
         )
 
-    partials = pa.concat_tables(
-        ray.get(
-            docs.map_batches(
-                part, batch_format="pyarrow", zero_copy_batch=True
-            ).to_arrow_refs()
-        )
+    partials = _gather_partials(
+        docs.map_batches(part, batch_format="pyarrow", zero_copy_batch=True),
+        "n_tokens",
     )
+    if partials is None:
+        partials = pa.table(
+            {"source": pa.array([], pa.string()),
+             "n_tokens": pa.array([], pa.int64()),
+             "n_docs": pa.array([], pa.int64())}
+        )
     g = pa.TableGroupBy(partials, "source").aggregate(
         [("n_tokens", "sum"), ("n_docs", "sum")]
     )
@@ -7296,8 +7314,12 @@ def events_markov_transitions(sf_dir: str):
         return g.rename_columns(["from_type", "to_type", "n"])
 
     def block_sum(t: pa.Table) -> pa.Table:
-        if len(t) == 0:
-            return t
+        if len(t) == 0 or "from_type" not in t.schema.names:
+            return pa.table(
+                {"from_type": pa.array([], pa.string()),
+                 "to_type": pa.array([], pa.string()),
+                 "n": pa.array([], pa.int64())}
+            )
         g = pa.TableGroupBy(t, ["from_type", "to_type"]).aggregate([("n", "sum")])
         return g.rename_columns(["from_type", "to_type", "n"])
 
@@ -7613,4 +7635,412 @@ ORACLE_SQL["part_pair_support"] = """
     SELECT part_a, part_b, CAST(count(*) AS BIGINT) AS n_orders
     FROM p GROUP BY part_a, part_b
     HAVING count(*) >= 2
+"""
+
+
+def q6_forecast_revenue(sf_dir: str):
+    """TPC-H Q6 shape: predicate-pushdown scan + one global aggregate —
+    ``sum(extendedprice * discount)`` over a shipdate-year/discount-band/
+    quantity filter. The float product quantizes per term to integer
+    micro-units (``round(1e4*price) * round(100*disc)`` — both exact
+    cent/percent values), so the global sum is order-independent and the
+    SQL replay is bit-exact. The canonical 'filter + single reduction'
+    streaming query: nothing shuffles, one partial per block."""
+    li = _pq(
+        sf_dir,
+        "lineitem",
+        columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+    )
+
+    def part(t: pa.Table) -> pa.Table:
+        ship = (
+            t["l_shipdate"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+        )
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        dq = np.round(disc * 100.0).astype(np.int64)
+        keep = (
+            (ship >= np.datetime64("1996-01-01"))
+            & (ship < np.datetime64("1997-01-01"))
+            & (dq >= 5)
+            & (dq <= 7)
+            & (qty < 24)
+        )
+        pq_ = np.round(price[keep] * 10000.0).astype(np.int64)
+        rev = int((pq_ * dq[keep]).sum())
+        return pa.table(
+            {
+                "rev_part": pa.array([rev], pa.int64()),
+                "n_part": pa.array([int(keep.sum())], pa.int64()),
+            }
+        )
+
+    parts = _gather_partials(
+        li.map_batches(part, batch_format="pyarrow", zero_copy_batch=True),
+        "rev_part",
+    )
+    if parts is None:
+        parts = pa.table(
+            {"rev_part": pa.array([], pa.int64()),
+             "n_part": pa.array([], pa.int64())}
+        )
+    micro = int(pc.sum(parts["rev_part"]).as_py() or 0)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "revenue_micro": pa.array([micro], pa.int64()),
+                "revenue": pa.array([micro / 1000000.0]),
+                "n_items": pa.array(
+                    [int(pc.sum(parts["n_part"]).as_py() or 0)], pa.int64()
+                ),
+            }
+        )
+    )
+
+
+QUERIES["q6_forecast_revenue"] = q6_forecast_revenue
+
+ORACLE_SQL["q6_forecast_revenue"] = """
+    WITH q AS (
+      SELECT CAST(round(l_extendedprice * 10000) AS BIGINT)
+               * CAST(round(l_discount * 100) AS BIGINT) AS term
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1996-01-01'
+        AND l_shipdate < DATE '1997-01-01'
+        AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+        AND l_quantity < 24
+    )
+    SELECT CAST(COALESCE(sum(term), 0) AS BIGINT) AS revenue_micro,
+           COALESCE(sum(term), 0) / 1000000.0 AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM q
+"""
+
+
+def q3_shipping_priority(sf_dir: str, k: int = 10):
+    """TPC-H Q3 shape: customer (dim filter) -> orders (broadcast
+    semi-join) -> lineitem (big fact) -> per-order revenue aggregate ->
+    top-k. The BUILDING-segment custkeys and the qualifying orderkeys
+    broadcast via ``ray.put`` (classic small-side broadcast instead of a
+    shuffle join); revenue terms quantize to integer micro-units so the
+    per-order sums are order-independent; top-k via one driver combine
+    of per-block partial top-k (grouped-top-k shape). Fully
+    SQL-oracled, NTILE-free deterministic ordering."""
+    cutoff = np.datetime64("1998-01-01")
+    cust = _pq(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+
+    def ckeys(t: pa.Table) -> pa.Table:
+        m = pc.equal(t["c_mktsegment"], "BUILDING")
+        return t.filter(m).select(["c_custkey"])
+
+    ck = _gather_partials(
+        cust.map_batches(ckeys, batch_format="pyarrow", zero_copy_batch=True),
+        "c_custkey",
+    )
+    ckv = ck["c_custkey"].to_numpy() if ck is not None else np.empty(0, np.int64)
+    ck_ref = ray.put(np.sort(ckv))
+
+    orders = _pq(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+
+    def okeys(t: pa.Table, ckr=ck_ref) -> pa.Table:
+        keys = ray.get(ckr) if isinstance(ckr, ray.ObjectRef) else ckr
+        oc = t["o_custkey"].to_numpy()
+        od = (
+            t["o_orderdate"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+        )
+        pos = np.searchsorted(keys, oc)
+        hit = (pos < keys.shape[0]) & (keys[np.minimum(pos, keys.shape[0] - 1)] == oc)
+        m = hit & (od < cutoff)
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"].filter(pa.array(m)),
+                "o_orderdate": pa.array(od[m].astype("datetime64[us]")),
+            }
+        )
+
+    ot = _gather_partials(
+        orders.map_batches(okeys, batch_format="pyarrow", zero_copy_batch=True),
+        "o_orderdate",
+    )
+    if ot is None:
+        ot = pa.table(
+            {"o_orderkey": pa.array([], pa.int64()),
+             "o_orderdate": pa.array([], pa.timestamp("us"))}
+        )
+    okeys_sorted = np.sort(ot["o_orderkey"].to_numpy())
+    odate = dict(
+        zip(
+            ot["o_orderkey"].to_numpy().tolist(),
+            ot["o_orderdate"].to_numpy(zero_copy_only=False).tolist(),
+        )
+    )
+    ok_ref = ray.put(okeys_sorted)
+
+    li = _pq(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def rev_part(t: pa.Table, okr=ok_ref) -> pa.Table:
+        keys = ray.get(okr) if isinstance(okr, ray.ObjectRef) else okr
+        lo = t["l_orderkey"].to_numpy()
+        ship = (
+            t["l_shipdate"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+        )
+        pos = np.searchsorted(keys, lo)
+        hit = (pos < keys.shape[0]) & (keys[np.minimum(pos, keys.shape[0] - 1)] == lo)
+        m = hit & (ship >= cutoff)
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)[m]
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)[m]
+        key = lo[m]
+        term = np.round(price * 10000.0).astype(np.int64) * (
+            100 - np.round(disc * 100.0).astype(np.int64)
+        )
+        uk, inv = np.unique(key, return_inverse=True)
+        s = np.zeros(uk.shape[0], np.int64)
+        np.add.at(s, inv, term)
+        return pa.table(
+            {"l_orderkey": pa.array(uk), "rev": pa.array(s)}
+        )
+
+    parts = _gather_partials(
+        li.map_batches(rev_part, batch_format="pyarrow", zero_copy_batch=True),
+        "rev",
+    )
+    if parts is None or len(parts) == 0:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "o_orderkey": pa.array([], pa.int64()),
+                    "revenue_micro": pa.array([], pa.int64()),
+                    "revenue": pa.array([], pa.float64()),
+                    "o_orderdate": pa.array([], pa.timestamp("us")),
+                }
+            )
+        )
+    g = pa.TableGroupBy(parts, "l_orderkey").aggregate([("rev", "sum")])
+    okey = g["l_orderkey"].to_numpy()
+    rev = g["rev_sum"].to_numpy().astype(np.int64)
+    order = np.lexsort((okey, -rev))[:k]
+    micro = rev[order]
+    sel = okey[order]
+    return rd.from_arrow(
+        pa.table(
+            {
+                "o_orderkey": pa.array(sel),
+                "revenue_micro": pa.array(micro),
+                "revenue": pa.array(micro / 1000000.0),
+                "o_orderdate": pa.array(
+                    np.array([odate[int(o)] for o in sel], "datetime64[us]")
+                ),
+            }
+        )
+    )
+
+
+QUERIES["q3_shipping_priority"] = q3_shipping_priority
+
+ORACLE_SQL["q3_shipping_priority"] = """
+    WITH rev AS (
+      SELECT l.l_orderkey AS o_orderkey,
+             CAST(sum(CAST(round(l.l_extendedprice * 10000) AS BIGINT)
+                      * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                  AS BIGINT) AS revenue_micro,
+             any_value(o.o_orderdate) AS o_orderdate
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      WHERE c.c_mktsegment = 'BUILDING'
+        AND o.o_orderdate < DATE '1998-01-01'
+        AND l.l_shipdate >= DATE '1998-01-01'
+      GROUP BY l.l_orderkey
+    )
+    SELECT o_orderkey, revenue_micro, revenue_micro / 1000000.0 AS revenue,
+           o_orderdate
+    FROM rev
+    ORDER BY revenue_micro DESC, o_orderkey
+    LIMIT 10
+"""
+
+
+_RFM_REF = np.datetime64("2002-01-01")
+
+
+def _rfm_partial(t: pa.Table) -> pa.Table:
+    """Block-local per-customer (max orderdate, count, cent sum)."""
+    ck = t["o_custkey"].to_numpy()
+    od = (
+        t["o_orderdate"].to_numpy(zero_copy_only=False)
+        .astype("datetime64[us]").view(np.int64)
+    )
+    cents = np.round(
+        t["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+    ).astype(np.int64)
+    uk, inv = np.unique(ck, return_inverse=True)
+    mx = np.zeros(uk.shape[0], np.int64)
+    np.maximum.at(mx, inv, od)
+    cnt = np.bincount(inv).astype(np.int64)
+    s = np.zeros(uk.shape[0], np.int64)
+    np.add.at(s, inv, cents)
+    return pa.table(
+        {
+            "c": pa.array(uk),
+            "last_us": pa.array(mx),
+            "freq": pa.array(cnt),
+            "cents": pa.array(s),
+        }
+    )
+
+
+def _rfm_merge(t: pa.Table) -> pa.Table:
+    """Complete per-customer metrics for this shard's customers."""
+    if len(t) == 0:
+        return pa.table(
+            {
+                "c": pa.array([], pa.int64()),
+                "recency_days": pa.array([], pa.int64()),
+                "frequency": pa.array([], pa.int64()),
+                "monetary_dollars": pa.array([], pa.int64()),
+            }
+        )
+    g = pa.TableGroupBy(t, "c").aggregate(
+        [("last_us", "max"), ("freq", "sum"), ("cents", "sum")]
+    )
+    last = g["last_us_max"].to_numpy().astype(np.int64)
+    ref_us = _RFM_REF.astype("datetime64[us]").view(np.int64)
+    rec = (ref_us - last) // np.int64(86_400_000_000)
+    return pa.table(
+        {
+            "c": g["c"],
+            "recency_days": pa.array(rec),
+            "frequency": g["freq_sum"],
+            "monetary_dollars": pa.array(
+                g["cents_sum"].to_numpy().astype(np.int64) // 100
+            ),
+        }
+    )
+
+
+@ray.remote
+def _rfm_vc(t: pa.Table, col: str) -> pa.Table:
+    vc = pc.value_counts(t[col])
+    return pa.table(
+        {
+            "v": vc.field("values"),
+            "n": vc.field("counts").cast(pa.int64()),
+        }
+    )
+
+
+@ray.remote
+def _rfm_score(t: pa.Table, cdfs, n_total: int) -> pa.Table:
+    """Attach rank-CDF quintiles: score = 1 + floor(5 * n_strictly_less
+    / n) — RANK semantics (ties share a score), SQL-replayable."""
+    out = {"c_custkey": t["c"]}
+    names = {"recency_days": "r_score", "frequency": "f_score",
+             "monetary_dollars": "m_score"}
+    scores = {}
+    for col, sc in names.items():
+        vals, cum = cdfs[col]
+        v = t[col].to_numpy()
+        pos = np.searchsorted(vals, v)  # count of distinct values < v
+        n_less = np.where(pos > 0, cum[np.maximum(pos - 1, 0)], 0)
+        scores[sc] = (1 + (5 * n_less) // n_total).astype(np.int64)
+        out[col] = t[col]
+    for sc in ("r_score", "f_score", "m_score"):
+        out[sc] = pa.array(scores[sc])
+    out["rfm"] = pa.array(
+        100 * scores["r_score"] + 10 * scores["f_score"] + scores["m_score"]
+    )
+    return pa.table(out)
+
+
+def orders_rfm_scores(sf_dir: str):
+    """RFM customer scoring (recency / frequency / monetary — the
+    classic CRM segmentation): per-customer order aggregates on a
+    custkey-keyed hash exchange, then rank-CDF quintile scores
+    ``1 + floor(5 * n_strictly_less / n)`` (RANK semantics: ties share
+    a score — NTILE's positional split is parallelism-hostile; this
+    rule is a pure function of the value histogram). The three metric
+    histograms are bounded (days / order counts / whole dollars),
+    merge driver-side and broadcast once; scoring is a searchsorted
+    per shard. Fully SQL-oracled via RANK() - 1."""
+    from nlshray.stages.exchange import hash_exchange, int64_key_hash
+
+    orders = _pq(
+        sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"]
+    )
+    refs = orders.select_columns(
+        ["o_custkey", "o_orderdate", "o_totalprice"]
+    ).to_arrow_refs()
+    empty = pa.table(
+        {
+            "c_custkey": pa.array([], pa.int64()),
+            "recency_days": pa.array([], pa.int64()),
+            "frequency": pa.array([], pa.int64()),
+            "monetary_dollars": pa.array([], pa.int64()),
+            "r_score": pa.array([], pa.int64()),
+            "f_score": pa.array([], pa.int64()),
+            "m_score": pa.array([], pa.int64()),
+            "rfm": pa.array([], pa.int64()),
+        }
+    )
+    if not refs:
+        return rd.from_arrow(empty)
+    shards = hash_exchange(
+        refs, _rfm_partial, int64_key_hash("c"), _rfm_merge, NPARTS
+    )
+    cdfs = {}
+    n_total = 0
+    for col in ("recency_days", "frequency", "monetary_dollars"):
+        vc = pa.concat_tables(ray.get([_rfm_vc.remote(r, col) for r in shards]))
+        g = pa.TableGroupBy(vc, "v").aggregate([("n", "sum")])
+        vals = g["v"].to_numpy()
+        cnts = g["n_sum"].to_numpy().astype(np.int64)
+        order = np.argsort(vals)
+        vals, cnts = vals[order], cnts[order]
+        cdfs[col] = (vals, np.cumsum(cnts))
+        n_total = int(cnts.sum())
+    if n_total == 0:
+        return rd.from_arrow(empty)
+    cdf_ref = ray.put(cdfs)
+    out = [_rfm_score.remote(r, cdf_ref, n_total) for r in shards]
+    return rd.from_arrow_refs(out)
+
+
+QUERIES["orders_rfm_scores"] = orders_rfm_scores
+
+ORACLE_SQL["orders_rfm_scores"] = """
+    WITH m AS (
+      SELECT o_custkey AS c_custkey,
+             date_diff('day', max(o_orderdate), DATE '2002-01-01')
+               AS recency_days,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) // 100
+               AS BIGINT) AS monetary_dollars
+      FROM orders GROUP BY o_custkey
+    ),
+    r AS (
+      SELECT *,
+             RANK() OVER (ORDER BY recency_days) - 1 AS lr,
+             RANK() OVER (ORDER BY frequency) - 1 AS lf,
+             RANK() OVER (ORDER BY monetary_dollars) - 1 AS lm,
+             COUNT(*) OVER () AS n
+      FROM m
+    )
+    SELECT c_custkey, CAST(recency_days AS BIGINT) AS recency_days,
+           frequency, monetary_dollars,
+           CAST(1 + (5 * lr) // n AS BIGINT) AS r_score,
+           CAST(1 + (5 * lf) // n AS BIGINT) AS f_score,
+           CAST(1 + (5 * lm) // n AS BIGINT) AS m_score,
+           CAST(100 * (1 + (5 * lr) // n) + 10 * (1 + (5 * lf) // n)
+                + (1 + (5 * lm) // n) AS BIGINT) AS rfm
+    FROM r
 """

@@ -1153,3 +1153,61 @@ def test_part_pair_support_known_values(ray_session, tmp_path):
     # (1,2) in 3 orders; (1,3)/(2,3) only once -> below min_support=2
     assert len(got) == 1
     assert got.loc[(1, 2)].n_orders == 3
+
+
+def test_q6_revenue_empty_filter_and_known(ray_session, tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nlshray.pipelines.queries import q6_forecast_revenue
+
+    t = pa.table(
+        {
+            "l_shipdate": pa.array(
+                [np.datetime64("1996-06-01T00:00:00", "us"),
+                 np.datetime64("1995-06-01T00:00:00", "us")],
+                pa.timestamp("us"),
+            ),
+            "l_discount": pa.array([0.06, 0.06]),
+            "l_quantity": pa.array([10.0, 10.0]),
+            "l_extendedprice": pa.array([100.0, 100.0]),
+        }
+    )
+    pq.write_table(t, tmp_path / "lineitem.parquet")
+    got = q6_forecast_revenue(str(tmp_path)).to_pandas()
+    # only the 1996 row qualifies: 100.00 * 0.06 = 6.0
+    assert got.n_items[0] == 1
+    assert got.revenue[0] == 6.0
+
+
+def test_rfm_scores_quintiles(ray_session, tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nlshray.pipelines.queries import orders_rfm_scores
+
+    # 10 customers, one order each, strictly increasing totalprice:
+    # m_score must be the exact quintile 1,1,2,2,3,3,4,4,5,5
+    n = 10
+    t = pa.table(
+        {
+            "o_custkey": pa.array(range(n), pa.int64()),
+            "o_orderkey": pa.array(range(n), pa.int64()),
+            "o_orderdate": pa.array(
+                [np.datetime64("2001-01-01T00:00:00", "us")] * n,
+                pa.timestamp("us"),
+            ),
+            "o_totalprice": pa.array([float(100 * (i + 1)) for i in range(n)]),
+        }
+    )
+    pq.write_table(t, tmp_path / "orders.parquet")
+    got = (
+        orders_rfm_scores(str(tmp_path)).to_pandas()
+        .sort_values("c_custkey").reset_index(drop=True)
+    )
+    assert got.m_score.tolist() == [1, 1, 2, 2, 3, 3, 4, 4, 5, 5]
+    # identical recency/frequency -> everyone shares the lowest score
+    assert (got.r_score == 1).all() and (got.f_score == 1).all()
+    assert (got.frequency == 1).all()

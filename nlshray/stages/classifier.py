@@ -137,13 +137,21 @@ def fit_nb_model(
         npos = int(pc.sum(pc.cast(lab, pa.int64())).as_py() or 0)
         return pa.table({"p": pa.array([npos], pa.int64()), "n": pa.array([len(b) - npos], pa.int64())})
 
-    dc = pa.concat_tables(
-        [
-            ray.get(r)
-            for r in docs.map_batches(
+    # Ray Data passes EMPTY input blocks through map_batches unchanged
+    # (original schema) — drop any block missing the partial's columns
+    dc_tabs = [
+        t
+        for t in ray.get(
+            docs.map_batches(
                 docpart, batch_format="pyarrow", zero_copy_batch=True
             ).to_arrow_refs()
-        ]
+        )
+        if "p" in t.schema.names
+    ]
+    dc = (
+        pa.concat_tables(dc_tabs)
+        if dc_tabs
+        else pa.table({"p": pa.array([], pa.int64()), "n": pa.array([], pa.int64())})
     )
     d1 = int(pc.sum(dc["p"]).as_py() or 0)
     d0 = int(pc.sum(dc["n"]).as_py() or 0)

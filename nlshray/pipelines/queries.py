@@ -8044,3 +8044,145 @@ ORACLE_SQL["orders_rfm_scores"] = """
                 + (1 + (5 * lm) // n) AS BIGINT) AS rfm
     FROM r
 """
+
+
+def tiered_dedup_report(sf_dir: str):
+    """TIERED DEDUP — the canonical web-corpus dedup cascade as ONE
+    pipeline with per-tier accounting: T1 exact (byte-identical text)
+    -> T2 normalized exact (casefold + whitespace collapse, the
+    ``normalized_dup_docs`` kernel) -> T3 MinHash/LSH near-dup at
+    J >= 0.8 (the flagship plan, keep component reps). Each tier runs
+    only on the previous tier's survivors, so the report reads as the
+    marginal catch of each (cheap -> expensive) tier — the ordering
+    argument every production dedup stack is built on. All three tiers
+    are the engine's production stages; the DuckDB oracle replays the
+    WHOLE cascade in one query (windowed exact collapses + the full
+    kernel-replay near-dup chain + recursive min-label components over
+    the tier-2 survivors)."""
+    from nlshray.stages.exact import exact_stage
+
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+    n0 = docs.count()
+
+    # T1: exact
+    e1 = exact_stage(docs, num_partitions=NPARTS)
+
+    def keep_rep_t1(t: pa.Table) -> pa.Table:
+        m = pc.equal(t["doc_id"], t["rep_id"])
+        return t.filter(m).select(["doc_id", "text"])
+
+    s1 = e1.map_batches(
+        keep_rep_t1, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    n1 = s1.count()
+
+    # T2: normalized exact over T1 survivors (original text carried)
+    def norm(t: pa.Table) -> pa.Table:
+        arr = t["text"]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        x = pc.utf8_lower(arr)
+        x = pc.replace_substring_regex(x, r"\s+", " ")
+        x = pc.utf8_trim(x, " ")
+        return pa.table(
+            {"doc_id": t["doc_id"], "text": x, "orig": t["text"]}
+        )
+
+    e2 = exact_stage(
+        s1.map_batches(norm, batch_format="pyarrow", zero_copy_batch=True),
+        num_partitions=NPARTS,
+    )
+
+    def keep_rep_t2(t: pa.Table) -> pa.Table:
+        m = pc.equal(t["doc_id"], t["rep_id"])
+        t = t.filter(m)
+        return pa.table({"doc_id": t["doc_id"], "text": t["orig"]})
+
+    s2 = e2.map_batches(
+        keep_rep_t2, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    n2 = s2.count()
+
+    # T3: flagship near-dup over T2 survivors
+    res = dedup_docs(s2, CFG, num_partitions=NPARTS)
+    clus = to_arrow(res.clusters)
+    n3 = int(
+        pc.sum(
+            pc.cast(pc.equal(clus["doc_id"], clus["cluster_id"]), pa.int64())
+        ).as_py()
+        or 0
+    )
+    tiers = ["exact", "normalized", "near_dup"]
+    n_in = [n0, n1, n2]
+    n_out = [n1, n2, n3]
+    return rd.from_arrow(
+        pa.table(
+            {
+                "tier": pa.array(tiers, pa.string()),
+                "n_in": pa.array(n_in, pa.int64()),
+                "n_removed": pa.array(
+                    [a - b for a, b in zip(n_in, n_out)], pa.int64()
+                ),
+                "n_out": pa.array(n_out, pa.int64()),
+            }
+        )
+    )
+
+
+QUERIES["tiered_dedup_report"] = tiered_dedup_report
+
+
+def _build_tiered_oracle() -> str:
+    chain = _near_dup_chain_sql("s2").strip()
+    return rf"""
+        WITH RECURSIVE
+        tierx1 AS (
+          SELECT doc_id, text,
+                 MIN(doc_id) OVER (PARTITION BY text) AS rep1
+          FROM documents
+        ),
+        s1 AS (SELECT doc_id, text FROM tierx1 WHERE doc_id = rep1),
+        tierx2 AS (
+          SELECT doc_id, text,
+                 MIN(doc_id) OVER (PARTITION BY
+                   trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+                 ) AS rep2
+          FROM s1
+        ),
+        s2 AS (SELECT doc_id, text FROM tierx2 WHERE doc_id = rep2),
+        {chain},
+        alledge AS (
+          SELECT left_id AS u, right_id AS v FROM conf
+          UNION ALL
+          SELECT doc_id AS u, rep_id AS v FROM rep WHERE doc_id <> rep_id
+        ),
+        sym AS MATERIALIZED (
+          SELECT u, v FROM alledge UNION SELECT v AS u, u AS v FROM alledge
+        ),
+        reach(doc_id, r) AS (
+          SELECT doc_id, doc_id FROM s2
+          UNION
+          SELECT s.v, reach.r FROM reach JOIN sym s ON s.u = reach.doc_id
+        ),
+        clus AS (
+          SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id
+        ),
+        c0 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        c1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s1),
+        c2 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s2),
+        c3 AS (
+          SELECT CAST(count(*) AS BIGINT) AS n
+          FROM clus WHERE doc_id = cluster_id
+        )
+        SELECT v.tier, v.n_in, v.n_in - v.n_out AS n_removed, v.n_out
+        FROM (
+          SELECT 'exact' AS tier, c0.n AS n_in, c1.n AS n_out FROM c0, c1
+          UNION ALL
+          SELECT 'normalized', c1.n, c2.n FROM c1, c2
+          UNION ALL
+          SELECT 'near_dup', c2.n, c3.n FROM c2, c3
+        ) v
+    """
+
+
+ORACLE_SQL["tiered_dedup_report"] = _build_tiered_oracle()

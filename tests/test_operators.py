@@ -1211,3 +1211,43 @@ def test_rfm_scores_quintiles(ray_session, tmp_path):
     # identical recency/frequency -> everyone shares the lowest score
     assert (got.r_score == 1).all() and (got.f_score == 1).all()
     assert (got.frequency == 1).all()
+
+
+def test_tiered_dedup_report_each_tier_catches(ray_session, tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nlshray.pipelines.queries import tiered_dedup_report
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(200)]
+    base = " ".join(rng.choice(vocab, 120))
+    near = base.rsplit(" ", 2)[0] + " changed token"
+    rows = [
+        (0, base),               # rep
+        (1, base),               # exact dup of 0      -> tier 1
+        (2, base.upper()),       # casefold dup of 0   -> tier 2
+        (3, "x  y\tz"),          # whitespace-collapse dup of 4 -> tier 2
+        (4, "x y z"),
+        (5, near),               # near dup of 0       -> tier 3
+        (6, " ".join(rng.choice([w + "q" for w in vocab], 120))),  # unique
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows]),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    got = (
+        tiered_dedup_report(str(tmp_path))
+        .to_pandas()
+        .set_index("tier")
+    )
+    assert got.loc["exact"].n_in == 7 and got.loc["exact"].n_removed == 1
+    assert got.loc["normalized"].n_in == 6
+    assert got.loc["normalized"].n_removed == 2  # docs 2 and 3
+    assert got.loc["near_dup"].n_in == 4
+    assert got.loc["near_dup"].n_removed == 1  # doc 5
+    assert got.loc["near_dup"].n_out == 3

@@ -390,6 +390,7 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
         "knn_cosine",
         "embedding_dup_pairs",
         "curated_corpus",
+        "tiered_dedup_report",
     ]
 
     # interleaved best-of-N: a degraded-host window inflates every entry

@@ -8186,3 +8186,132 @@ def _build_tiered_oracle() -> str:
 
 
 ORACLE_SQL["tiered_dedup_report"] = _build_tiered_oracle()
+
+
+@ray.remote
+def _late_block_meta(t: pa.Table) -> tuple[int, int, int]:
+    """(block min event_id, block max ts_us, n rows) — blocks arrive
+    range-partitioned from the sort, so min event_id orders them."""
+    if len(t) == 0:
+        return (1 << 62, -(1 << 62), 0)
+    us = t["ts"].cast(pa.int64()).to_numpy()
+    eid = t["event_id"].to_numpy()
+    return (int(eid.min()), int(us.max()), len(t))
+
+
+@ray.remote
+def _late_block_windows(
+    t: pa.Table, prefix_max_us: int, delay_us: int, window_us: int
+) -> pa.Table:
+    """Per-window (n_events, n_late) partial for one sorted block.
+    Watermark at event i = max ts seen over all earlier ARRIVALS
+    (event_id order) minus the allowed delay; the event is late if its
+    window had already closed (window_end <= watermark)."""
+    empty = pa.table(
+        {
+            "window_start_us": pa.array([], pa.int64()),
+            "n_events": pa.array([], pa.int64()),
+            "n_late": pa.array([], pa.int64()),
+        }
+    )
+    if len(t) == 0:
+        return empty
+    us = t["ts"].cast(pa.int64()).to_numpy()
+    eid = t["event_id"].to_numpy()
+    order = np.argsort(eid)
+    us = us[order]
+    # max ts STRICTLY BEFORE each row: cross-block prefix then shift
+    cm = np.maximum.accumulate(us)
+    prev = np.empty_like(cm)
+    prev[0] = prefix_max_us
+    prev[1:] = np.maximum(cm[:-1], prefix_max_us)
+    win = us - us % window_us
+    late = ((win + window_us) <= (prev - delay_us)).astype(np.int64)
+    uw, inv = np.unique(win, return_inverse=True)
+    n = np.bincount(inv).astype(np.int64)
+    nl = np.zeros(uw.shape[0], np.int64)
+    np.add.at(nl, inv, late)
+    return pa.table(
+        {
+            "window_start_us": pa.array(uw),
+            "n_events": pa.array(n),
+            "n_late": pa.array(nl),
+        }
+    )
+
+
+def events_late_arrivals(
+    sf_dir: str, delay_seconds: int = 600, window_seconds: int = 3600
+):
+    """Watermark / late-data accounting — the streaming semantic every
+    windowed pipeline needs at ingestion: replaying the event stream in
+    ARRIVAL order (event_id — the ingestion sequence number), the
+    watermark is ``max(ts seen so far) - allowed_delay``, and an event
+    is LATE if its tumbling window had already closed when it arrived
+    (``window_end <= watermark``). Reports per-window totals and late
+    counts — exactly what an engine drops (or routes to a correction
+    path) under each delay budget.
+
+    Plan: one ``Dataset.sort`` on the arrival key (range-partitioned
+    blocks), per-block running-max + a broadcast block-prefix max (the
+    ``events_running_totals`` prefix device, applied globally), then
+    bounded per-window partials merged on the driver. Integer
+    microsecond arithmetic end-to-end — bit-exact SQL window replay."""
+    delay_us = int(delay_seconds) * 1_000_000
+    window_us = int(window_seconds) * 1_000_000
+    ev = _pq(sf_dir, "events", columns=["event_id", "ts"]).sort("event_id")
+    refs = ev.to_arrow_refs()
+    empty = pa.table(
+        {
+            "window_start_us": pa.array([], pa.int64()),
+            "n_events": pa.array([], pa.int64()),
+            "n_late": pa.array([], pa.int64()),
+        }
+    )
+    if not refs:
+        return rd.from_arrow(empty)
+    metas = ray.get([_late_block_meta.remote(r) for r in refs])
+    order = np.argsort([m[0] for m in metas], kind="stable")
+    prefix = -(1 << 62)
+    out = []
+    for bi in order:
+        if metas[bi][2] == 0:
+            continue
+        out.append(
+            _late_block_windows.remote(refs[bi], prefix, delay_us, window_us)
+        )
+        prefix = max(prefix, metas[bi][1])
+    if not out:
+        return rd.from_arrow(empty)
+    parts = pa.concat_tables(ray.get(out))
+    g = pa.TableGroupBy(parts, "window_start_us").aggregate(
+        [("n_events", "sum"), ("n_late", "sum")]
+    )
+    return rd.from_arrow(
+        g.rename_columns(["window_start_us", "n_events", "n_late"])
+    )
+
+
+QUERIES["events_late_arrivals"] = events_late_arrivals
+
+ORACLE_SQL["events_late_arrivals"] = """
+    WITH w AS (
+      SELECT CAST(EPOCH_US(ts) AS BIGINT) AS us,
+             MAX(CAST(EPOCH_US(ts) AS BIGINT)) OVER (
+               ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS prev_max
+      FROM events
+    ),
+    f AS (
+      SELECT us - us % 3600000000 AS window_start_us,
+             CASE WHEN prev_max IS NOT NULL
+                   AND (us - us % 3600000000) + 3600000000
+                       <= prev_max - 600000000
+                  THEN 1 ELSE 0 END AS late
+      FROM w
+    )
+    SELECT window_start_us, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(late) AS BIGINT) AS n_late
+    FROM f GROUP BY window_start_us
+"""

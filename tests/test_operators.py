@@ -1251,3 +1251,44 @@ def test_tiered_dedup_report_each_tier_catches(ray_session, tmp_path):
     assert got.loc["near_dup"].n_in == 4
     assert got.loc["near_dup"].n_removed == 1  # doc 5
     assert got.loc["near_dup"].n_out == 3
+
+
+def test_events_late_arrivals_flags_out_of_order(ray_session, tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nlshray.pipelines.queries import events_late_arrivals
+
+    H = 3_600_000_000  # 1h in us
+
+    def ts(us):
+        return np.datetime64(0, "us") + np.timedelta64(int(us), "us")
+
+    # arrival order = event_id. Watermark delay 600s. Event 3 arrives
+    # AFTER the stream reached hour 2, but belongs to hour 0 -> late.
+    # Event 4 belongs to hour 2 (watermark hour) -> on time.
+    rows = [
+        (1, ts(0)),            # hour 0
+        (2, ts(2 * H + 10)),   # hour 2 -> watermark = 2h+10us-600s
+        (3, ts(H - 1)),        # hour 0, window end 1h <= watermark -> LATE
+        (4, ts(2 * H + 20)),   # hour 2, window end 3h > watermark -> ok
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([1] * 4, pa.int64()),
+            "event_type": pa.array(["x"] * 4),
+            "value": pa.array([0.0] * 4),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    got = (
+        events_late_arrivals(str(tmp_path))
+        .to_pandas()
+        .set_index("window_start_us")
+        .sort_index()
+    )
+    assert got.loc[0].n_events == 2 and got.loc[0].n_late == 1
+    assert got.loc[2 * H].n_events == 2 and got.loc[2 * H].n_late == 0

@@ -39,15 +39,23 @@ NPARTS = 8
 CFG = DedupConfig()
 
 
-def _gather_partials(ds: "rd.Dataset", must_have: str) -> pa.Table:
+def _gather_partials(ds: "rd.Dataset", expect_cols) -> pa.Table:
     """Driver-gather of per-block partial tables. Ray Data passes EMPTY
     input blocks through a map_batches unchanged (original schema), so
-    a naive concat of ``to_arrow_refs`` can mix schemas — drop any block
-    missing the partial schema's marker column."""
+    a naive concat of ``to_arrow_refs`` can mix schemas — keep only
+    blocks whose column-name set EXACTLY equals the partial schema.
+    (A single marker column is not enough: when the marker also exists
+    in the input schema — e.g. ``c_custkey`` both in and out — a
+    passed-through empty input block survives a membership filter and
+    the concat raises on the schema mismatch.)"""
+    if isinstance(expect_cols, str):
+        expect = {expect_cols}
+    else:
+        expect = set(expect_cols)
     tabs = [
         t
         for t in ray.get(ds.to_arrow_refs())
-        if must_have in t.schema.names
+        if set(t.schema.names) == expect
     ]
     return pa.concat_tables(tabs) if tabs else None
 
@@ -1141,7 +1149,26 @@ def corpus_diff(sf_dir: str):
         )
         return pa.table({"doc_id": kept["doc_id"], "status": status})
 
-    return joined.map_batches(classify, batch_format="pyarrow", zero_copy_batch=True)
+    out = joined.map_batches(classify, batch_format="pyarrow", zero_copy_batch=True)
+    # Boundary hardening (r4 verdict "what's wrong" #1): the full-outer
+    # join's output blocks can carry chunked / large_string schema
+    # variants that the driver's serializer chokes on mid-compare. The
+    # diff itself is tiny by construction (changed/added/removed rows
+    # only, ~3% of docs), so gather it and re-emit as ONE plain
+    # (int64, string) Arrow table with a frozen schema — nothing wider
+    # than (doc_id, status) can reach the driver on any code path.
+    schema = pa.schema([("doc_id", pa.int64()), ("status", pa.string())])
+    parts = [
+        b.select(["doc_id", "status"]).cast(schema)
+        for b in out.iter_batches(batch_format="pyarrow", batch_size=None)
+        if b.num_rows
+    ]
+    tbl = (
+        pa.concat_tables(parts).combine_chunks()
+        if parts
+        else schema.empty_table()
+    )
+    return rd.from_arrow(tbl)
 
 
 def quantized_embeddings(sf_dir: str):
@@ -6886,7 +6913,7 @@ def dsir_resampled(sf_dir: str):
 
     partials = _gather_partials(
         docs.map_batches(part, batch_format="pyarrow", zero_copy_batch=True),
-        "nt",
+        ("b", "nt", "na"),
     )
     if partials is None:
         partials = pa.table(
@@ -7216,7 +7243,7 @@ def mixture_weights(sf_dir: str, alpha: float = 0.3):
 
     partials = _gather_partials(
         docs.map_batches(part, batch_format="pyarrow", zero_copy_batch=True),
-        "n_tokens",
+        ("source", "n_tokens", "n_docs"),
     )
     if partials is None:
         partials = pa.table(
@@ -7679,7 +7706,7 @@ def q6_forecast_revenue(sf_dir: str):
 
     parts = _gather_partials(
         li.map_batches(part, batch_format="pyarrow", zero_copy_batch=True),
-        "rev_part",
+        ("rev_part", "n_part"),
     )
     if parts is None:
         parts = pa.table(
@@ -7737,7 +7764,7 @@ def q3_shipping_priority(sf_dir: str, k: int = 10):
 
     ck = _gather_partials(
         cust.map_batches(ckeys, batch_format="pyarrow", zero_copy_batch=True),
-        "c_custkey",
+        ("c_custkey",),
     )
     ckv = ck["c_custkey"].to_numpy() if ck is not None else np.empty(0, np.int64)
     ck_ref = ray.put(np.sort(ckv))
@@ -7753,8 +7780,13 @@ def q3_shipping_priority(sf_dir: str, k: int = 10):
             t["o_orderdate"].to_numpy(zero_copy_only=False)
             .astype("datetime64[us]")
         )
-        pos = np.searchsorted(keys, oc)
-        hit = (pos < keys.shape[0]) & (keys[np.minimum(pos, keys.shape[0] - 1)] == oc)
+        if keys.shape[0] == 0:
+            hit = np.zeros(oc.shape[0], bool)
+        else:
+            pos = np.searchsorted(keys, oc)
+            hit = (pos < keys.shape[0]) & (
+                keys[np.minimum(pos, keys.shape[0] - 1)] == oc
+            )
         m = hit & (od < cutoff)
         return pa.table(
             {
@@ -7765,7 +7797,7 @@ def q3_shipping_priority(sf_dir: str, k: int = 10):
 
     ot = _gather_partials(
         orders.map_batches(okeys, batch_format="pyarrow", zero_copy_batch=True),
-        "o_orderdate",
+        ("o_orderkey", "o_orderdate"),
     )
     if ot is None:
         ot = pa.table(
@@ -7794,8 +7826,13 @@ def q3_shipping_priority(sf_dir: str, k: int = 10):
             t["l_shipdate"].to_numpy(zero_copy_only=False)
             .astype("datetime64[us]")
         )
-        pos = np.searchsorted(keys, lo)
-        hit = (pos < keys.shape[0]) & (keys[np.minimum(pos, keys.shape[0] - 1)] == lo)
+        if keys.shape[0] == 0:
+            hit = np.zeros(lo.shape[0], bool)
+        else:
+            pos = np.searchsorted(keys, lo)
+            hit = (pos < keys.shape[0]) & (
+                keys[np.minimum(pos, keys.shape[0] - 1)] == lo
+            )
         m = hit & (ship >= cutoff)
         price = t["l_extendedprice"].to_numpy(zero_copy_only=False)[m]
         disc = t["l_discount"].to_numpy(zero_copy_only=False)[m]
@@ -7812,7 +7849,7 @@ def q3_shipping_priority(sf_dir: str, k: int = 10):
 
     parts = _gather_partials(
         li.map_batches(rev_part, batch_format="pyarrow", zero_copy_batch=True),
-        "rev",
+        ("l_orderkey", "rev"),
     )
     if parts is None or len(parts) == 0:
         return rd.from_arrow(
@@ -8256,7 +8293,13 @@ def events_late_arrivals(
     blocks), per-block running-max + a broadcast block-prefix max (the
     ``events_running_totals`` prefix device, applied globally), then
     bounded per-window partials merged on the driver. Integer
-    microsecond arithmetic end-to-end — bit-exact SQL window replay."""
+    microsecond arithmetic end-to-end — bit-exact SQL window replay.
+
+    Assumes ts >= epoch (us >= 0): the engine buckets with numpy
+    floor-mod (``us - us % window_us``) while the DuckDB oracle uses
+    trunc-mod ``%`` — identical for non-negative microseconds, which
+    web-crawl event streams always are; pre-1970 timestamps would
+    bucket one window apart between the two."""
     delay_us = int(delay_seconds) * 1_000_000
     window_us = int(window_seconds) * 1_000_000
     ev = _pq(sf_dir, "events", columns=["event_id", "ts"]).sort("event_id")
@@ -8315,3 +8358,129 @@ ORACLE_SQL["events_late_arrivals"] = """
            CAST(sum(late) AS BIGINT) AS n_late
     FROM f GROUP BY window_start_us
 """
+
+
+# ---------------------------------------------------------------------------
+# registry ordering (r4 verdict "next round" #1)
+# ---------------------------------------------------------------------------
+# The correctness driver verifies a PREFIX of this registry (50 slots in
+# round 4; rounds ran 22/31/36/50 entries). Rounds 1-4 always listed the
+# same first 50 names, so the 78 operators registered later (the whole
+# round-3/4 wave: Gopher, DSIR, LM perplexity, BPE, exchange-migrated
+# ops, ...) never received a driver-side correctness row despite
+# matching in every builder/judge sweep. Reorder so the driver window
+# covers them: a small still-verified core (flagship near-dup chain +
+# exact dedup) plus the fixed `corpus_diff` leads, followed by the 45
+# highest-value never-driver-verified SQL-oracled queries; after the
+# window come the remaining unverified oracled entries (in case the
+# window grows again), then the rows-only heads, then the queries the
+# driver already verified green in rounds 1-4.
+
+_DRIVER_PREFIX = [
+    # verified core kept in-window (flagship must stay green)
+    "near_dup_pairs",
+    "near_dup_clusters",
+    "minhash_signatures",
+    "exact_dup_docs",
+    # driver-red in r4 (boundary serialization); hardened above
+    "corpus_diff",
+    # never-driver-verified, SQL-oracled, highest value first
+    "gopher_quality_filter",
+    "dsir_resampled",
+    "lm_perplexity_scores",
+    "ccnet_tiers",
+    "nb_quality_scores",
+    "bpe_word_counts",
+    "tiered_dedup_report",
+    "exact_substring_dedup",
+    "heavy_hitter_tokens",
+    "curated_corpus",
+    "collocations_pmi",
+    "events_late_arrivals",
+    "normalized_dup_docs",
+    "line_dedup_docs",
+    "containment_pairs",
+    "ssjoin_jaccard_pairs",
+    "bm25_search",
+    "token_entropy",
+    "mixture_weights",
+    "weighted_sample_docs",
+    "weighted_sample_by_lang",
+    "source_divergence_jsd",
+    "knn_graph",
+    "embedding_covariance",
+    "dup_cluster_sizes",
+    "source_dup_rates",
+    "band_stats",
+    "dataset_splits",
+    "chunked_docs",
+    "duplicate_spans",
+    "vocab_top_tokens",
+    "distinct_tokens_hll",
+    "tfidf_dup_pairs",
+    "doc_keywords_tfidf",
+    "blocklist_filter",
+    "lang_mismatches",
+    "quality_filtered_docs",
+    "cluster_exemplars",
+    "capped_docs_per_source",
+    "epoch_shuffled_order",
+    "latest_event_per_user",
+    "q3_shipping_priority",
+    "q6_forecast_revenue",
+    "orders_rfm_scores",
+    "lm_perplexity_by_lang",
+]
+
+_SECOND_WINDOW = [
+    # remaining never-driver-verified oracled queries (slots 51+)
+    "embedding_dup_pairs",
+    "embedding_novelty_incremental",
+    "user_retention_cohorts",
+    "events_anomaly",
+    "events_markov_transitions",
+    "source_token_entropy",
+    "part_pair_support",
+    "snapshot_drift_ks",
+    "lang_source_mi",
+    "event_funnel",
+    "events_profile",
+    "events_hourly_users",
+    "lineitem_correlations",
+    "source_similarity",
+    "distinct_tokens_by_lang_hll",
+    "token_bigram_rarity",
+    "token_frequency_spectrum",
+    "length_pct_rank_by_lang",
+    "length_mad_by_lang",
+    "modal_length_by_lang",
+    "events_props_typed",
+    # rows-only heads (no oracle; driver records rows>=0)
+    "knn_cosine_lsh",
+    "knn_hnsw",
+    "knn_ivf",
+    "knn_pq",
+    "knn_neural",
+    "knn_neural_trained",
+    "semantic_dup_pairs",
+    "quantiles_sketch_by_lang",
+    "embedding_pca",
+    "compression_ratios",
+    "bpe_vocab",
+    "bpe_token_counts",
+    "cdc_chunk_dedup",
+    "embedding_kmeans",
+]
+
+
+def _reorder_registry() -> None:
+    global QUERIES
+    head = _DRIVER_PREFIX + _SECOND_WINDOW
+    missing = [n for n in head if n not in QUERIES]
+    assert not missing, f"registry reorder references unknown queries: {missing}"
+    assert len(set(head)) == len(head), "registry reorder has duplicates"
+    tail = [n for n in QUERIES if n not in set(head)]
+    QUERIES = {n: QUERIES[n] for n in head + tail}
+
+
+_reorder_registry()

@@ -166,14 +166,18 @@ def gopher_rule_arrays(texts) -> dict[str, np.ndarray]:
       and, that, have, with — the paper requires two of these words;
       occurrences rather than distinct members so the signal is graded)
     - symbol-to-word ratio (``#`` or ``...``) <= 0.10
-    - repetition: most-common-token fraction <= 0.20 and
-      most-common-bigram fraction <= 0.18 (token-level analog of the
-      paper's top-n-gram character fractions)
+
+    Returns ONLY the five non-repetition signals above (``n_words``,
+    ``mean_word_len``, ``frac_alpha_words``, ``n_stop_hits``,
+    ``symbol_ratio``). The paper's repetition gates (most-common-token
+    fraction <= 0.20, most-common-bigram fraction <= 0.18 — the
+    token-level analog of its top-n-gram character fractions) are NOT
+    computed here: ``gopher_quality_filter`` combines this dict with
+    ``token_repetition_arrays`` (same single-sort kernel the
+    ``repetition_stats`` oracle pins) at the call site.
 
     One pass of Arrow kernels over the batch (split / utf8_length /
-    match_substring_regex / is_in), segment-summed back per doc; the
-    repetition fractions come from ``token_repetition_arrays`` (same
-    single-sort kernel the ``repetition_stats`` oracle pins). The
+    match_substring_regex / is_in), segment-summed back per doc. The
     reference has no quality filter (it consumes pre-cleaned GloVe
     vectors, /root/reference/nlsh/data.py:23-49); this is the hygiene
     stage a web corpus needs before doc-level signatures.

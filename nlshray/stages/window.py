@@ -315,11 +315,18 @@ def rolling_anomaly(
     One hash shuffle on ``key``, then a segmented kernel: lexsort the
     group once, two cumsums, vectorized window-edge subtraction.
     Partitioning assumption: one key's rows fit one worker. Int64
-    bounds: |value| * scale must stay < ~3e9/window (the quantized
-    sum-of-squares term) — events-scale values are far inside this.
+    bounds (vq := |value| * scale): the z-test RHS ``k^2 * (n_prev*s2
+    - s*s)`` needs ``k^2 * window^2 * vq^2 < 2^63``, i.e. vq <
+    sqrt(2^63)/(k*window) (~5.1e7 at the k=3, window=20 defaults);
+    the LHS needs vq < sqrt(2^63)/(2*window) and the whole-group
+    sum-of-squares cumsum needs ``n_group * vq^2 < 2^63``. A runtime
+    guard raises instead of silently wrapping — events-scale values
+    are far inside all three.
     """
     scale_f = float(scale)
     k2 = np.int64(k * k)
+    _SQRT_I64 = 3_037_000_499  # isqrt(2^63 - 1)
+    vq_limit = _SQRT_I64 // (max(int(k), 2) * int(window))
 
     def fn(t: pa.Table) -> dict[str, np.ndarray]:
         us = (
@@ -332,6 +339,16 @@ def rolling_anomaly(
         order = np.lexsort((ids, us))
         v = vq[order]
         n = v.shape[0]
+        if n:
+            vmax = int(np.abs(v).max())
+            if vmax > vq_limit or vmax * vmax * n >= 2**63:
+                raise ValueError(
+                    f"rolling_anomaly int64 overflow: max |value*scale| "
+                    f"{vmax} exceeds the safe bound "
+                    f"{min(vq_limit, int((2**63 // max(n, 1)) ** 0.5))} "
+                    f"for k={k}, window={window}, group size {n}; "
+                    f"reduce `scale` or pre-clip the value column"
+                )
         cum = np.concatenate([[0], np.cumsum(v)])
         cum2 = np.concatenate([[0], np.cumsum(v * v)])
         i = np.arange(n, dtype=np.int64)

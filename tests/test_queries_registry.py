@@ -427,3 +427,52 @@ def test_snapshot_drift_ks_matches_scipy_free_replay(ray_session):
     assert got["n_even"] == a.shape[0] and got["n_odd"] == b.shape[0]
     # KS invariant: statistic in [0, 1]
     assert 0.0 <= got["ks_stat"] <= 1.0
+
+
+def test_corpus_diff_driver_boundary_roundtrip(ray_session):
+    """r4 verdict #2: the one red CORRECTNESS row was a serialization
+    artifact at the driver/engine boundary (full-outer join block
+    schemas reaching the driver's comparator). Replays the driver's
+    exact path — Dataset.to_pandas -> sorted-column canon -> pandas
+    value hash — against the DuckDB oracle and requires a bit-exact
+    hash match plus a frozen (doc_id:int64, status:string) schema."""
+    import hashlib
+
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+
+    from nlshray.pipelines.queries import ORACLE_SQL, QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    ds = QUERIES["corpus_diff"](sf)
+
+    # frozen narrow schema: nothing wider than (doc_id, status) may
+    # reach the driver, and no large_string / chunked surprises
+    tbl = pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow")))
+    assert tbl.schema == pa.schema(
+        [("doc_id", pa.int64()), ("status", pa.string())]
+    )
+
+    def canon(df):
+        df = df[sorted(df.columns)].copy()
+        for c in df.columns:
+            if df[c].dtype == object:
+                df[c] = df[c].astype(str)
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    def vhash(df):
+        return hashlib.sha256(
+            pd.util.hash_pandas_object(df, index=False).values.tobytes()
+        ).hexdigest()
+
+    mine = canon(ds.to_pandas())
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    oracle = canon(con.sql(ORACLE_SQL["corpus_diff"]).df())
+    assert len(mine) == len(oracle) > 0
+    assert list(mine.columns) == list(oracle.columns)
+    assert vhash(mine) == vhash(oracle)

@@ -72,33 +72,52 @@ def grouped_covariance(
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
         .iter_batches(batch_format="pyarrow", batch_size=None)
     )
-    df = parts.to_pandas().groupby(by, sort=True).sum().reset_index()
+    value_cols = [c for c in parts.schema.names if c != by]
+    merged = (
+        pa.TableGroupBy(parts, by)
+        .aggregate([(c, "sum") for c in value_cols])
+        .sort_by(by)
+    )
 
-    rows: dict[str, list] = {
-        by: [], "var_x": [], "var_y": [], "n": [], "cov_pop": [], "corr": []
-    }
-    for _, r in df.iterrows():
-        n = r["n"]
-        mean = {c: r[f"s_{c}"] / n for c in cols}
-        var = {c: r[f"q_{c}"] / n - mean[c] ** 2 for c in cols}
-        for i, j in pairs:
-            ci, cj = cols[i], cols[j]
-            cov = r[f"x_{ci}__{cj}"] / n - mean[ci] * mean[cj]
-            denom = np.sqrt(var[ci] * var[cj])
-            rows[by].append(r[by])
-            rows["var_x"].append(ci)
-            rows["var_y"].append(cj)
-            rows["n"].append(int(n))
-            rows["cov_pop"].append(cov)
-            rows["corr"].append(cov / denom if denom > 0 else None)
+    g = len(merged)
+    n = merged["n_sum"].to_numpy().astype(np.float64)  # (g,)
+    mean = np.stack(
+        [merged[f"s_{c}_sum"].to_numpy() / n for c in cols]
+    )  # (k, g)
+    var = np.stack(
+        [merged[f"q_{c}_sum"].to_numpy() / n - mean[i] ** 2
+         for i, c in enumerate(cols)]
+    )  # (k, g)
+    ii = np.array([i for i, _ in pairs])
+    jj = np.array([j for _, j in pairs])
+    cov = np.stack(
+        [merged[f"x_{cols[i]}__{cols[j]}_sum"].to_numpy() / n
+         - mean[i] * mean[j]
+         for i, j in pairs]
+    )  # (p, g)
+    denom = np.sqrt(var[ii] * var[jj])  # (p, g)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        corr = np.where(denom > 0, cov / denom, np.nan)
+
+    # long format, pair-major per group (matches the pandas-era order)
+    p = len(pairs)
+    keys = merged[by]
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    rep_idx = np.repeat(np.arange(g), p)
     return pa.table(
         {
-            by: pa.array(rows[by]),
-            "var_x": pa.array(rows["var_x"]),
-            "var_y": pa.array(rows["var_y"]),
-            "n": pa.array(rows["n"], pa.int64()),
-            "cov_pop": pa.array(rows["cov_pop"], pa.float64()),
-            "corr": pa.array(rows["corr"], pa.float64()),
+            by: keys.take(pa.array(rep_idx)),
+            "var_x": pa.array(np.tile(np.array([cols[i] for i in ii]), g)),
+            "var_y": pa.array(np.tile(np.array([cols[j] for j in jj]), g)),
+            "n": pa.array(
+                np.repeat(n.astype(np.int64), p), pa.int64()
+            ),
+            # cov/corr are (p, g): transpose -> group-major flatten
+            "cov_pop": pa.array(cov.T.ravel(), pa.float64()),
+            "corr": pa.array(
+                corr.T.ravel(), pa.float64(), from_pandas=True
+            ),
         }
     )
 

@@ -62,6 +62,19 @@ class DedupConfig:
     # beyond it, distributed min-label propagation rounds take over.
     max_driver_pairs: int = 5_000_000
 
+    # --- corpus-beyond-plasma auto-dispatch ---
+    # dedup_docs pins the hashed corpus in the object store by default
+    # (fastest at plasma-resident sizes). When the estimated corpus
+    # bytes exceed this fraction of the node's plasma budget, it
+    # auto-selects the text-store plan (corpus persisted once as
+    # Parquet, consumers do pruned reads) the same way max_driver_pairs
+    # gates driver-side union-find. 0 disables the auto gate; an
+    # explicit text_store_dir argument always wins.
+    text_store_auto_fraction: float = 0.5
+    # plasma budget override in bytes for the gate (tests mock it);
+    # 0 = read object_store_memory from ray.cluster_resources().
+    text_store_plasma_budget: int = 0
+
     extra: dict = field(default_factory=dict, compare=False)
 
     def __post_init__(self) -> None:

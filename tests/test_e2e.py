@@ -292,3 +292,53 @@ def test_oph_signer_end_to_end(ray_session, tiny_fixture):
     ):
         if m == "exact":
             assert jac >= cfg.threshold
+
+
+def test_text_store_auto_dispatch(ray_session, tiny_result, tiny_fixture):
+    """r4 verdict #4: when the estimated corpus bytes exceed
+    ``text_store_auto_fraction`` of the plasma budget, ``dedup_docs``
+    must choose the text-store plan on its own (no env var, no explicit
+    dir) — and the output must stay identical to the pinned plan. The
+    plasma budget is mocked tiny via ``text_store_plasma_budget``."""
+    import dataclasses
+
+    from nlshray.pipelines.dedup import dedup_docs
+    from nlshray.stages.extract import extract_stage
+
+    class RecordingSink:
+        def __init__(self):
+            self.metas, self.events = [], []
+
+        def meta(self, d):
+            self.metas.append(d)
+
+        def emit(self, stage, payload, wall):
+            self.events.append((stage, payload, wall))
+
+    # rd.from_arrow is materialized -> size is metadata-cheap; a 1 KiB
+    # mocked plasma budget guarantees the gate fires for any corpus
+    cfg = dataclasses.replace(
+        tiny_fixture["cfg"], text_store_plasma_budget=1024
+    )
+    docs = extract_stage(
+        rd.from_arrow(tiny_fixture["pages"])
+    ).materialize()
+    sink = RecordingSink()
+    res = dedup_docs(docs, cfg, force_distributed=True, sink=sink)
+    got = to_arrow(res.clusters).to_pandas()
+
+    assert sink.metas and sink.metas[0]["text_store"] is True
+    assert sink.metas[0]["text_store_auto"] is True
+
+    exp = tiny_result["clusters"].to_pandas()
+    key = ["doc_id", "cluster_id"]
+    assert sorted(map(tuple, got[key].values.tolist())) == sorted(
+        map(tuple, exp[key].values.tolist())
+    )
+
+    # plasma-resident corpus (default budget = real plasma, far bigger
+    # than the fixture): the pinned plan must stay the default
+    sink2 = RecordingSink()
+    dedup_docs(docs, tiny_fixture["cfg"], force_distributed=True, sink=sink2)
+    assert sink2.metas[0]["text_store"] is False
+    assert sink2.metas[0]["text_store_auto"] is False

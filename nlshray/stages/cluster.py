@@ -107,10 +107,25 @@ def cluster_stage(
         lefts_c.append(exact_edges[0][mask])
         rights_c.append(exact_edges[1][mask])
     else:
-        for docs, reps in _stream_edges(exact_map_ds, "doc_id", "rep_id"):
-            mask = docs != reps
-            lefts_c.append(docs[mask])
-            rights_c.append(reps[mask])
+        # Filter the doc==rep diagonal DISTRIBUTEDLY before streaming:
+        # the exact map is corpus-sized (one row per doc) but real
+        # exact-dup edges are a few percent of it — streaming the whole
+        # map through the driver was the cluster stage's serial
+        # non-scaling term at campaign scale (12.8M rows ≈ 200 MB
+        # single-threaded per run; r4 campaign K showed cluster scaling
+        # only 1.4x on 4x cores).
+        def _dup_edges(t: pa.Table) -> pa.Table:
+            keep = pa.compute.not_equal(t["doc_id"], t["rep_id"])
+            return t.filter(keep)
+
+        filtered = exact_map_ds.select_columns(
+            ["doc_id", "rep_id"]
+        ).map_batches(
+            _dup_edges, batch_format="pyarrow", zero_copy_batch=True
+        )
+        for docs, reps in _stream_edges(filtered, "doc_id", "rep_id"):
+            lefts_c.append(docs)
+            rights_c.append(reps)
     l = np.concatenate(lefts_c) if lefts_c else np.empty(0, np.int64)
     r = np.concatenate(rights_c) if rights_c else np.empty(0, np.int64)
     keys, labels = numpy_components(l, r)

@@ -772,6 +772,122 @@ def run_lm(num_cpus: int) -> dict:
     }
 
 
+def run_exchange_skew(num_cpus: int = 32) -> dict:
+    """Verdict r4 #8 (design proof): stress the shared hash exchange
+    with a Zipf-1.5 key distribution and record the merge round's
+    per-shard row skew.
+
+    The scale risk a uniform-hash sharding hides is a HOT KEY: under
+    Zipf-1.5 the top token accounts for tens of percent of all raw
+    occurrences, so a shuffle of raw rows would send that fraction of
+    the corpus to one shard. The exchange's round-A combiner collapses
+    each key to at most ONE partial row per block, which bounds any
+    key's contribution to a shard at n_blocks rows regardless of its
+    raw frequency — the merge round's skew is then only the hash
+    placement of distinct keys, not their frequencies. This bench
+    measures both: per-shard PARTIAL rows (what actually moves) and
+    per-shard RAW occurrence mass (what a naive shuffle would move).
+    """
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from nlshray.stages.exchange import (
+        _exchange_shard,
+        grouped_sum_merge,
+        hash_exchange,
+        int64_key_hash,
+    )
+
+    B, TOK_PER_BLOCK, VOCAB, P = 128, 1_000_000, 1 << 20, 48
+
+    @ray.remote
+    def gen_block(seed: int) -> pa.Table:
+        rng = np.random.default_rng(seed)
+        draws = rng.zipf(1.5, size=TOK_PER_BLOCK).astype(np.int64)
+        return pa.table({"token_id": pa.array(draws[draws <= VOCAB])})
+
+    refs = [gen_block.remote(1009 + i) for i in range(B)]
+    ray.wait(refs, num_returns=B)  # generation excluded from the timing
+
+    def partial(tb: pa.Table) -> pa.Table:
+        ids = tb["token_id"].to_numpy()
+        u, c = np.unique(ids, return_counts=True)
+        return pa.table(
+            {"token_id": pa.array(u), "n": pa.array(c.astype(np.int64))}
+        )
+
+    keyh = int64_key_hash("token_id")
+    t0 = time.perf_counter()
+    merged = hash_exchange(
+        refs, partial, keyh, grouped_sum_merge("token_id", ["n"]), P
+    )
+
+    @ray.remote
+    def table_stats(t: pa.Table):
+        top = int(pc.max(t["n"]).as_py() or 0) if len(t) else 0
+        return len(t), top
+
+    out_stats = ray.get([table_stats.remote(m) for m in merged])
+    wall = time.perf_counter() - t0
+
+    # merge-round input skew: per-shard partial rows + raw occurrence mass
+    a_out = [
+        _exchange_shard.options(num_returns=P).remote(r, partial, keyh, P)
+        for r in refs
+    ]
+
+    @ray.remote
+    def shard_stats(*shards):
+        rows = sum(len(s) for s in shards)
+        raw = sum(int(pc.sum(s["n"]).as_py() or 0) for s in shards)
+        return rows, raw
+
+    per_shard = ray.get(
+        [shard_stats.remote(*[a[p] for a in a_out]) for p in range(P)]
+    )
+    rows = np.array([r for r, _ in per_shard], np.float64)
+    raw = np.array([r for _, r in per_shard], np.float64)
+    n_raw = int(raw.sum())
+    top_key_count = max(t for _, t in out_stats)
+    ray.shutdown()
+    return {
+        "metric": "hash_exchange Zipf-1.5 skew stress (merge-round shard balance)",
+        "value": round(wall, 3),
+        "unit": "sec",
+        "num_cpus": num_cpus,
+        "n_blocks": B,
+        "n_raw_tokens": n_raw,
+        "n_shards": P,
+        "vocab_cap": VOCAB,
+        "top_key_raw_count": top_key_count,
+        "top_key_raw_share": round(top_key_count / n_raw, 4),
+        "partial_rows_total": int(rows.sum()),
+        "partial_rows_max_shard": int(rows.max()),
+        "partial_rows_median_shard": int(np.median(rows)),
+        "partial_rows_max_over_median": round(
+            float(rows.max() / max(np.median(rows), 1)), 3
+        ),
+        "raw_mass_max_shard": int(raw.max()),
+        "raw_mass_median_shard": int(np.median(raw)),
+        "raw_mass_max_over_median": round(
+            float(raw.max() / max(np.median(raw), 1)), 3
+        ),
+        "combiner_row_reduction": round(n_raw / max(rows.sum(), 1), 1),
+    }
+
+
 if __name__ == "__main__":
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
@@ -785,6 +901,8 @@ if __name__ == "__main__":
         print(json.dumps(run_incremental_near()))
     elif "--lm" in sys.argv:
         print(json.dumps(run_lm(ncpu)))
+    elif "--exchange-skew" in sys.argv:
+        print(json.dumps(run_exchange_skew(ncpu)))
     elif "--dedup-only" in sys.argv:
         print(json.dumps(run_dedup_only(ncpu, os.environ["NLSHRAY_PAGES_PATH"])))
     else:

@@ -342,3 +342,71 @@ def test_text_store_auto_dispatch(ray_session, tiny_result, tiny_fixture):
     dedup_docs(docs, tiny_fixture["cfg"], force_distributed=True, sink=sink2)
     assert sink2.metas[0]["text_store"] is False
     assert sink2.metas[0]["text_store_auto"] is False
+
+
+def test_star_components_matches_unionfind_random(ray_session):
+    """Large-star/small-star CC == driver union-find on random graphs
+    (duplicate edges, self loops, isolated nodes included)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from nlshray.stages.cluster import numpy_components, star_components
+
+    rng = np.random.default_rng(7)
+    for trial in range(4):
+        n_edges = int(rng.integers(1, 300))
+        l = rng.integers(0, 80, size=n_edges).astype(np.int64)
+        r = rng.integers(0, 80, size=n_edges).astype(np.int64)
+        all_nodes = np.arange(90, dtype=np.int64)  # 80..89 isolated
+        edges = rd.from_arrow(
+            pa.table({"left_id": pa.array(l), "right_id": pa.array(r)})
+        ).repartition(3)
+        nodes = rd.from_arrow(pa.table({"doc_id": pa.array(all_nodes)}))
+        got_t = to_arrow(star_components(edges, nodes, num_partitions=4))
+        got = dict(
+            zip(got_t["doc_id"].to_pylist(), got_t["cluster_id"].to_pylist())
+        )
+        keys, labels = numpy_components(l, r)
+        want = dict(zip(keys.tolist(), labels.tolist()))
+        for n in all_nodes.tolist():
+            want.setdefault(n, n)
+        assert got == want, f"trial {trial}"
+
+
+def test_star_components_long_chain(ray_session):
+    """A 2000-node path graph: the O(diameter) min-label engine's worst
+    case; the star rounds must flatten it to one min-labelled component
+    well inside max_rounds (geometric convergence)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from nlshray.stages.cluster import star_components
+
+    n = 2000
+    ids = np.arange(n, dtype=np.int64) * 7 + 3  # non-contiguous ids
+    edges = rd.from_arrow(
+        pa.table(
+            {"left_id": pa.array(ids[:-1]), "right_id": pa.array(ids[1:])}
+        )
+    ).repartition(4)
+    nodes = rd.from_arrow(pa.table({"doc_id": pa.array(ids)}))
+    got = to_arrow(star_components(edges, nodes, num_partitions=4))
+    labs = set(got["cluster_id"].to_pylist())
+    assert labs == {3}
+    assert got.num_rows == n
+
+
+def test_cluster_stage_distributed_uses_star_engine(ray_session, tiny_result):
+    """cluster_stage's beyond-driver-memory branch (max_driver_pairs=0)
+    now routes to star_components; labels must still equal union-find."""
+    from nlshray.config import DedupConfig
+    from nlshray.stages.cluster import cluster_stage
+
+    res = tiny_result["result"]
+    emap = res.docs.select_columns(["doc_id", "rep_id"])
+    cfg0 = DedupConfig(max_driver_pairs=0)
+    dist = to_arrow(cluster_stage(res.pairs, emap, cfg0, num_partitions=4))
+    got = dict(zip(dist["doc_id"].to_pylist(), dist["cluster_id"].to_pylist()))
+    uf = tiny_result["clusters"]
+    want = dict(zip(uf["doc_id"].to_pylist(), uf["cluster_id"].to_pylist()))
+    assert got == want

@@ -206,10 +206,10 @@ def _filt_sig_block(block: pa.Table, keys: np.ndarray, num_perms: int):
         )
     mask = _membership(keys, block["doc_id"].to_numpy())
     sub = block.filter(pa.array(mask))
-    return (
-        np.asarray(sub["doc_id"]).astype(np.int64, copy=False),
-        sigs_to_numpy(sub["sig"], num_perms).copy(),
-    )
+    ids = np.asarray(sub["doc_id"]).astype(np.int64, copy=False)
+    mat = sigs_to_numpy(sub["sig"], num_perms)
+    order = np.argsort(ids)  # sorted chunks: consumers binary-search
+    return ids[order], mat[order]
 
 
 def gather_sigs(
@@ -255,6 +255,46 @@ def gather_sigs(
     return ray.put((keys[order], mat[order]))
 
 
+def gather_sig_chunks(
+    sigs: ray.data.Dataset, ids: np.ndarray, cfg: DedupConfig
+) -> list:
+    """Chunked form of ``gather_sigs``: per-block (sorted keys, sig
+    rows) filter-task OUTPUT REFS, never assembled anywhere.
+
+    The merged broadcast was the verify stage's serial term at campaign
+    scale: ~1.2M pair docs x 128 perms = ~1.2 GB concatenated, argsorted
+    and re-``ray.put`` ON THE DRIVER (~3-5 s in both scaling legs, r5
+    campaign X's verify scaled 2.25x because of it). Keeping the
+    per-block chunks in plasma costs the consumers one binary search
+    per chunk instead of one global search — trivial next to the hash
+    work — and the driver never touches a signature byte."""
+    keys_sorted = np.sort(ids.astype(np.int64))
+    if isinstance(sigs, ray.data.dataset.MaterializedDataset):
+        keys_ref = ray.put(keys_sorted)
+        return [
+            _filt_sig_block.remote(r, keys_ref, cfg.num_perms)
+            for r in sigs.to_arrow_refs()
+        ]
+    return [gather_sigs(sigs, ids, cfg)]
+
+
+def _sig_rows_from_chunks(chunks, q: np.ndarray, num_perms: int) -> np.ndarray:
+    """Gather signature rows for ids ``q`` from sorted (keys, mat)
+    chunks — the worker-side half of the chunked broadcast."""
+    out = np.zeros((q.shape[0], num_perms), np.uint64)
+    if q.shape[0] == 0:
+        return out
+    for ck, cm in chunks:
+        if ck.shape[0] == 0:
+            continue
+        pos = np.searchsorted(ck, q)
+        np.clip(pos, 0, ck.shape[0] - 1, out=pos)
+        hit = ck[pos] == q
+        if hit.any():
+            out[hit] = cm[pos[hit]]
+    return out
+
+
 _EMPTY_KEPT = pa.table(
     {
         "left_id": pa.array([], pa.int64()),
@@ -296,18 +336,22 @@ def _decide_table(
 
 @ray.remote(num_returns=2)
 def _est_classify_block(
-    block: pa.Table, sig_bcast, num_perms: int, lo: float, hi: float
+    block: pa.Table, num_perms: int, lo: float, hi: float, *sig_chunks
 ):
     """One pairs block -> (kept pairs with est_jaccard, borderline doc
     ids). The est+classify+borderline-scan pass of the distributed plan
-    as a single raw task; ``sig_bcast`` is the broadcast (keys, matrix)
-    tuple (an ObjectRef argument, auto-dereferenced zero-copy)."""
+    as a single raw task; ``sig_chunks`` are the per-block sorted
+    (keys, matrix) tuples of the chunked broadcast (ObjectRef varargs,
+    auto-dereferenced zero-copy from plasma)."""
     if block.num_rows == 0:
         return _EMPTY_KEPT, np.empty(0, np.int64)
-    keys, mat = sig_bcast
-    li = np.searchsorted(keys, block["left_id"].to_numpy())
-    ri = np.searchsorted(keys, block["right_id"].to_numpy())
-    est = (mat[li] == mat[ri]).mean(axis=1)
+    rows_l = _sig_rows_from_chunks(
+        sig_chunks, block["left_id"].to_numpy(), num_perms
+    )
+    rows_r = _sig_rows_from_chunks(
+        sig_chunks, block["right_id"].to_numpy(), num_perms
+    )
+    est = (rows_l == rows_r).mean(axis=1)
     keep = est >= lo
     kept = pa.table(
         {
@@ -329,12 +373,59 @@ def _est_classify_block(
     return kept, bl_ids
 
 
+def _segment_gather_idx(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Flat indices selecting the segments (starts[i], lens[i]) in order."""
+    total = int(lens.sum())
+    base = np.repeat(starts, lens)
+    within = np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(lens) - lens, lens
+    )
+    return base + within
+
+
+def _flat_for_ids(chunks, need_sorted: np.ndarray) -> FlatSets:
+    """Task-local FlatSets for exactly ``need_sorted`` ids, selected out
+    of per-block (ids, flat values, lengths) chunks — the worker-side
+    half of the chunked shingle-set broadcast."""
+    id_c, val_c, len_c = [], [], []
+    for ids, vals, lens in chunks:
+        if ids.shape[0] == 0:
+            continue
+        m = _membership(need_sorted, ids)
+        if not m.any():
+            continue
+        starts = np.cumsum(lens) - lens
+        sel = np.flatnonzero(m)
+        idx = _segment_gather_idx(starts[sel], lens[sel])
+        id_c.append(ids[sel])
+        val_c.append(vals[idx])
+        len_c.append(lens[sel])
+    return _flat_from_chunks(id_c, val_c, len_c)
+
+
 @ray.remote
 def _decide_block(
-    kept: pa.Table, sets: FlatSets, threshold: float, hi: float
+    kept: pa.Table, threshold: float, hi: float, *set_chunks
 ) -> pa.Table:
-    """Decision pass over one kept block (``sets`` auto-dereferenced)."""
-    return _decide_table(kept, sets, threshold, hi)
+    """Decision pass over one kept block. ``set_chunks`` are per-block
+    (ids, flat values, lengths) shingle gathers (ObjectRef varargs); the
+    task assembles a local FlatSets for just ITS borderline doc ids, so
+    the driver never concatenates a shingle byte."""
+    est = kept["est_jaccard"].to_numpy() if kept.num_rows else None
+    if est is not None and set_chunks and bool((est <= hi).any()):
+        bl = est <= hi
+        need = np.unique(
+            np.concatenate(
+                [
+                    kept["left_id"].to_numpy()[bl],
+                    kept["right_id"].to_numpy()[bl],
+                ]
+            )
+        )
+        fs = _flat_for_ids(set_chunks, need)
+    else:
+        fs = empty_flat_sets()
+    return _decide_table(kept, fs, threshold, hi)
 
 
 _EMPTY_SHINGLE_OUT = (
@@ -464,6 +555,37 @@ def gather_shingle_sets(
             pc.list_value_length(col).to_numpy().astype(np.int64)
         )
     return _flat_from_chunks(id_chunks, val_chunks, len_chunks)
+
+
+def gather_shingle_chunks(
+    reps: ray.data.Dataset,
+    ids: np.ndarray,
+    cfg: DedupConfig,
+    *,
+    source_refs: list | None = None,
+    source_files: list[str] | None = None,
+) -> list:
+    """Chunked form of ``gather_shingle_sets``: the per-block
+    (ids, flat values, lengths) gather-task REFS, never concatenated on
+    the driver. Consumers (``_decide_block``) assemble a local FlatSets
+    for exactly the ids they need. With neither source hint the lazy
+    fallback still assembles once (executor scan), then ships the one
+    normalized chunk."""
+    keys_ref = ray.put(np.sort(ids.astype(np.int64)))
+    if source_files is not None:
+        return [
+            _shingle_file.remote(p, keys_ref, cfg.shingle_k)
+            for p in source_files
+        ]
+    if source_refs is not None:
+        return [
+            _shingle_block.remote(r, keys_ref, cfg.shingle_k)
+            for r in source_refs
+        ]
+    ids_s, vals, starts, lens = gather_shingle_sets(reps, ids, cfg)
+    if ids_s.shape[0]:
+        vals = vals[_segment_gather_idx(starts, lens)]
+    return [ray.put((ids_s, vals, lens))]
 
 
 def gather_sets_and_edges(
@@ -620,10 +742,10 @@ def verify_stage(
         # a second round over the kept blocks.
         if not isinstance(pairs, ray.data.dataset.MaterializedDataset):
             pairs = pairs.materialize()
-        sig_ref = gather_sigs(sigs, pair_ids, cfg)
+        sig_chunks = gather_sig_chunks(sigs, pair_ids, cfg)
         outs = [
             _est_classify_block.remote(
-                r, sig_ref, cfg.num_perms, cfg.exact_lo, hi
+                r, cfg.num_perms, cfg.exact_lo, hi, *sig_chunks
             )
             for r in pairs.to_arrow_refs()
         ]
@@ -634,16 +756,14 @@ def verify_stage(
             else np.empty(0, np.int64)
         )
         if bl_ids.shape[0] == 0:
-            sets_ref = ray.put(empty_flat_sets())
+            set_chunks: list = []
         else:
-            sets_ref = ray.put(
-                gather_shingle_sets(
-                    reps, bl_ids, cfg, source_refs=text_source_refs,
-                source_files=text_source_files
-                )
+            set_chunks = gather_shingle_chunks(
+                reps, bl_ids, cfg, source_refs=text_source_refs,
+                source_files=text_source_files,
             )
         final_refs = [
-            _decide_block.remote(o[0], sets_ref, cfg.threshold, hi)
+            _decide_block.remote(o[0], cfg.threshold, hi, *set_chunks)
             for o in outs
         ]
         return ray.data.from_arrow_refs(final_refs)
